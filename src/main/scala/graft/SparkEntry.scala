@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{BatchQueries, PipelineQueries, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * pipeline suite) is exposed as a named query over the driver testdata,
+  * with an exact DuckDB oracle wherever the capability is
+  * SQL-expressible. Streaming (T1–T8), ML (M1–M4) and sink/FS ops
+  * (S5–S10) are exercised in ScalaTest (src/test/scala/graft). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val defs: Seq[Q] = BatchQueries.all ++ PipelineQueries.all
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the
+    * `batch_stock` hourly-aggregate shape (SURVEY.md §7.2 step 1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    defs.head.build(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.build).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
 }

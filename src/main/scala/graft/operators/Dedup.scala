@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Document deduplication suite for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Design notes for 100 TB:
+  *  - Exact dedup is a single hash-shuffle on the text digest (we group
+  *    by md5, never by the full text — shuffling 100 TB of raw text on
+  *    the group key would dwarf the job; 16-byte digests shuffle fine).
+  *  - MinHash signatures are computed in ONE pass: explode distinct
+  *    tokens → one partial-aggregated groupBy(doc) with k min()s. The
+  *    LSH band join then only shuffles (band_key, doc_id) pairs — never
+  *    documents — and candidate verification happens on the small
+  *    candidate set.
+  *  - SimHash is a pure aggregation (k bit-sums per doc), no joins.
+  *  - n-gram Jaccard is quadratic per blocking group, so it is only run
+  *    WITHIN blocks (e.g. language) — at scale the LSH variant is the
+  *    candidate generator and Jaccard the verifier.
+  */
+object Dedup {
+
+  /** Whitespace tokens; the engine's canonical tokenizer (documents are
+    * space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Exact dedup: group by content digest, keep min id as the canonical
+    * representative. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: one row per doc with k min-permutation columns
+    * mh0..mh{k-1}. Single shuffle (doc id), partial combine on the map
+    * side. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
+      .withColumn("h", PortableHash.md5Hash32(col("tok")))
+    val mins = (0 until k).map(i => min(PortableHash.permuted(col("h"), i)).as(s"mh$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → (band_id, band_key) rows. Docs sharing any
+    * band key are near-dup candidates. */
+  def lshBands(sig: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, "k must be divisible by bandSize")
+    val bands = (0 until k / bandSize).map { b =>
+      val key = concat_ws("-", (0 until bandSize).map(j => col(s"mh${b * bandSize + j}")): _*)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Only ids and
+    * band keys shuffle. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bandSize: Int = 4): DataFrame = {
+    val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
+    val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash fingerprint over the low `bits` bits of the token hash:
+    * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
+      .withColumn("h", PortableHash.md5Hash32(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val sums = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp: Column = (0 until bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Exact token-set Jaccard over candidate pairs within a blocking key
+    * (quadratic per block — the verifier stage, not the generator). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(
+      col(blockCol).as("block"),
+      col(idCol).as("id"),
+      distinctTokens(col(textCol)).as("toks"))
+    val a = toks.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_int", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("n_uni",
+        size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("n_int"))
+      .withColumn("jaccard", round(col("n_int").cast("double") / col("n_uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "n_int", "n_uni", "jaccard")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with a typed metadata struct, plus partition-wise decode /
+  * feature-extract stages.
+  *
+  * The Spark-side machinery here is REAL and tested — schema contract,
+  * batched per-partition iteration, feature-vector shape — but the codec
+  * itself is a STUB: this container has no image/audio libraries, so
+  * [[fakeDecodeFeatures]] substitutes a deterministic byte-window mean
+  * in place of a JPEG/PCM decoder. Swapping in a real decoder changes
+  * ONE function body; the distributed plumbing (the part Spark owns) is
+  * unchanged.
+  *
+  * Scale notes: the decode stage is a narrow mapPartitions — no shuffle,
+  * parallelism = input splits; binary payloads never serialize to the
+  * driver; metadata extraction is a codegen'd projection.
+  */
+object Multimodal {
+
+  /** Metadata schema attached alongside every media column. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("size_bytes", LongType),
+    StructField("content_hash", StringType)))
+
+  /** Wrap a string column as a binary media payload (test/fixture path:
+    * real pipelines land binary directly from the source). */
+  def attachPayload(df: DataFrame, srcCol: String, kind: String): DataFrame =
+    df.withColumn("media", encode(col(srcCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(kind).as("kind"),
+        octet_length(col("media")).cast("long").as("size_bytes"),
+        md5(col("media")).as("content_hash")))
+
+  /** Codegen'd metadata projection (no decode needed). */
+  def extractMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("size_bytes", octet_length(col(binCol)).cast("long"))
+      .withColumn("content_hash", md5(col(binCol)))
+
+  /** STUB DECODER — deterministic fake standing in for a real codec.
+    * "Decodes" a binary payload into a `dim`-float feature vector by
+    * averaging `dim` equal byte windows (values scaled to [0,1]).
+    * Replace this body with e.g. a JPEG decode + CNN featurizer; the
+    * signature and the distributed shape stay identical. */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes.isEmpty) Array.fill(dim)(0f)
+    else {
+      val window = math.max(1, bytes.length / dim)
+      Array.tabulate(dim) { i =>
+        val from = math.min(i * window, bytes.length - 1)
+        val until = math.min(from + window, bytes.length)
+        var s = 0L; var j = from
+        while (j < until) { s += (bytes(j) & 0xff); j += 1 }
+        (s.toDouble / ((until - from) * 255.0)).toFloat
+      }
+    }
+  }
+
+  /** Partition-wise decode → feature column. Batch shape: one partition
+    * streams through the codec without materializing all payloads. */
+  def fakeDecodeFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("_mm_id", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val decoded = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = if (row.isNullAt(1)) Array.emptyByteArray else row.getAs[Array[Byte]](1)
+        Row(id, stubDecode(bytes, dim).toSeq)
+      }
+    }
+    val featDf = spark.createDataFrame(decoded, outSchema)
+    df.join(featDf, col(idCol) === col("_mm_id")).drop("_mm_id")
+  }
+
+  /** Frame/chunk sampler: split a payload into fixed-size byte chunks and
+    * keep every `stride`-th one (the video-frame-sampling shape), as a
+    * codegen-friendly generator — explode over a computed chunk index. */
+  def sampleChunks(df: DataFrame, idCol: String, binCol: String,
+      chunkBytes: Int, stride: Int): DataFrame = {
+    val nChunks = ceil(octet_length(col(binCol)).cast("double") / chunkBytes).cast("int")
+    df.select(col(idCol), col(binCol), posexplode(sequence(lit(0), greatest(nChunks - 1, lit(0)))))
+      .filter(col("pos") % stride === 0)
+      .select(
+        col(idCol),
+        col("pos").as("chunk_id"),
+        substring(col(binCol), col("pos") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
+  }
+}

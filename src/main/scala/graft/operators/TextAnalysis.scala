@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All Catalyst-native (split / filter / aggregate
+  * higher-order functions + regexp_count) — whole-stage codegen, no
+  * UDFs, scale-free narrow projections except the trivial per-doc aggs.
+  */
+object TextAnalysis {
+
+  /** Tiny public stopword lists per language — the n-gram/stopword
+    * heuristic signal for [[langScores]]. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (long). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: count of maximal alnum runs. */
+  def alnumRunCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+")).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Occurrences (with multiplicity) of any word in `words`. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  /** Mean token length via a codegen'd sum over token lengths. */
+  def avgTokenLen(text: Column): Column = {
+    val totalLen = aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+    round(totalLen.cast("double") / tokenCount(text), 4)
+  }
+
+  /** Per-language stopword-density scores, 4dp. */
+  def langScores(text: Column): Map[String, Column] =
+    stopwords.map { case (lang, words) =>
+      lang -> round(wordHits(text, words).cast("double") / tokenCount(text), 4)
+    }
+
+  /** Argmax language with deterministic tie-break: highest score wins,
+    * ties resolve to the lexically GREATEST language code (mirrors the
+    * engine-wide argmax-struct tie-break, SURVEY.md §2.5 A3). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // lang L wins iff score(L) >= score(M) for all M != L, evaluated in
+    // reverse-lexical order so ties resolve to the greatest code.
+    val ordered = scores.keys.toSeq.sorted.reverse
+    val chain = ordered.map { lang =>
+      val cond = scores.collect { case (m, s) if m != lang => scores(lang) >= s }
+        .reduce(_ && _)
+      (cond, lang)
+    }
+    chain.init.foldRight(lit(chain.last._2): Column) { case ((cond, lang), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation, lexical
+    * diversity, and English stopword density. 4dp for oracle parity. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthScore = least(lit(1.0), n / lit(100.0))
+    val diversity = distinctTokenCount(text).cast("double") / n
+    val stopDensity = least(lit(1.0),
+      wordHits(text, stopwords("en")).cast("double") / n * lit(5.0))
+    round(lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * stopDensity, 4)
+  }
+
+  /** Order-independent bag-of-tokens fingerprint: sum of md5-derived
+    * token hashes (with multiplicity) mod P. Content-sensitive, cheap,
+    * reproducible in the SQL oracle. */
+  def bagFingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), t => PortableHash.md5Hash32(t) % lit(PortableHash.P))
+    aggregate(hs, lit(0L), (acc, h) => (acc + h) % lit(PortableHash.P))
+  }
+
+  /** Full per-document profile frame. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = langScores(t).toSeq.sortBy(_._1)
+    val base = df.select(
+      Seq(col(idCol),
+        tokenCount(t).as("n_tokens"),
+        distinctTokenCount(t).as("n_distinct"),
+        alnumRunCount(t).as("n_alnum_runs"),
+        avgTokenLen(t).as("avg_token_len"),
+        qualityScore(t).as("quality"),
+        langId(t).as("lang_pred"),
+        bagFingerprint(t).as("fingerprint")) ++
+        scores.map { case (lang, s) => s.as(s"score_$lang") }: _*)
+    base
+  }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Tables.t
+
+/** Training-data pipeline capabilities over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force + bucketed ANN), text analysis and
+  * multimodal plumbing. Hash-based oracles are generated from the SAME
+  * coefficients as the Spark plans ([[PortableHash]]) so the DuckDB SQL
+  * is exact, not approximate.
+  */
+object PipelineQueries {
+
+  private val P = PortableHash.P
+  private val K = 16 // minhash permutations
+  private val BAND = 4 // rows per LSH band
+
+  /** Shared oracle CTE: distinct tokens per doc with md5-derived hash. */
+  private val hashCte =
+    s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks)"""
+
+  /** Exact dedup by content digest. */
+  private val q20 = Q(
+    "q20_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("digest"),
+    Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** MinHash signatures (k=16): the shingle→minhash stage, exact oracle. */
+  private val q21 = {
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    Q(
+      "q21_minhash_signature",
+      (s, dir) => Dedup.minhashSignature(t(s, dir, "documents"), "doc_id", "text", K)
+        .orderBy("doc_id"),
+      Some(s"WITH $hashCte SELECT doc_id, $minsSql FROM h GROUP BY doc_id ORDER BY doc_id"
+        .replaceAll("\\s+", " ")))
+  }
+
+  /** MinHash LSH candidate pairs: docs sharing ≥1 of 4 bands. */
+  private val q22 = {
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    Q(
+      "q22_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", K, BAND)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $hashCte,
+        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
+        bands AS ($bandSelects)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
+  /** SimHash fingerprints (16-bit, ±1 bit sums over token hashes). */
+  private val q23 = {
+    val bits = 16
+    val bitSumsSql = (0 until bits)
+      .map(j => s"sum(CASE WHEN ((hv >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val fpSql = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q23_simhash",
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits)
+        .orderBy("doc_id"),
+      Some(s"""WITH $hashCte,
+        s AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+        .replaceAll("\\s+", " ")))
+  }
+
+  /** Exact n-gram (token-set) Jaccard pairs within a language block. */
+  private val q24 = Q(
+    "q24_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5)
+      .orderBy("block", "id_a", "id_b"),
+    Some("""WITH d AS (SELECT lang AS block, doc_id AS id,
+        list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
+        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_int,
+        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_uni
+        FROM d a JOIN d b ON a.block = b.block AND a.id < b.id)
+      SELECT block, id_a, id_b, n_int, n_uni,
+        round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
+      FROM p WHERE round(CAST(n_int AS DOUBLE) / n_uni, 4) >= 0.5
+      ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
+  private def cosineSql(v: String, q: String): String =
+    s"""round(list_dot_product($v, $q) /
+       (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 4)"""
+
+  /** Brute-force cosine top-k against a broadcast query vector. */
+  private val q25 = Q(
+    "q25_ann_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0)
+      SELECT q.query_id, e.vec_id,
+        ${cosineSql("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      ORDER BY query_id, cos_sim DESC, vec_id LIMIT 10""".replaceAll("\\s+", " ")))
+
+  /** Sign-bucketed ANN (IVF/LSH hybrid): probe only the query's bucket. */
+  private val q26 = {
+    val nBits = 8
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q26_ann_bucketed",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bucketedTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nBits = nBits)
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id = 0)
+        SELECT q.query_id, c.vec_id, ${cosineSql("c.v", "q.qv")} AS cos_sim
+        FROM c JOIN q USING (bucket)
+        ORDER BY query_id, cos_sim DESC, vec_id LIMIT 10""".replaceAll("\\s+", " ")))
+  }
+
+  /** Text-analysis profile: token counts, quality, lang-ID, fingerprint. */
+  private val q27 = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    def hitsSql(lang: String): String = {
+      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
+    }
+    def scoreSql(lang: String): String =
+      s"round(CAST(${hitsSql(lang)} AS DOUBLE) / len(string_split(text, ' ')), 4)"
+    // lang L wins iff score(L) >= all others; evaluated reverse-lexical.
+    val ordered = langs.sorted.reverse
+    val langCase = ordered.init.map { lang =>
+      val conds = langs.filter(_ != lang).map(m => s"score_$lang >= score_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    Q(
+      "q27_text_profile",
+      (s, dir) => TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alnum_runs,
+          round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS avg_token_len,
+          round(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+            + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+            + 0.3 * least(1.0, CAST(${hitsSql("en")} AS DOUBLE) / len(string_split(text, ' ')) * 5.0), 4) AS quality,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> ${PortableHash.md5Hash32Sql("t")} % $P)) % $P AS BIGINT) AS fingerprint,
+          ${langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(", ")}
+        FROM documents)
+        SELECT doc_id, n_tokens, n_distinct, n_alnum_runs, avg_token_len, quality,
+          CASE $langCase ELSE '${ordered.last}' END AS lang_pred, fingerprint,
+          ${langs.map(l => s"score_$l").mkString(", ")}
+        FROM base ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Multimodal plumbing: binary payload + typed metadata struct
+    * (decode itself is the stubbed stage — see
+    * [[graft.operators.Multimodal.stubDecode]]; exercised in ScalaTest). */
+  private val q28 = Q(
+    "q28_multimodal_meta",
+    (s, dir) => Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+      .select(
+        col("doc_id"),
+        col("media_meta.kind").as("kind"),
+        col("media_meta.size_bytes").as("size_bytes"),
+        col("media_meta.content_hash").as("content_hash"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, 'text' AS kind,
+      CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      md5(text) AS content_hash
+      FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-coerced, drift-tolerant parquet reader (capabilities S1–S4,
+  * SURVEY.md §2.1).
+  *
+  * The reference enumerates the live folder glob through a py4j gateway
+  * (`pyspark/batch_stock.py:18-27`), reads each fragment separately,
+  * force-casts every column to a hand-written StructType
+  * (`cast_columns_to_schema`, `pyspark/batch_stock.py:11-16`) and folds
+  * the fragments with `unionByName(allowMissingColumns=True)`
+  * (`pyspark/batch_stock.py:35`).
+  *
+  * Spark-first re-expression: the per-file union loop defeats
+  * FileSourceScanExec's multi-file parallelism, so the default here is a
+  * SINGLE multi-path vectorized scan (one codegen'd stage, schema/filter
+  * pushdown intact); the per-file `unionByName` fold remains as the
+  * fallback for structurally drifted fragment sets. At 100 TB the single
+  * scan is the only viable shape — one scan node, split planning by
+  * `spark.sql.files.maxPartitionBytes`, no N-way union of N scans.
+  */
+object SchemaReader {
+
+  /** Hadoop glob enumeration of a path pattern — capability S2
+    * (`batch_stock.py:18-27`), direct JVM call (no gateway). */
+  def glob(spark: SparkSession, pattern: String): Seq[String] = {
+    val path = new Path(pattern)
+    val fs: FileSystem = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(path)).map(_.toSeq.map(_.getPath.toString)).getOrElse(Seq.empty)
+  }
+
+  /** Capability S4: cast every declared column to its declared type;
+    * declared-but-absent columns materialize as typed nulls; undeclared
+    * junk columns (e.g. `UNNAMED_FIELD` `ML_stock.py:80`, `wind_deg`
+    * `merge_openweather.py:78`) are dropped by omission. */
+  def coerce(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Fast path (default): one multi-path scan. Requires fragments that
+    * parquet's schema merge can reconcile; the declared schema is pushed
+    * into the scan so column pruning happens at the reader. */
+  def read(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    coerce(spark.read.parquet(paths: _*), schema)
+
+  /** Drift-tolerant path — capability S3: per-file read + coercion +
+    * `unionByName(allowMissingColumns = true)` fold
+    * (`batch_stock.py:18-36`, `ML_tomtom.py:31-49`). Use only when
+    * fragments disagree structurally. */
+  def readTolerant(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readTolerant: no input paths")
+    val frames = paths.map(p => coerce(spark.read.parquet(p), schema))
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

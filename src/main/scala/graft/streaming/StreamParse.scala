@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Lenient payload parsing for streams — capability T2 (SURVEY.md §2.8).
+  *
+  * Reference semantics (`pyspark/stream_stock.py:28-61`,
+  * `stream_combined.py:29-69`): the message schema declares EVERY field
+  * as StringType, `from_json` parses the binary payload leniently
+  * (malformed JSON → null struct), and each field is then cast to its
+  * real type in the projection. We preserve that
+  * parse-as-string-then-coerce contract: drifted or junk values degrade
+  * to nulls instead of failing the stream.
+  */
+object StreamParse {
+
+  /** All-string parse schema from the target schema's field names. */
+  def lenientSchema(target: StructType): StructType =
+    StructType(target.fields.map(f => StructField(f.name, StringType, nullable = true)))
+
+  /** payload (binary or string) → typed columns per `target`, plus any
+    * passthrough columns (e.g. the source's publish timestamp). */
+  def parse(df: DataFrame, payloadCol: String, target: StructType,
+      passthrough: Seq[String] = Seq.empty): DataFrame = {
+    val parsed = df.withColumn("data",
+      from_json(col(payloadCol).cast("string"), lenientSchema(target)))
+    val projected: Seq[Column] =
+      target.fields.toSeq.map(f => col(s"data.${f.name}").cast(f.dataType).as(f.name)) ++
+        passthrough.map(col)
+    parsed.select(projected: _*)
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-verification mimicking the driver's correctness gate:
+runs each oracle SQL from oracle_sql.json in DuckDB over the same
+parquet tables, and compares against the engine's parquet dumps
+(column names sorted, rows sorted, exact value equality with a float
+report). Dev tooling only — NOT part of the shipped engine.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no engine output at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            ora = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        eng = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+
+        ocols, ecols = sorted(ora.column_names), sorted(eng.column_names)
+        if ocols != ecols:
+            print(f"FAIL {name}: columns differ\n  oracle={ocols}\n  engine={ecols}")
+            n_fail += 1
+            continue
+        o_rows = [tuple(norm(v) for v in row)
+                  for row in zip(*[ora.column(c).to_pylist() for c in ocols])]
+        e_rows = [tuple(norm(v) for v in row)
+                  for row in zip(*[eng.column(c).to_pylist() for c in ecols])]
+        if len(o_rows) != len(e_rows):
+            print(f"FAIL {name}: row count oracle={len(o_rows)} engine={len(e_rows)}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name; row order must match our ORDER BYs —
+        # compare both as-is AND sorted to spot ordering-only mismatches
+        if o_rows == e_rows:
+            print(f"PASS {name} ({len(o_rows)} rows)")
+            n_pass += 1
+            continue
+        if sorted(map(repr, o_rows)) == sorted(map(repr, e_rows)):
+            print(f"WARN {name}: values match but ROW ORDER differs ({len(o_rows)} rows)")
+            n_fail += 1
+            continue
+        diffs = [(i, o, e) for i, (o, e) in enumerate(zip(o_rows, e_rows)) if o != e]
+        print(f"FAIL {name}: {len(diffs)}/{len(o_rows)} rows differ; first 3:")
+        for i, o, e in diffs[:3]:
+            print(f"  row {i}:\n    oracle={o}\n    engine={e}")
+        n_fail += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed / {len(oracles)} oracled queries")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
