@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, PortableRound}
 
 /** Document deduplication suite for large-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -103,7 +103,7 @@ object Dedup {
       .withColumn("n_int", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("n_uni",
         size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("n_int"))
-      .withColumn("jaccard", round(col("n_int").cast("double") / col("n_uni"), 4))
+      .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "n_int", "n_uni", "jaccard")
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TimeOps
+import graft.functions.{ExactAgg, PortableRound, TimeOps}
 
 /** Hourly multi-aggregate builder (capabilities A1/A4/A7/O1,
   * SURVEY.md §2.5/§2.7).
@@ -28,10 +28,10 @@ object HourlyAgg {
       count(lit(1)).as("n") +:
         measures.flatMap { m =>
           Seq(
-            round(avg(col(m)), 2).as(s"avg_$m"),
-            round(sum(col(m)), 2).as(s"sum_$m"),
-            round(min(col(m)), 2).as(s"min_$m"),
-            round(max(col(m)), 2).as(s"max_$m"))
+            ExactAgg.avg2(col(m)).as(s"avg_$m"),
+            ExactAgg.sum2(col(m)).as(s"sum_$m"),
+            PortableRound.round2(min(col(m))).as(s"min_$m"),
+            PortableRound.round2(max(col(m))).as(s"max_$m"))
         }
     keyed.groupBy(col("date"), col("hour"))
       .agg(aggs.head, aggs.tail: _*)
@@ -49,7 +49,7 @@ object HourlyAgg {
       outName: String): DataFrame = {
     df.filter(col(measure).isNotNull)
       .groupBy(keys.map(col): _*)
-      .agg(round(avg(col(measure)), 2).as(outName))
+      .agg(ExactAgg.avg2(col(measure)).as(outName))
   }
 
   /** Two-level rollup preserving the reference's avg-of-avgs semantics —
@@ -61,10 +61,10 @@ object HourlyAgg {
       coarseKeys: Seq[String],
       measure: String): DataFrame = {
     val fine = df.groupBy((coarseKeys ++ fineKeys).distinct.map(col): _*)
-      .agg(avg(col(measure)).as("fine_avg"))
+      .agg(ExactAgg.avgExact(col(measure)).as("fine_avg"))
     fine.groupBy(coarseKeys.map(col): _*)
       .agg(
         count(lit(1)).as("n_groups"),
-        round(avg(col("fine_avg")), 2).as(s"avg_of_avg_$measure"))
+        ExactAgg.avg2(col("fine_avg")).as(s"avg_of_avg_$measure"))
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound
 
 /** Forward-looking rolling range windows — capabilities W1/W2
   * (SURVEY.md §2.6).
@@ -23,20 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object RollingWindow {
 
+  /** Windowed aggregate with engine-portable float semantics: sums run
+    * in DECIMAL(18,6) (exact, association-order-free — DuckDB evaluates
+    * window frames with segment trees, Spark with a sorted sweep, so
+    * double sums would differ in ulps), averages divide the exact sum by
+    * the frame count with one IEEE division, and rounding is
+    * [[PortableRound]]. */
+  private def windowed(fn: String, measure: String, w: WindowSpec): Column = {
+    val dec = col(measure).cast("decimal(18,6)")
+    fn match {
+      case "sum" => PortableRound.round2(sum(dec).over(w).cast("double"))
+      case "avg" => PortableRound.round2(
+        sum(dec).over(w).cast("double") / count(col(measure)).over(w))
+      case "count" => count(col(measure)).over(w)
+      case "min" => PortableRound.round2(min(col(measure)).over(w))
+      case "max" => PortableRound.round2(max(col(measure)).over(w))
+      case other => throw new IllegalArgumentException(s"unsupported window agg: $other")
+    }
+  }
+
   /** Exact reference semantics: global ORDER BY unix seconds, frame
     * [current, current + seconds]. */
   def forwardGlobal(df: DataFrame, unixCol: String, seconds: Long, aggs: (String, String)*): DataFrame = {
     val w = Window.orderBy(col(unixCol)).rangeBetween(0L, seconds)
     aggs.foldLeft(df) { case (acc, (fn, measure)) =>
-      val c: Column = fn match {
-        case "sum" => sum(col(measure)).over(w)
-        case "avg" => avg(col(measure)).over(w)
-        case "count" => count(col(measure)).over(w)
-        case "min" => min(col(measure)).over(w)
-        case "max" => max(col(measure)).over(w)
-        case other => throw new IllegalArgumentException(s"unsupported window agg: $other")
-      }
-      acc.withColumn(s"${fn}_${measure}_${seconds}s", round(c, 2))
+      acc.withColumn(s"${fn}_${measure}_${seconds}s", windowed(fn, measure, w))
     }
   }
 
@@ -57,13 +69,8 @@ object RollingWindow {
     val own = df.withColumn("_bucket", bucket).withColumn("_feed", lit(false))
     val feed = df.withColumn("_bucket", bucket - 1).withColumn("_feed", lit(true))
     val w = Window.partitionBy(col("_bucket")).orderBy(col(unixCol)).rangeBetween(0L, seconds)
-    val agg: Column = fn match {
-      case "sum" => sum(col(measure)).over(w)
-      case "avg" => avg(col(measure)).over(w)
-      case other => throw new IllegalArgumentException(s"unsupported window agg: $other")
-    }
     own.unionByName(feed)
-      .withColumn(s"${fn}_${measure}_${seconds}s", round(agg, 2))
+      .withColumn(s"${fn}_${measure}_${seconds}s", windowed(fn, measure, w))
       .filter(!col("_feed"))
       .drop("_bucket", "_feed")
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -41,7 +42,7 @@ object Similarity {
       .select(
         col("query_id"),
         col(idCol),
-        round(cosine(col(vecCol), col("_qvec")), 4).as("cos_sim"))
+        PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
 
   /** Brute-force top-k: TakeOrderedAndProject — no full sort, no big
     * collect. Deterministic tie-break on id. */
@@ -73,7 +74,7 @@ object Similarity {
       .select(
         col("query_id"),
         col(idCol),
-        round(cosine(col(vecCol), col("_qvec")), 4).as("cos_sim"))
+        PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
       .orderBy(col("query_id").asc, col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, PortableRound}
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, n-gram-heuristic language ID, and document
@@ -39,13 +39,13 @@ object TextAnalysis {
   /** Mean token length via a codegen'd sum over token lengths. */
   def avgTokenLen(text: Column): Column = {
     val totalLen = aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
-    round(totalLen.cast("double") / tokenCount(text), 4)
+    PortableRound.round4(totalLen.cast("double") / tokenCount(text))
   }
 
   /** Per-language stopword-density scores, 4dp. */
   def langScores(text: Column): Map[String, Column] =
     stopwords.map { case (lang, words) =>
-      lang -> round(wordHits(text, words).cast("double") / tokenCount(text), 4)
+      lang -> PortableRound.round4(wordHits(text, words).cast("double") / tokenCount(text))
     }
 
   /** Argmax language with deterministic tie-break: highest score wins,
@@ -74,7 +74,7 @@ object TextAnalysis {
     val diversity = distinctTokenCount(text).cast("double") / n
     val stopDensity = least(lit(1.0),
       wordHits(text, stopwords("en")).cast("double") / n * lit(5.0))
-    round(lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * stopDensity, 4)
+    PortableRound.round4(lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * stopDensity)
   }
 
   /** Order-independent bag-of-tokens fingerprint: sum of md5-derived

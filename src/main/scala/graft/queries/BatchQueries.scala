@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
 
-import graft.functions.TimeOps
+import graft.functions.{ExactAgg, PortableRound, TimeOps}
 import graft.operators.{HourlyAgg, ModeAgg, OneHot, RollingWindow}
 import graft.queries.Tables.t
 
@@ -22,10 +22,10 @@ object BatchQueries {
   private val q01 = Q(
     "q01_hourly_agg",
     (s, dir) => HourlyAgg.hourlyStats(t(s, dir, "events"), "ts", Seq("value")),
-    Some("""SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS BIGINT) AS hour,
+    Some(s"""SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS BIGINT) AS hour,
       count(*) AS n,
-      round(avg(value), 2) AS avg_value, round(sum(value), 2) AS sum_value,
-      round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+      ${ExactAgg.avg2Sql("value")} AS avg_value, ${ExactAgg.sum2Sql("value")} AS sum_value,
+      ${PortableRound.sql2("min(value)")} AS min_value, ${PortableRound.sql2("max(value)")} AS max_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")))
 
   /** A2 + A3 + J1: per-(date,hour) mode of event_type via argmax-struct,
@@ -89,11 +89,11 @@ object BatchQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          ExactAgg.sum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("r_name", "n_name")
     },
-    Some("""SELECT r_name, n_name, count(*) AS n_items,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some(s"""SELECT r_name, n_name, count(*) AS n_items,
+      ${ExactAgg.sum2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -113,10 +113,10 @@ object BatchQueries {
       base.join(cond, Seq("l_returnflag", "l_linestatus"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""WITH li AS (SELECT l_returnflag, l_linestatus,
+    Some(s"""WITH li AS (SELECT l_returnflag, l_linestatus,
         CASE WHEN l_discount > 0.04 THEN l_extendedprice END AS disc_price FROM lineitem),
       b AS (SELECT l_returnflag, l_linestatus, count(*) AS n FROM li GROUP BY 1, 2),
-      c AS (SELECT l_returnflag, l_linestatus, round(avg(disc_price), 2) AS avg_disc_price
+      c AS (SELECT l_returnflag, l_linestatus, ${ExactAgg.avg2Sql("disc_price")} AS avg_disc_price
         FROM li WHERE disc_price IS NOT NULL GROUP BY 1, 2)
       SELECT b.l_returnflag, b.l_linestatus, b.n, c.avg_disc_price
       FROM b JOIN c USING (l_returnflag, l_linestatus) ORDER BY 1, 2""".replaceAll("\\s+", " ")))
@@ -132,10 +132,10 @@ object BatchQueries {
       HourlyAgg.avgOfAvgs(joined, Seq("l_partkey"), Seq("p_brand"), "l_extendedprice")
         .orderBy("p_brand")
     },
-    Some("""WITH f AS (SELECT p_brand, l_partkey, avg(l_extendedprice) AS fine_avg
+    Some(s"""WITH f AS (SELECT p_brand, l_partkey, ${ExactAgg.avgExactSql("l_extendedprice")} AS fine_avg
         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
       SELECT p_brand, count(*) AS n_groups,
-      round(avg(fine_avg), 2) AS avg_of_avg_l_extendedprice
+      ${ExactAgg.avg2Sql("fine_avg")} AS avg_of_avg_l_extendedprice
       FROM f GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
   /** W1/W2: global forward 1-hour range window over unix seconds
@@ -149,10 +149,10 @@ object BatchQueries {
         .select("event_id", "ts_unix", "sum_value_3600s", "avg_value_3600s")
         .orderBy("event_id")
     },
-    Some("""WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, value FROM events)
+    Some(s"""WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, value FROM events)
       SELECT event_id, ts_unix,
-      round(sum(value) OVER w, 2) AS sum_value_3600s,
-      round(avg(value) OVER w, 2) AS avg_value_3600s
+      ${PortableRound.sql2("CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)")} AS sum_value_3600s,
+      ${PortableRound.sql2("(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(value) OVER w))")} AS avg_value_3600s
       FROM e WINDOW w AS (ORDER BY ts_unix RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
       ORDER BY event_id""".replaceAll("\\s+", " ")))
 
@@ -216,7 +216,7 @@ object BatchQueries {
     (s, dir) => {
       val e = t(s, dir, "events").withColumn("minute", TimeOps.minuteKey(col("ts")))
       val m = e.groupBy(col("minute")).agg(
-        round(avg(col("value")), 2).as("minute_avg"),
+        ExactAgg.avg2(col("value")).as("minute_avg"),
         count(lit(1)).as("minute_n"))
       e.join(m, Seq("minute"))
         .select(
@@ -225,8 +225,8 @@ object BatchQueries {
           col("minute_avg"), col("minute_n"))
         .orderBy("event_id")
     },
-    Some("""WITH e AS (SELECT event_id, date_trunc('minute', ts) AS minute, value FROM events),
-      m AS (SELECT minute, round(avg(value), 2) AS minute_avg, count(*) AS minute_n
+    Some(s"""WITH e AS (SELECT event_id, date_trunc('minute', ts) AS minute, value FROM events),
+      m AS (SELECT minute, ${ExactAgg.avg2Sql("value")} AS minute_avg, count(*) AS minute_n
         FROM e GROUP BY 1)
       SELECT e.event_id, strftime(e.minute, '%Y-%m-%d %H:%M') AS minute_key,
         m.minute_avg, m.minute_n
