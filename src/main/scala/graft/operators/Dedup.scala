@@ -61,13 +61,18 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Only ids and
-    * band keys shuffle. */
+    * band keys shuffle. The probe side is broadcast: band rows are
+    * (id, band_id, key) — tiny relative to the corpus — so the self-join
+    * runs as a broadcast hash join with stream-side parallelism instead
+    * of hash-partitioning on band keys (which skews badly on large
+    * near-dup clusters, where one hot band key funnels the whole
+    * cluster's candidate explosion into a single task). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandSize: Int = 4): DataFrame = {
     val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
     val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
-    a.join(b, Seq("band_id", "band_key"))
+    a.join(broadcast(b), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -89,22 +94,47 @@ object Dedup {
   }
 
   /** Exact token-set Jaccard over candidate pairs within a blocking key
-    * (quadratic per block — the verifier stage, not the generator). */
+    * (quadratic per block — the verifier stage, not the generator).
+    *
+    * Plan shape: the build side is broadcast, because a shuffle join on
+    * the block key caps parallelism at the number of distinct blocks and
+    * funnels each block's full quadratic work into one task. With a
+    * broadcast the stream side keeps its scan partitioning and every
+    * task enumerates only its rows' pairs. A size-ratio prefilter
+    * (jaccard ≤ min(|A|,|B|)/max(|A|,|B|), and round4(j) ≥ t ⟺
+    * j ≥ t − 5e-5) skips the O(|A|+|B|) intersection for pairs that
+    * cannot reach the threshold — exactness is preserved. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // Sorted once per document so the per-pair intersection is a
+    // zero-allocation merge count ([[ArrayOps.sortedIntersectSize]])
+    // instead of array_intersect's per-call hash set + result array.
     val toks = df.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      distinctTokens(col(textCol)).as("toks"))
-    val a = toks.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = toks.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("n_int", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-      .withColumn("n_uni",
-        size(col("toks_a")).cast("long") + size(col("toks_b")).cast("long") - col("n_int"))
+      array_sort(distinctTokens(col(textCol))).as("toks"))
+    // The pair-enumeration work is quadratic while the input bytes are
+    // tiny, so AQE would coalesce a plain shuffle to one partition;
+    // an explicit-N round-robin repartition is exempt from coalescing
+    // and spreads the stream side across all cores.
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = toks.repartition(nPart).select(col("block"), col("id").as("id_a"),
+      col("toks").as("toks_a"), size(col("toks")).cast("long").as("n_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"),
+      col("toks").as("toks_b"), size(col("toks")).cast("long").as("n_b"))
+    // round4(j) >= threshold requires j >= threshold - 0.00005; j is at
+    // most min/max, so prune on 20000*min >= (20000*threshold - 1)*max.
+    val tScaled = math.round(threshold * 20000) - 1
+    a.as("A").join(broadcast(b.as("B")),
+        col("A.block") === col("B.block") &&
+          col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")) * 20000L >= greatest(col("n_a"), col("n_b")) * tScaled)
+      .withColumn("n_int",
+        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
+      .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
       .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
       .filter(col("jaccard") >= threshold)
-      .select("block", "id_a", "id_b", "n_int", "n_uni", "jaccard")
+      .select(col("A.block").as("block"), col("id_a"), col("id_b"),
+        col("n_int"), col("n_uni"), col("jaccard"))
   }
 }
