@@ -39,8 +39,10 @@ object SchemaReader {
     * `merge_openweather.py:78`) are dropped by omission. */
   def coerce(df: DataFrame, schema: StructType): DataFrame = {
     val present = df.columns.toSet
+    // try_cast: under Spark 4's default ANSI mode a malformed cell would
+    // abort the job; the reference's coercion degrades it to null.
     df.select(schema.fields.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
   }

@@ -26,8 +26,11 @@ object StreamParse {
       passthrough: Seq[String] = Seq.empty): DataFrame = {
     val parsed = df.withColumn("data",
       from_json(col(payloadCol).cast("string"), lenientSchema(target)))
+    // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    // malformed value would fail the whole stream; the reference's
+    // lenient contract coerces junk to null instead.
     val projected: Seq[Column] =
-      target.fields.toSeq.map(f => col(s"data.${f.name}").cast(f.dataType).as(f.name)) ++
+      target.fields.toSeq.map(f => col(s"data.${f.name}").try_cast(f.dataType).as(f.name)) ++
         passthrough.map(col)
     parsed.select(projected: _*)
   }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ml.MlPipeline
+import graft.sinks.{ArchiveJob, InMemoryKvStore, KvSink}
+import graft.sources.SchemaReader
+
+class SchemaReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("price", DoubleType),
+    StructField("note", StringType)))
+
+  test("coerce casts declared columns, nulls missing ones, drops junk") {
+    val df = Seq(("1", "2.5", "x")).toDF("id", "price", "UNNAMED_FIELD")
+    val got = SchemaReader.coerce(df, schema)
+    got.schema.map(f => (f.name, f.dataType)) shouldBe
+      Seq(("id", IntegerType), ("price", DoubleType), ("note", StringType))
+    val row = got.collect().head
+    row.getInt(0) shouldBe 1
+    row.getDouble(1) shouldBe 2.5
+    row.isNullAt(2) shouldBe true
+  }
+
+  test("readTolerant unions structurally drifted fragments; glob enumerates them") {
+    val dir = tmpDir("frags")
+    Seq((1, 10.0)).toDF("id", "price").write.parquet(s"$dir/part1.parquet")
+    Seq((2, "hello")).toDF("id", "note").write.parquet(s"$dir/part2.parquet")
+
+    val paths = SchemaReader.glob(spark, s"$dir/*.parquet")
+    paths should have length 2
+
+    val got = SchemaReader.readTolerant(spark, schema, paths.sorted)
+      .orderBy("id").collect()
+    got(0).getInt(0) shouldBe 1
+    got(0).getDouble(1) shouldBe 10.0
+    got(0).isNullAt(2) shouldBe true
+    got(1).getInt(0) shouldBe 2
+    got(1).isNullAt(1) shouldBe true
+    got(1).getString(2) shouldBe "hello"
+  }
+
+  test("read (fast path) coerces a multi-path scan") {
+    val dir = tmpDir("fast")
+    Seq((1, 1.0, "a"), (2, 2.0, "b")).toDF("id", "price", "note")
+      .write.parquet(s"$dir/d.parquet")
+    val got = SchemaReader.read(spark, schema, Seq(s"$dir/d.parquet"))
+    got.count() shouldBe 2
+    got.schema.fieldNames shouldBe Array("id", "price", "note")
+  }
+}
+
+class ArchiveJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("run archives live to dated historical file and empties live") {
+    val root = tmpDir("archive")
+    val live = s"$root/live"
+    val hist = s"$root/historical"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").write.parquet(live)
+
+    val date = java.time.LocalDate.of(2024, 3, 5)
+    val (dest, n) = ArchiveJob.run(spark, live, hist, "stock", date)
+
+    n shouldBe 3
+    dest should endWith("stock-03-05-2024.parquet")
+    spark.read.parquet(dest).count() shouldBe 3
+    SchemaReader.glob(spark, s"$live/*") shouldBe empty
+  }
+}
+
+class KvSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("row key formats match the reference contracts") {
+    val df = Seq(("2024-03-05", 7, "2024-03-05 14:31:22"))
+      .toDF("date", "hour", "ts_s")
+      .select(
+        KvSink.dateHourKey(col("date"), col("hour")).as("k1"),
+        KvSink.minuteKey(to_timestamp(col("ts_s"))).as("k2"))
+    val (k1, k2) = df.as[(String, String)].collect().head
+    k1 shouldBe "2024-03-05_7"
+    k2 shouldBe "2024-03-05_14-31"
+  }
+
+  test("writeBatch delivers per-family string cells executor-side with batching") {
+    InMemoryKvStore.clear()
+    val df = (1 to 12).map(i => (s"k$i", i.toDouble, s"s$i"))
+      .toDF("key", "m1", "m2")
+    KvSink.writeBatch(df, "key",
+      Map("fam_a" -> Seq("m1"), "fam_b" -> Seq("m2")), InMemoryKvStore, batchSize = 5)
+    InMemoryKvStore.data should have size 12
+    InMemoryKvStore.data("k3") shouldBe
+      Map("fam_a" -> Map("m1" -> "3.0"), "fam_b" -> Map("m2" -> "s3"))
+  }
+}
+
+class MlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M1–M4: train/eval/save/load/score round-trip on a learnable signal") {
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 500).map { _ =>
+      val x1 = rnd.nextDouble() * 10
+      val x2 = rnd.nextDouble() * 5
+      (x1, x2, 3.0 * x1 + 2.0 * x2 + rnd.nextGaussian() * 0.1)
+    }.toDF("x1", "x2", "y")
+
+    val res = MlPipeline.trainRegressor(data, Seq("x1", "x2"), "y", maxIter = 20)
+    val labelSd = math.sqrt(data.select(var_samp(col("y"))).as[Double].head())
+    res.maeTest should be < labelSd // must beat a constant predictor by far
+
+    val dir = tmpDir("ml") + "/model"
+    MlPipeline.save(res.model, dir)
+    val scored = MlPipeline.score(MlPipeline.load(dir), data.limit(10), Seq("x1", "x2"))
+    scored.columns should contain("prediction")
+    scored.count() shouldBe 10
+  }
+
+  test("assemble packs features into a vector column") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val v = MlPipeline.assemble(df, Seq("a", "b"))
+    v.schema.fieldNames should contain("features")
+    v.select("features").head().get(0).toString shouldBe "[1.0,2.0]"
+  }
+}

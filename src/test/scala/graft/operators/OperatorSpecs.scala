@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ModeAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mode picks most frequent value per group") {
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "x"), ("g2", "y"), ("g2", "y")).toDF("k", "v")
+    val got = ModeAgg.mode(df, Seq("k"), "v", "mode_v")
+      .orderBy("k").as[(String, String)].collect()
+    got shouldBe Array(("g1", "a"), ("g2", "y"))
+  }
+
+  test("count ties break to the lexically greatest value (reference semantics)") {
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "z"), ("g", "z"), ("g", "b")).toDF("k", "v")
+    // b:2, z:2, a:1 → tie between b and z → z wins (max struct compares value second)
+    ModeAgg.mode(df, Seq("k"), "v", "m").as[(String, String)].collect() shouldBe
+      Array(("g", "z"))
+  }
+
+  test("mode equals brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((s"g${rnd.nextInt(5)}", s"v${rnd.nextInt(4)}"))
+    val df = rows.toDF("k", "v")
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.size).toMap
+      // argmax by (count, value) — the reference's struct-max tie-break
+      k -> counts.maxBy { case (v, c) => (c, v) }._1
+    }
+    val got = ModeAgg.mode(df, Seq("k"), "v", "m").as[(String, String)].collect().toMap
+    got shouldBe expected
+  }
+}
+
+class HourlyAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    ("2024-01-01 10:05:00", 1.0),
+    ("2024-01-01 10:55:00", 2.0),
+    ("2024-01-01 11:10:00", 10.0),
+    ("2024-01-02 10:00:00", 4.0)
+  ).toDF("ts_s", "v").withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("hourlyStats groups by (date, hour) with count/avg/sum/min/max") {
+    val got = HourlyAgg.hourlyStats(events, "ts", Seq("v")).orderBy("date", "hour")
+      .select("date", "hour", "n", "avg_v", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    got shouldBe Array(
+      ("2024-01-01", 10L, 2L, 1.5, 3.0, 1.0, 2.0),
+      ("2024-01-01", 11L, 1L, 10.0, 10.0, 10.0, 10.0),
+      ("2024-01-02", 10L, 1L, 4.0, 4.0, 4.0, 4.0))
+  }
+
+  test("conditionalAvg filters nulls before averaging") {
+    val df = Seq(("a", Some(2.0)), ("a", None), ("a", Some(4.0)), ("b", None))
+      .toDF("k", "m")
+    val got = HourlyAgg.conditionalAvg(df, Seq("k"), "m", "avg_m")
+      .as[(String, Double)].collect().toMap
+    got shouldBe Map("a" -> 3.0) // group b vanishes: all-null
+  }
+
+  test("avgOfAvgs is unweighted (reference batch_tomtom semantics)") {
+    // fine groups: (c, f1) avg=1.0 over 3 rows; (c, f2) avg=5.0 over 1 row
+    // weighted mean would be 2.0; avg-of-avgs must be 3.0
+    val df = Seq(("c", "f1", 1.0), ("c", "f1", 1.0), ("c", "f1", 1.0), ("c", "f2", 5.0))
+      .toDF("coarse", "fine", "m")
+    val got = HourlyAgg.avgOfAvgs(df, Seq("fine"), Seq("coarse"), "m")
+      .select("coarse", "n_groups", "avg_of_avg_m")
+      .as[(String, Long, Double)].collect()
+    got shouldBe Array(("c", 2L, 3.0))
+  }
+}
+
+class RollingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = Seq(0L, 1000L, 2000L, 3600L, 4000L, 8000L)
+  private val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0 * (i + 1)) }
+    .toDF("id", "ts_unix", "v")
+
+  private def expectedSum(windowSec: Long): Map[Long, Double] =
+    ts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> ts.zipWithIndex
+        .filter { case (u, _) => u >= t && u <= t + windowSec }
+        .map { case (_, j) => 1.0 * (j + 1) }.sum
+    }.toMap
+
+  test("forwardGlobal sum matches per-row filtered sums") {
+    val got = RollingWindow.forwardGlobal(df, "ts_unix", 3600L, ("sum", "v"))
+      .select("id", "sum_v_3600s").as[(Long, Double)].collect().toMap
+    got shouldBe expectedSum(3600L)
+  }
+
+  test("partitioned variant returns exactly the global result across bucket boundaries") {
+    // the scale path (partitioned by time bucket + feed of the next
+    // bucket's rows) must be result-identical to the global window;
+    // bucketSeconds == frame length forces frames to span buckets
+    val global = RollingWindow.forwardGlobal(df, "ts_unix", 3600L, ("sum", "v"))
+      .select("id", "sum_v_3600s").as[(Long, Double)].collect().toMap
+    val partitioned = RollingWindow
+      .forwardPartitioned(df, "ts_unix", 3600L, "sum", "v", bucketSeconds = 3600L)
+      .select("id", "sum_v_3600s").as[(Long, Double)].collect().toMap
+    partitioned shouldBe global
+  }
+}
+
+class OneHotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode emits per-class indicators plus residual") {
+    val df = Seq("US", "DE", "XX", null).map(Tuple1(_)).toDF("cc")
+    val got = OneHot.encode(df, "cc", Seq("US", "DE"), "cc")
+      .select("cc_us", "cc_de", "cc_other")
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (0L, 0L, 1L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "the quick brown fox"),
+    (2L, "en", "the quick brown fox"), // exact dup of 1
+    (3L, "en", "the quick brown wolf"), // near dup
+    (4L, "de", "der schnelle braune fuchs")
+  ).toDF("doc_id", "lang", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array((1L, 2L), (3L, 1L), (4L, 1L))
+  }
+
+  test("jaccardPairs finds the dup pairs within blocks above threshold") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // (1,2): identical → 1.0; (1,3)/(2,3): 3 of 5 → 0.6; cross-lang pairs excluded
+    got shouldBe Array((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6))
+  }
+
+  test("minhash candidates include exact duplicates and stay within corpus") {
+    val got = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    got should contain((1L, 2L)) // identical docs share every band
+    all(got.map(_._1)) should be < 4L
+  }
+
+  test("simhash of identical docs is identical, different docs differ") {
+    val fp = Dedup.simhash(docs, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    fp(1L) shouldBe fp(2L)
+    fp(1L) should not be fp(4L)
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted random arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(30)}").distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(30)}").distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      graft.functions.ArrayOps.sortedIntersectSize(col("a"), col("b")).as("custom"),
+      org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .filter(col("custom") =!= col("builtin")).count()
+    diff shouldBe 0L
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes token stats and english lang-id on english text") {
+    val df = Seq((1L, "the cat and the dog are in the house")).toDF("doc_id", "text")
+    val row = TextAnalysis.profile(df, "doc_id", "text").collect().head
+    row.getAs[Long]("n_tokens") shouldBe 9L
+    row.getAs[Long]("n_distinct") shouldBe 7L // "the" ×3
+    row.getAs[String]("lang_pred") shouldBe "en"
+  }
+
+  test("fingerprint is order-independent (bag semantics)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text")
+    val fps = TextAnalysis.profile(df, "doc_id", "text")
+      .select("fingerprint").as[Long].collect()
+    fps(0) shouldBe fps(1)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(1f, 0f, 0f)),   // identical direction → cos 1
+    (2L, Array(0f, 1f, 0f)),   // orthogonal → cos 0
+    (3L, Array(-1f, 0f, 0f)),  // opposite → cos −1
+    (4L, Array(1f, 1f, 0f))    // 45° → cos ≈ 0.7071
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine similarity") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 3)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    got.map(_._1) shouldBe Array(0L, 1L, 4L)
+    got(0)._2 shouldBe 1.0
+    got(2)._2 shouldBe 0.7071 +- 0.0001
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType, TimestampType}
+
+import graft.SparkSpec
+import graft.sinks.{InMemoryKvStore, KvSink}
+
+/** Capabilities T1–T8 (SURVEY.md §2.8) driven through real
+  * MicroBatchExecution with MemoryStream sources. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("T2: lenient payload parse — typed fields, malformed JSON degrades to nulls") {
+    val target = StructType(Seq(
+      StructField("sym", org.apache.spark.sql.types.StringType),
+      StructField("price", DoubleType),
+      StructField("vol", IntegerType)))
+    val in = MemoryStream[String]
+    val parsed = StreamParse.parse(in.toDF().withColumnRenamed("value", "payload"),
+      "payload", target)
+    val q = parsed.writeStream.format("memory").queryName("t2_parse")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      """{"sym":"AAPL","price":"12.5","vol":"100"}""",
+      """{"sym":"MSFT","price":"oops","vol":"7"}""",
+      """not json at all""")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t2_parse")
+      .as[(String, Option[Double], Option[Int])].collect()
+      .sortBy(r => Option(r._1).getOrElse(""))
+    rows should have length 3
+    rows.collect { case ("AAPL", p, v) => (p, v) }.head shouldBe (Some(12.5), Some(100))
+    rows.collect { case ("MSFT", p, v) => (p, v) }.head shouldBe (None, Some(7)) // bad double → null
+    rows.count(_._1 == null) shouldBe 1 // malformed JSON → all-null row
+  }
+
+  test("T5: watermarked dropDuplicates emits each key once") {
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = StreamDedup.dedup(
+      in.toDF().toDF("ts", "key"), "ts", "10 seconds", Seq("key"))
+    val q = dedup.writeStream.format("memory").queryName("t5_dedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:00"), "a"), // exact dup in same batch
+      (ts("2024-01-01 00:00:01"), "b"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:00:00"), "a")) // dup across batches, within watermark
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t5_dedup").select("key").as[String].collect().sorted shouldBe Array("a", "b")
+  }
+
+  test("T3/T4/J6: stream-stream full-outer interval join matches within ±30s and emits unmatched after watermark") {
+    val left = MemoryStream[(Timestamp, Double)]
+    val right = MemoryStream[(Timestamp, Double)]
+    val l = StreamJoin.side(left.toDF().toDF("ts", "temp"), "ts", "weather")
+    val r = StreamJoin.side(right.toDF().toDF("ts", "close"), "ts", "stock")
+    val joined = StreamJoin.intervalJoin(l, "weather", r, "stock")
+      .select("timestamp_weather", "temp", "timestamp_stock", "close")
+    val q = joined.writeStream.format("memory").queryName("t4_join")
+      .outputMode(OutputMode.Append()).start()
+
+    left.addData((ts("2024-01-01 00:01:00"), 20.0)) // will match
+    right.addData((ts("2024-01-01 00:01:10"), 101.0)) // within 30s of left
+    left.addData((ts("2024-01-01 00:05:00"), 21.0)) // will stay unmatched
+    q.processAllAvailable()
+    // advance both watermarks far past 00:05 so the unmatched left row flushes
+    left.addData((ts("2024-01-01 00:30:00"), 99.0))
+    right.addData((ts("2024-01-01 00:30:00"), 999.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t4_join")
+      .as[(Option[Timestamp], Option[Double], Option[Timestamp], Option[Double])]
+      .collect()
+    // the matched pair
+    rows should contain ((Some(ts("2024-01-01 00:01:00")), Some(20.0),
+      Some(ts("2024-01-01 00:01:10")), Some(101.0)))
+    // the unmatched left row emitted as (left, null) after watermark passed
+    rows should contain ((Some(ts("2024-01-01 00:05:00")), Some(21.0), None, None))
+  }
+
+  test("T7/S9: foreachBatch KV sink writes minute-keyed families via executors") {
+    InMemoryKvStore.clear()
+    val in = MemoryStream[(Timestamp, Double, Double)]
+    val df = in.toDF().toDF("ts", "temp", "close")
+      .withColumn("row_key", KvSink.minuteKey(col("ts")))
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("t7_chk"))
+      .foreachBatch(KvSink.streamWriter("row_key",
+        Map("weather" -> Seq("temp"), "stock" -> Seq("close")), InMemoryKvStore))
+      .start()
+    in.addData((ts("2024-03-05 14:31:22"), 19.5, 250.25))
+    q.processAllAvailable()
+    q.stop()
+    val row = InMemoryKvStore.data.get("2024-03-05_14-31")
+    row shouldBe defined
+    row.get("weather")("temp") shouldBe "19.5"
+    row.get("stock")("close") shouldBe "250.25"
+  }
+
+  test("T8: persisted GBT model scores a streaming frame inside the plan") {
+    import graft.ml.MlPipeline
+    val train = (1 to 200).map(i => (i.toDouble, i.toDouble * 2 + 1)).toDF("x", "y")
+    val res = MlPipeline.trainRegressor(train, Seq("x"), "y", maxIter = 5)
+    val dir = tmpDir("t8_model") + "/gbt"
+    MlPipeline.save(res.model, dir)
+    val loaded = MlPipeline.load(dir)
+
+    val in = MemoryStream[Double]
+    val scored = MlPipeline.score(loaded, in.toDF().toDF("x"), Seq("x"))
+      .select("x", "prediction")
+    val q = scored.writeStream.format("memory").queryName("t8_scored")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(50.0, 150.0)
+    q.processAllAvailable()
+    q.stop()
+    val preds = spark.table("t8_scored").as[(Double, Double)].collect().toMap
+    preds.keySet shouldBe Set(50.0, 150.0)
+    // y = 2x+1 is monotone; a depth-3 GBT on 200 points should at least preserve order
+    preds(150.0) should be > preds(50.0)
+  }
+}
