@@ -77,6 +77,35 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The 100 TB dedup pipeline: LSH candidate generation
+    * ([[minhashCandidates]]) followed by exact Jaccard verification of
+    * ONLY the candidate pairs. The verifier joins candidates back to
+    * token sets by doc id — at scale these are two broadcast-or-shuffle
+    * hash joins on ids, never an all-pairs product; pair count is
+    * bounded by the LSH collision rate, not n². */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bandSize: Int, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("_tid"),
+      array_sort(distinctTokens(col(textCol))).as("_toks"),
+      size(distinctTokens(col(textCol))).cast("long").as("_n"))
+    // Explicit-N repartition: AQE would coalesce the candidate id-pair
+    // shuffle (tiny bytes) onto a couple of partitions, serializing the
+    // CPU-heavy verification; pin the fan-out instead.
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    minhashCandidates(df, idCol, textCol, k, bandSize)
+      .repartition(nPart)
+      .join(broadcast(toks.select(col("_tid").as("id_a"),
+        col("_toks").as("toks_a"), col("_n").as("n_a"))), Seq("id_a"))
+      .join(broadcast(toks.select(col("_tid").as("id_b"),
+        col("_toks").as("toks_b"), col("_n").as("n_b"))), Seq("id_b"))
+      .withColumn("n_int",
+        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
+      .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
+      .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_int", "n_uni", "jaccard")
+  }
+
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

@@ -23,15 +23,32 @@ object Similarity {
 
   private def asDouble(vec: Column): Column = vec.cast("array<double>")
 
-  /** Codegen'd cosine similarity between two array columns. Sums run
-    * left-to-right over the array — bitwise-reproducible across engines
-    * that do the same (sequential fold), which the DuckDB oracle does. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+  /** Fused native cosine similarity ([[graft.functions.CosineSimilarity]]):
+    * one loop, three scalar accumulators, no intermediate arrays (the
+    * zip_with/aggregate composition allocates a product array and walks
+    * each input three times per row — prohibitive in all-pairs scoring).
+    * Sums run left-to-right — bitwise-reproducible against engines that
+    * fold sequentially, which the DuckDB oracle's list_dot_product does. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.ArrayOps.cosineSimilarity(a, b)
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine ≥ `threshold`. Completes the dedup family (exact, MinHash,
+    * SimHash, Jaccard, embedding). Plan shape mirrors
+    * [[graft.operators.Dedup.jaccardPairs]]: broadcast build side +
+    * explicit-N stream repartition so the quadratic scoring spreads
+    * across cores instead of collapsing onto a handful of join-key
+    * tasks. At corpus scale the generator is [[bucketedTopK]]'s sign
+    * buckets; this is the exact verifier shape. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")).repartition(nPart)
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        PortableRound.round4(cosine(col("vec_a"), col("vec_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** All-pairs cosine of `df` against the (tiny, broadcast) `queries`

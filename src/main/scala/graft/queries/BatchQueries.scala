@@ -254,12 +254,34 @@ object BatchQueries {
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_types"),
-          round(sum(col("value")), 2).as("sum_value"))
+          ExactAgg.sum2(col("value")).as("sum_value"))
         .orderBy("user_id"),
-    Some("""SELECT user_id, count(*) AS n_events,
+    Some(s"""SELECT user_id, count(*) AS n_events,
       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-      round(sum(value), 2) AS sum_value
+      ${ExactAgg.sum2Sql("value")} AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+  /** S9/S10 row-key contract in-plan: `"{date}_{hour}"` (batch KV sink,
+    * `batch_stock.py:120`) and `"%Y-%m-%d_%H-%M"` (streaming KV sink,
+    * `stream_combined.py:233`) built with codegen'd concat/date_format —
+    * the executor-side key construction that replaces the reference's
+    * driver-side Python string formatting. */
+  private val q14 = Q(
+    "q14_kv_row_keys",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("date", TimeOps.dateKey(col("ts")))
+        .withColumn("hour", TimeOps.hourKey(col("ts")))
+      e.select(
+        col("event_id"),
+        graft.sinks.KvSink.dateHourKey(col("date"), col("hour")).as("batch_key"),
+        graft.sinks.KvSink.minuteKey(col("ts")).as("stream_key"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      strftime(CAST(ts AS DATE), '%Y-%m-%d') || '_' || CAST(hour(ts) AS VARCHAR) AS batch_key,
+      strftime(ts, '%Y-%m-%d_%H-%M') AS stream_key
+      FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
 }

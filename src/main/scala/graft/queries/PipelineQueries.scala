@@ -98,9 +98,10 @@ object PipelineQueries {
       FROM p WHERE round(CAST(n_int AS DOUBLE) / n_uni, 4) >= 0.5
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
+  /** Portable-rounded cosine (mirrors Similarity.cosine + round4). */
   private def cosineSql(v: String, q: String): String =
-    s"""round(list_dot_product($v, $q) /
-       (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 4)"""
+    s"""(floor((list_dot_product($v, $q) /
+       (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)))) * 10000.0 + 0.5) / 10000.0)"""
 
   /** Brute-force cosine top-k against a broadcast query vector. */
   private val q25 = Q(
@@ -195,5 +196,45 @@ object PipelineQueries {
       md5(text) AS content_hash
       FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  /** Embedding-cosine near-dup pairs — the 5th dedup modality. */
+  private val q29 = Q(
+    "q29_embedding_neardup",
+    (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cosineSql("a.v", "b.v")} AS cos_sim
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE ${cosineSql("a.v", "b.v")} >= 0.4
+      ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+
+  /** LSH generate → exact-Jaccard verify: the composed scale pipeline. */
+  private val q30 = {
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    Q(
+      "q30_lsh_verified_pairs",
+      (s, dir) => Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $hashCte,
+        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        p AS (SELECT id_a, id_b,
+          CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
+          CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_uni
+          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
+        SELECT id_a, id_b, n_int, n_uni,
+          (floor((CAST(n_int AS DOUBLE) / n_uni) * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM p WHERE (floor((CAST(n_int AS DOUBLE) / n_uni) * 10000.0 + 0.5) / 10000.0) >= 0.5
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }

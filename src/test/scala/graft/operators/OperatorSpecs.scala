@@ -146,6 +146,16 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6))
   }
 
+  test("lshVerifiedPairs = candidates verified by exact jaccard") {
+    val got = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    got should contain((1L, 2L, 1.0)) // exact dups always survive
+    // every verified pair must also be a raw candidate
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    got.map(p => (p._1, p._2)).subsetOf(cands) shouldBe true
+  }
+
   test("minhash candidates include exact duplicates and stay within corpus") {
     val got = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
       .as[(Long, Long)].collect().toSet
@@ -205,6 +215,12 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1f, 0f, 0f)),  // opposite → cos −1
     (4L, Array(1f, 1f, 0f))    // 45° → cos ≈ 0.7071
   ).toDF("vec_id", "embedding")
+
+  test("cosineNearDupPairs finds aligned pairs above threshold") {
+    val got = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set((0L, 1L)) // only the identical-direction pair
+  }
 
   test("bruteForceTopK ranks by cosine similarity") {
     val q = vecs.filter(col("vec_id") === 0)
