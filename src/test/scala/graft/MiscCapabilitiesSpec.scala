@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Small SURVEY.md §2 capabilities not naturally covered elsewhere:
+  * S8 console stream sink + T6 bounded run, S11 literal-DF date stamp,
+  * the `coalesce` scalar (§2.3). */
+class MiscCapabilitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S8/T6: console sink stream starts, runs bounded, stops (stream_stock.py:72-74)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDF().writeStream.format("console")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(1, 2, 3)
+    q.processAllAvailable()
+    // T6: bounded wait instead of indefinite blocking
+    q.awaitTermination(100) shouldBe false // still running at timeout
+    q.stop()
+    q.awaitTermination(5000) shouldBe true
+  }
+
+  test("S11: current-date string via a 1-row DataFrame (merge_stock.py:81-84)") {
+    val stamp = spark.range(1)
+      .select(date_format(current_date(), "MM-dd-yyyy").as("d"))
+      .as[String].first()
+    stamp should fullyMatch regex """\d{2}-\d{2}-\d{4}"""
+  }
+
+  test("coalesce fills event time from a fallback column (stream_stock.py:65 intent)") {
+    val df = Seq(
+      (Some(ts("2024-01-01 10:00:00")), ts("2024-01-01 10:00:05")),
+      (None, ts("2024-01-01 11:00:05")))
+      .toDF("datetime", "publish_timestamp")
+      .select(coalesce(col("datetime"), col("publish_timestamp")).as("t"))
+    df.as[Timestamp].collect() shouldBe Array(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:05"))
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+}

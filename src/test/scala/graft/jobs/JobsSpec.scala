@@ -1,0 +1,109 @@
+package graft.jobs
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.ml.MlPipeline
+import graft.sinks.InMemoryKvStore
+
+/** The reference's three job families composed end-to-end (SURVEY.md §3). */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("batch aggregate job: fragmented live parquet → hourly stats + mode → KV rows") {
+    InMemoryKvStore.clear()
+    val live = tmpDir("batch_live")
+    // two drifted fragments, like a live/ folder accumulating appends
+    Seq(
+      (ts("2024-03-05 10:05:00"), 10.0, "rain"),
+      (ts("2024-03-05 10:35:00"), 20.0, "rain"))
+      .toDF("ts", "temp", "cond").write.parquet(s"$live/frag1.parquet")
+    Seq(
+      (ts("2024-03-05 11:10:00"), 30.0, "snow"))
+      .toDF("ts", "temp", "cond").write.parquet(s"$live/frag2.parquet")
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("temp", DoubleType),
+      StructField("cond", StringType)))
+    val paths = graft.sources.SchemaReader.glob(spark, s"$live/*.parquet")
+    val n = BatchAggJob.run(spark, paths,
+      BatchAggJob.Config(schema, "ts", Seq("temp"), modeCol = Some("cond")),
+      InMemoryKvStore, family = "weather")
+
+    n shouldBe 2 // two (date,hour) groups
+    val h10 = InMemoryKvStore.data("2024-03-05_10")("weather")
+    h10("n") shouldBe "2"
+    h10("avg_temp") shouldBe "15.0"
+    h10("mode_cond") shouldBe "rain"
+    InMemoryKvStore.data("2024-03-05_11")("weather")("mode_cond") shouldBe "snow"
+  }
+
+  test("batch aggregate job applies timezone shift and clock-skew interval") {
+    val live = tmpDir("batch_tz")
+    // 14:50 UTC = 09:50 New York; minus 20 minutes skew → 09:30 → hour 9
+    Seq((ts("2024-03-05 14:50:00"), 1.0)).toDF("ts", "v").write.parquet(s"$live/f.parquet")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    val agg = BatchAggJob.aggregate(spark, Seq(s"$live/f.parquet"),
+      BatchAggJob.Config(schema, "ts", Seq("v"),
+        tz = Some("America/New_York"), skew = Some("INTERVAL 20 minutes")))
+    agg.select("hour").as[Long].collect() shouldBe Array(9L)
+  }
+
+  test("combined streaming job: parse → one-hot → score → interval join → KV") {
+    InMemoryKvStore.clear()
+    // a tiny model so scoring participates in the streaming plan
+    val train = (1 to 100).map(i => (i.toDouble, 0L, i.toDouble * 2)).toDF("wind", "weather_main_rain", "y")
+    val model = MlPipeline.trainRegressor(train, Seq("wind", "weather_main_rain"), "y", maxIter = 3).model
+
+    val wSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("wind", DoubleType),
+      StructField("weather_main", StringType)))
+    val sSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("close", DoubleType)))
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weather = MemoryStream[String]
+    val stock = MemoryStream[String]
+
+    val joinedDf = StreamCombinedJob.joined(
+      StreamCombinedJob.Side(
+        weather.toDF().withColumnRenamed("value", "payload"), wSchema, "ts", "weather",
+        oneHotCol = Some("weather_main"), oneHotClasses = Seq("rain"),
+        model = Some(model), featureCols = Seq("wind", "weather_main_rain")),
+      StreamCombinedJob.Side(
+        stock.toDF().withColumnRenamed("value", "payload"), sSchema, "ts", "stock"))
+
+    val q = StreamCombinedJob.writer(
+      joinedDf.select("timestamp_weather", "timestamp_stock", "wind",
+        "prediction_weather", "close"),
+      Seq("timestamp_weather", "timestamp_stock"),
+      Map("weather" -> Seq("wind", "prediction_weather"), "stock" -> Seq("close")),
+      InMemoryKvStore, tmpDir("combined_chk")).start()
+
+    weather.addData("""{"ts":"2024-03-05 10:00:00","wind":"5.5","weather_main":"rain"}""")
+    stock.addData("""{"ts":"2024-03-05 10:00:10","close":"101.5"}""")
+    q.processAllAvailable()
+    // advance watermarks so matched results flush from the join state
+    weather.addData("""{"ts":"2024-03-05 10:30:00","wind":"1.0","weather_main":"sun"}""")
+    stock.addData("""{"ts":"2024-03-05 10:30:00","close":"99.0"}""")
+    q.processAllAvailable()
+    q.stop()
+
+    val row = InMemoryKvStore.data.get("2024-03-05_10-00")
+    row shouldBe defined
+    row.get("weather")("wind") shouldBe "5.5"
+    row.get("stock")("close") shouldBe "101.5"
+    // the model scored inside the streaming plan
+    row.get("weather")("prediction_weather") should not be null
+  }
+}
