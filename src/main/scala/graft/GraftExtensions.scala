@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, SortedIntersectSize}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same hot-path operators as the Column API
+  * (`SELECT sorted_intersect_size(a, b)`, `SELECT cosine_similarity(v, q)`).
+  *
+  * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions` in config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - intersection size of two SORTED string arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_size takes exactly 2 arguments")
+        SortedIntersectSize(args(0), args(1))
+      }: Expression))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - fused cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }: Expression))
+  }
+}

@@ -57,6 +57,9 @@ object Scratch {
     time("q22_full")(Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4).count())
     time("q22_full_again")(Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4).count())
 
+    time("q30_full")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
+    time("q30_full_again")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
+
     spark.stop()
   }
 }

@@ -42,5 +42,25 @@ class MiscCapabilitiesSpec extends SparkSpec {
       ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:05"))
   }
 
+  test("S7: file-based streaming source feeds the parse pipeline") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("filestream")
+    val target = StructType(Seq(
+      StructField("sym", StringType), StructField("price", DoubleType)))
+    // a file landing in the watched directory IS the stream
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/batch0.json"),
+      """{"payload": "{\"sym\":\"AAPL\",\"price\":\"12.5\"}"}""")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("payload", StringType))))
+      .json(dir)
+    val parsed = graft.streaming.StreamParse.parse(stream, "payload", target)
+    val q = parsed.writeStream.format("memory").queryName("s7_file")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("s7_file").as[(String, Double)].collect() shouldBe Array(("AAPL", 12.5))
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, ModeAgg, RollingWindow}
+
+/** Property tests (SURVEY.md §5.3): engine operators vs brute-force
+  * models on ScalaCheck-generated inputs. Sampling is driven manually
+  * with fixed seeds (the scalatest⇄scalacheck bridge artifact is not in
+  * the offline cache) — deterministic, and each case still explores
+  * ties, empties, and skew. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+
+  test("property: mode(argmax-struct) == brute-force mode incl. ties") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.oneOf("a", "b", "c", "d")))
+    samples(gen, 8).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val got = ModeAgg.mode(df, Seq("k"), "v", "m").as[(String, String)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        val counts = vs.groupBy(_._2).view.mapValues(_.size)
+        k -> counts.maxBy { case (v, c) => (c, v) }._1
+      }
+      withClue(s"rows=$rows: ") { got shouldBe expected }
+    }
+  }
+
+  test("property: rolling forward range sum == per-row filtered sums") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 500L))
+    samples(gen, 8).foreach { ts =>
+      val rows = ts.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t, (i + 1).toDouble) }
+      val df = rows.toDF("id", "ts_unix", "v")
+      val got = RollingWindow.forwardGlobal(df, "ts_unix", 100L, ("sum", "v"))
+        .select("id", "sum_v_100s").as[(Long, Double)].collect().toMap
+      val expected = rows.map { case (i, t, _) =>
+        i -> rows.collect { case (_, u, v) if u >= t && u <= t + 100L => v }.sum
+      }.toMap
+      withClue(s"ts=$ts: ") { got shouldBe expected }
+    }
+  }
+
+  test("property: partitioned rolling window == global window on random data") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 2000L))
+    samples(gen, 6).foreach { ts =>
+      val rows = ts.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t, (i + 1).toDouble) }
+      val df = rows.toDF("id", "ts_unix", "v")
+      val global = RollingWindow.forwardGlobal(df, "ts_unix", 300L, ("sum", "v"))
+        .select("id", "sum_v_300s").as[(Long, Double)].collect().toMap
+      val parted = RollingWindow.forwardPartitioned(df, "ts_unix", 300L, "sum", "v", 300L)
+        .select("id", "sum_v_300s").as[(Long, Double)].collect().toMap
+      withClue(s"ts=$ts: ") { parted shouldBe global }
+    }
+  }
+
+  test("property: exact dedup keep/count == brute-force grouping") {
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("x", "y z", "w w w", ""))
+    samples(gen, 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("id", "text")
+      val got = Dedup.exact(df, "id", "text")
+        .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+      val expected = docs.groupBy(_._2).values
+        .map(g => (g.map(_._1).min, g.size.toLong)).toSet
+      withClue(s"texts=$texts: ") { got shouldBe expected }
+    }
+  }
+
+  test("property: SortedIntersectSize == distinct-set intersection size") {
+    val arrGen = Gen.listOf(Gen.choose(0, 30).map(i => s"t$i"))
+    val cases = samples(Gen.zip(arrGen, arrGen), 40)
+    val rows = cases.map { case (a, b) =>
+      (a.distinct.sorted, b.distinct.sorted)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.ArrayOps.sortedIntersectSize(col("a"), col("b")).as("n"))
+      .as[Int].collect()
+    val expected = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    got.toSeq shouldBe expected
+  }
+}
