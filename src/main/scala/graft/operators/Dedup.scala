@@ -29,6 +29,33 @@ object Dedup {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
+  /** Distinct n-token shingles (w-shingling): overlapping windows of
+    * `n` consecutive tokens joined by a space. Shingles preserve local
+    * word order, so MinHash over shingles detects near-dups that
+    * bag-of-tokens misses (same vocabulary, different text). Documents
+    * shorter than `n` tokens produce no shingles. */
+  def distinctShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sequence(1, 0) counts DOWN in Spark, so guard the short-doc case
+    // explicitly to yield an empty shingle set.
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature over n-token shingles — the shingle→minhash
+    * stage of the canonical near-dup pipeline. Same one-pass plan as
+    * [[minhashSignature]]: explode distinct shingles → one partial-
+    * aggregated groupBy with k min()s. */
+  def minhashSignatureShingled(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(distinctShingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("h", PortableHash.md5Hash32(col("sh")))
+    val mins = (0 until k).map(i => min(PortableHash.permuted(col("h"), i)).as(s"mh$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
   /** Exact dedup: group by content digest, keep min id as the canonical
     * representative. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

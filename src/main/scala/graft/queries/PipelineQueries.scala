@@ -236,5 +236,26 @@ object PipelineQueries {
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+  /** MinHash over 3-token shingles (w-shingling): order-sensitive
+    * near-dup signatures, vs q21's bag-of-tokens. */
+  private val q31 = {
+    val n = 3
+    val shingleCte =
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $n
+           THEN list_transform(range(1, len(toks) - ${n - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE [] END)) AS sg FROM t),
+         h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("sg")} AS hv FROM sh)"""
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    Q(
+      "q31_shingle_minhash",
+      (s, dir) => Dedup.minhashSignatureShingled(t(s, dir, "documents"), "doc_id", "text", K, n)
+        .orderBy("doc_id"),
+      Some(s"WITH $shingleCte SELECT doc_id, $minsSql FROM h GROUP BY doc_id ORDER BY doc_id"
+        .replaceAll("\\s+", " ")))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, SkewJoin}
+import graft.sources.Bucketed
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // one hot key carrying 90% of rows
+    val large = ((1 to 900).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+    val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"name$i") }.toDF("k", "name")
+    val plain = large.join(dim, Seq("k")).groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    val salted = SkewJoin.saltedEqui(large, dim, Seq("k"), salt = 8)
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    salted shouldBe plain
+    salted("hot") shouldBe 900L
+  }
+}
+
+class BucketedSpec extends SparkSpec {
+
+  test("join of two co-bucketed tables plans without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i % 50, s"f$i")).toDF("key", "payload")
+    val dims = (0 until 50).map(i => (i, s"d$i")).toDF("key", "attr")
+    Bucketed.write(facts, "graft_bucket_facts", Seq("key"), 4)
+    Bucketed.write(dims, "graft_bucket_dims", Seq("key"), 4)
+    try {
+      // disable broadcast so the join would normally shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.read(spark, "graft_bucket_facts")
+        .join(Bucketed.read(spark, "graft_bucket_dims"), Seq("key"))
+      joined.count() shouldBe 1000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+      plan should include("SortMergeJoin")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_dims")
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fakeDecodeFeatures attaches a dim-float vector per payload via mapPartitions") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val withBin = Multimodal.attachPayload(df, "text", "text")
+    val decoded = Multimodal.fakeDecodeFeatures(withBin, "doc_id", "media", dim = 4)
+    val rows = decoded.select("doc_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    rows(1L) should have length 4
+    all(rows(1L)) should (be >= 0f and be <= 1f)
+    rows(2L) shouldBe Seq(0f, 0f, 0f, 0f) // empty payload → zero vector
+    // deterministic stub: same payload, same features
+    Multimodal.stubDecode("hello world".getBytes("UTF-8"), 4).toSeq shouldBe rows(1L)
+  }
+
+  test("sampleChunks keeps every stride-th fixed-size chunk (frame sampling shape)") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text") // 10 bytes
+    val withBin = df.withColumn("media", encode(col("text"), "UTF-8"))
+    val chunks = Multimodal.sampleChunks(withBin, "id", "media", chunkBytes = 3, stride = 2)
+      .select(col("chunk_id"), col("chunk").cast("string"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    // chunks: 0:"abc" 1:"def" 2:"ghi" 3:"j" → stride 2 keeps 0 and 2
+    chunks shouldBe Array((0, "abc"), (2, "ghi"))
+  }
+}
+
+class ShingleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distinctShingles builds overlapping n-token windows; short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val got = df.select(col("id"), Dedup.distinctShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    got(1L) shouldBe Seq("a b c", "b c d")
+    got(2L) shouldBe Seq.empty
+  }
+
+  test("shingled minhash distinguishes reordered text that token minhash cannot") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    val tok = Dedup.minhashSignature(df, "doc_id", "text", 8).collect()
+    tok(0).toSeq.tail shouldBe tok(1).toSeq.tail // same bag → same signature
+    val sh = Dedup.minhashSignatureShingled(df, "doc_id", "text", 8, 3)
+      .orderBy("doc_id").collect()
+    sh(0).toSeq.tail should not be sh(1).toSeq.tail // order-sensitive
+  }
+}
