@@ -60,6 +60,24 @@ object Scratch {
     time("q30_full")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
     time("q30_full_again")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
 
+    // experiment: packed-long distinct for candidate pairs
+    {
+      import graft.functions.PortableHash
+      val K = 16; val BAND = 4
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text", K)
+      val bands = Dedup.lshBands(sig, "doc_id", K, BAND)
+      val a = bands.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
+      val b = bands.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
+      val packed = a.join(broadcast(b), Seq("band_id", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select((col("id_a") * 4294967296L + col("id_b")).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).as("id_a"),
+          (col("pk") % 4294967296L).as("id_b"))
+      time("q22_packed")(packed.count())
+      time("q22_packed_again")(packed.count())
+    }
+
     spark.stop()
   }
 }

@@ -10,6 +10,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
 import graft.SparkSpec
 import graft.sinks.{InMemoryKvStore, KvSink}
 
+/** Records mutate-batch sizes; an object so executor-side deserialization
+  * resolves to this same instance on local[*]. */
+object CountingKvStore extends graft.sinks.KvStore {
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  override def mutate(rows: Seq[graft.sinks.KvRow]): Unit = sizes.add(rows.size)
+}
+
 /** Capabilities T1–T8 (SURVEY.md §2.8) driven through real
   * MicroBatchExecution with MemoryStream sources. */
 class StreamingSpec extends SparkSpec {
@@ -108,6 +115,59 @@ class StreamingSpec extends SparkSpec {
     row shouldBe defined
     row.get("weather")("temp") shouldBe "19.5"
     row.get("stock")("close") shouldBe "250.25"
+  }
+
+  test("T5b: dropDuplicatesWithinWatermark dedups keys with differing event times") {
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = StreamDedup.dedupWithinWatermark(
+      in.toDF().toDF("ts", "key"), "ts", "10 minutes", Seq("key"))
+    val q = dedup.writeStream.format("memory").queryName("t5b_dedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:03"), "a"), // same key, DIFFERENT event time
+      (ts("2024-01-01 00:00:01"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t5b_dedup").select("key").as[String].collect().sorted shouldBe Array("a", "b")
+  }
+
+  test("T7b: checkpoint recovery — restarted query resumes without reprocessing") {
+    InMemoryKvStore.clear()
+    val chk = tmpDir("t7b_chk")
+    val in = MemoryStream[(Timestamp, Double)]
+    def startQuery() = in.toDF().toDF("ts", "v")
+      .withColumn("row_key", KvSink.minuteKey(col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", chk)
+      .foreachBatch(KvSink.streamWriter("row_key", Map("f" -> Seq("v")), InMemoryKvStore))
+      .start()
+
+    val q1 = startQuery()
+    in.addData((ts("2024-03-05 14:00:00"), 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    InMemoryKvStore.data.keySet shouldBe Set("2024-03-05_14-00")
+
+    // restart FROM THE SAME CHECKPOINT; only new data is processed
+    InMemoryKvStore.clear()
+    val q2 = startQuery()
+    in.addData((ts("2024-03-05 14:01:00"), 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+    InMemoryKvStore.data.keySet shouldBe Set("2024-03-05_14-01") // 14-00 NOT rewritten
+  }
+
+  test("S10b: writeBatch chunks mutate calls at batchSize") {
+    // a singleton, not an anonymous instance: foreachPartition serializes
+    // the store to executors, and only an object deserializes back to
+    // the same JVM-wide instance
+    CountingKvStore.sizes.clear()
+    val df = (1 to 23).map(i => (s"k$i", i)).toDF("key", "v").repartition(1)
+    KvSink.writeBatch(df, "key", Map("f" -> Seq("v")), CountingKvStore, batchSize = 10)
+    import scala.jdk.CollectionConverters._
+    CountingKvStore.sizes.asScala.toSeq.sorted shouldBe Seq(3, 10, 10) // 23 rows → 10+10+3
   }
 
   test("T8: persisted GBT model scores a streaming frame inside the plan") {
