@@ -26,9 +26,17 @@ object PlanAudit {
       val df = fn(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      // global windows never announce themselves in explain text — the
+      // "No Partition Defined" warning is runtime-only — so inspect the
+      // optimized logical plan for Window nodes with an empty
+      // partitionSpec instead.
+      val hasGlobalWindow = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "global-window" -> plan.contains("No Partition Defined"),
+        "global-window" -> hasGlobalWindow,
         "sort-merge-join" -> plan.contains("SortMergeJoin")
       ).collect { case (s, true) => s }
       sb.append(s"\n## $name${if (smells.nonEmpty) smells.mkString("  [", ", ", "]") else ""}\n\n")

@@ -32,11 +32,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    // null elements never match (SQL equality semantics) — skip them,
+    // don't NPE; array_sort puts nulls last, so skipping preserves order
     while (i < na && j < nb) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -54,10 +60,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |final int $nb = $b.numElements();
          |${ev.value} = 0;
          |while ($i < $na && $j < $nb) {
-         |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
-         |  else if ($cmp < 0) $i++;
-         |  else $j++;
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
+         |    else if ($cmp < 0) $i++;
+         |    else $j++;
+         |  }
          |}
        """.stripMargin
     })
@@ -93,6 +103,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null component makes the whole similarity undefined → null
+      // (matches the zip_with/aggregate composition this replaced)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -115,13 +128,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xv = $a.getDouble($i);
-         |    final double $yv = $b.getDouble($i);
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      final double $xv = $a.getDouble($i);
+         |      final double $yv = $b.getDouble($i);
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
          |}
        """.stripMargin
     })

@@ -57,13 +57,18 @@ object BatchAggJob {
   }
 
   /** Run the full job: aggregate + distributed KV write. Returns the
-    * number of aggregate rows written. */
+    * number of aggregate rows written — counted with an accumulator
+    * inside the same foreachPartition pass, so the pipeline executes
+    * exactly once (a trailing count() would re-run the whole
+    * read→shuffle→sort plan). */
   def run(spark: SparkSession, paths: Seq[String], cfg: Config,
       store: KvStore, family: String = "stats", batchSize: Int = 5000): Long = {
     val agg = aggregate(spark, paths, cfg)
       .withColumn("row_key", KvSink.dateHourKey(col("date"), col("hour")))
     val valueCols = agg.columns.filterNot(Set("row_key").contains).toSeq
-    KvSink.writeBatch(agg, "row_key", Map(family -> valueCols), store, batchSize)
-    agg.count()
+    val written = spark.sparkContext.longAccumulator("kv_rows_written")
+    KvSink.writeBatch(agg, "row_key", Map(family -> valueCols), store, batchSize,
+      onRow = () => written.add(1))
+    written.value
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{PortableHash, PortableRound}
+import graft.functions.{Plans, PortableHash, PortableRound}
 
 /** Document deduplication suite for large-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -43,18 +43,22 @@ object Dedup {
     array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature over n-token shingles — the shingle→minhash
-    * stage of the canonical near-dup pipeline. Same one-pass plan as
-    * [[minhashSignature]]: explode distinct shingles → one partial-
-    * aggregated groupBy with k min()s. */
-  def minhashSignatureShingled(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame = {
+  /** Shared minhash pipeline: explode a distinct-unit array (tokens or
+    * shingles) → md5-derived hash → one partial-aggregated groupBy(doc)
+    * with k min-permutations. ONE shuffle, map-side combined. */
+  private def minhashFrom(df: DataFrame, idCol: String, units: Column, k: Int): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(distinctShingles(col(textCol), shingleN)).as("sh"))
-      .withColumn("h", PortableHash.md5Hash32(col("sh")))
+      .select(col(idCol), explode(units).as("u"))
+      .withColumn("h", PortableHash.md5Hash32(col("u")))
     val mins = (0 until k).map(i => min(PortableHash.permuted(col("h"), i)).as(s"mh$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signature over n-token shingles — the shingle→minhash
+    * stage of the canonical near-dup pipeline. */
+  def minhashSignatureShingled(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame =
+    minhashFrom(df, idCol, distinctShingles(col(textCol), shingleN), k)
 
   /** Exact dedup: group by content digest, keep min id as the canonical
     * representative. */
@@ -65,15 +69,9 @@ object Dedup {
         count(lit(1)).as("dup_count"))
 
   /** MinHash signature: one row per doc with k min-permutation columns
-    * mh0..mh{k-1}. Single shuffle (doc id), partial combine on the map
-    * side. */
-  def minhashSignature(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
-      .withColumn("h", PortableHash.md5Hash32(col("tok")))
-    val mins = (0 until k).map(i => min(PortableHash.permuted(col("h"), i)).as(s"mh$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-  }
+    * mh0..mh{k-1}. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    minhashFrom(df, idCol, distinctTokens(col(textCol)), k)
 
   /** LSH banding: signature → (band_id, band_key) rows. Docs sharing any
     * band key are near-dup candidates. */
@@ -95,11 +93,11 @@ object Dedup {
     * near-dup clusters, where one hot band key funnels the whole
     * cluster's candidate explosion into a single task). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bandSize: Int = 4): DataFrame = {
+      k: Int = 16, bandSize: Int = 4, broadcastBuild: Boolean = true): DataFrame = {
     val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
     val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
-    a.join(broadcast(b), Seq("band_id", "band_key"))
+    a.join(Plans.maybeBroadcast(b, broadcastBuild), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -111,20 +109,22 @@ object Dedup {
     * hash joins on ids, never an all-pairs product; pair count is
     * bounded by the LSH collision rate, not n². */
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bandSize: Int, threshold: Double): DataFrame = {
+      k: Int, bandSize: Int, threshold: Double,
+      broadcastBuild: Boolean = true): DataFrame = {
+    // tokenize ONCE; the size derives from the built array
     val toks = df.select(col(idCol).as("_tid"),
-      array_sort(distinctTokens(col(textCol))).as("_toks"),
-      size(distinctTokens(col(textCol))).cast("long").as("_n"))
+      array_sort(distinctTokens(col(textCol))).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
     // Explicit-N repartition: AQE would coalesce the candidate id-pair
     // shuffle (tiny bytes) onto a couple of partitions, serializing the
     // CPU-heavy verification; pin the fan-out instead.
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    minhashCandidates(df, idCol, textCol, k, bandSize)
+    val nPart = Plans.shufflePartitions(df)
+    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
       .repartition(nPart)
-      .join(broadcast(toks.select(col("_tid").as("id_a"),
-        col("_toks").as("toks_a"), col("_n").as("n_a"))), Seq("id_a"))
-      .join(broadcast(toks.select(col("_tid").as("id_b"),
-        col("_toks").as("toks_b"), col("_n").as("n_b"))), Seq("id_b"))
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
+        col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
+        col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
       .withColumn("n_int",
         graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
       .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
@@ -161,7 +161,7 @@ object Dedup {
     * j ≥ t − 5e-5) skips the O(|A|+|B|) intersection for pairs that
     * cannot reach the threshold — exactness is preserved. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, broadcastBuild: Boolean = true): DataFrame = {
     // Sorted once per document so the per-pair intersection is a
     // zero-allocation merge count ([[ArrayOps.sortedIntersectSize]])
     // instead of array_intersect's per-call hash set + result array.
@@ -173,7 +173,7 @@ object Dedup {
     // tiny, so AQE would coalesce a plain shuffle to one partition;
     // an explicit-N round-robin repartition is exempt from coalescing
     // and spreads the stream side across all cores.
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nPart = Plans.shufflePartitions(df)
     val a = toks.repartition(nPart).select(col("block"), col("id").as("id_a"),
       col("toks").as("toks_a"), size(col("toks")).cast("long").as("n_a"))
     val b = toks.select(col("block"), col("id").as("id_b"),
@@ -181,7 +181,7 @@ object Dedup {
     // round4(j) >= threshold requires j >= threshold - 0.00005; j is at
     // most min/max, so prune on 20000*min >= (20000*threshold - 1)*max.
     val tScaled = math.round(threshold * 20000) - 1
-    a.as("A").join(broadcast(b.as("B")),
+    a.as("A").join(Plans.maybeBroadcast(b.as("B"), broadcastBuild),
         col("A.block") === col("B.block") &&
           col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) * 20000L >= greatest(col("n_a"), col("n_b")) * tScaled)

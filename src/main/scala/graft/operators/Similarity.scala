@@ -41,11 +41,11 @@ object Similarity {
     * tasks. At corpus scale the generator is [[bucketedTopK]]'s sign
     * buckets; this is the exact verifier shape. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      threshold: Double, broadcastBuild: Boolean = true): DataFrame = {
+    val nPart = graft.functions.Plans.shufflePartitions(df)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")).repartition(nPart)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(graft.functions.Plans.maybeBroadcast(b, broadcastBuild), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         PortableRound.round4(cosine(col("vec_a"), col("vec_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

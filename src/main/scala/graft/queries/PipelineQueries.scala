@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, PortableRound}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Tables.t
 
@@ -87,15 +87,15 @@ object PipelineQueries {
     "q24_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5)
       .orderBy("block", "id_a", "id_b"),
-    Some("""WITH d AS (SELECT lang AS block, doc_id AS id,
+    Some(s"""WITH d AS (SELECT lang AS block, doc_id AS id,
         list_distinct(string_split(text, ' ')) AS toks FROM documents),
       p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_int,
         CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_uni
         FROM d a JOIN d b ON a.block = b.block AND a.id < b.id)
       SELECT block, id_a, id_b, n_int, n_uni,
-        round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
-      FROM p WHERE round(CAST(n_int AS DOUBLE) / n_uni, 4) >= 0.5
+        ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
+      FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
   /** Portable-rounded cosine (mirrors Similarity.cosine + round4). */
@@ -149,7 +149,7 @@ object PipelineQueries {
       s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
     }
     def scoreSql(lang: String): String =
-      s"round(CAST(${hitsSql(lang)} AS DOUBLE) / len(string_split(text, ' ')), 4)"
+      PortableRound.sql4(s"CAST(${hitsSql(lang)} AS DOUBLE) / len(string_split(text, ' '))")
     // lang L wins iff score(L) >= all others; evaluated reverse-lexical.
     val ordered = langs.sorted.reverse
     val langCase = ordered.init.map { lang =>
@@ -164,11 +164,11 @@ object PipelineQueries {
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alnum_runs,
-          round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
-            / len(string_split(text, ' ')), 4) AS avg_token_len,
-          round(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+          ${PortableRound.sql4("""CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+            / len(string_split(text, ' '))""")} AS avg_token_len,
+          ${PortableRound.sql4(s"""0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
-            + 0.3 * least(1.0, CAST(${hitsSql("en")} AS DOUBLE) / len(string_split(text, ' ')) * 5.0), 4) AS quality,
+            + 0.3 * least(1.0, CAST(${hitsSql("en")} AS DOUBLE) / len(string_split(text, ' ')) * 5.0)""")} AS quality,
           CAST(list_sum(list_transform(string_split(text, ' '),
             t -> ${PortableHash.md5Hash32Sql("t")} % $P)) % $P AS BIGINT) AS fingerprint,
           ${langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(", ")}

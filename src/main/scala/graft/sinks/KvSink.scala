@@ -51,11 +51,15 @@ object KvSink {
     }
 
   /** Distributed batch write: executor-side, `batchSize`-row client
-    * batches (reference contract: 5,000). */
+    * batches (reference contract: 5,000). `onRow` runs per row on the
+    * executor — e.g. ticking a LongAccumulator so callers get row
+    * counts without re-executing the plan. */
   def writeBatch(df: DataFrame, keyCol: String, families: Map[String, Seq[String]],
-      store: KvStore, batchSize: Int = 5000): Unit =
+      store: KvStore, batchSize: Int = 5000,
+      onRow: () => Unit = () => ()): Unit =
     df.foreachPartition { (it: Iterator[Row]) =>
-      toKvRows(it, keyCol, families).grouped(batchSize).foreach(g => store.mutate(g.toSeq))
+      toKvRows(it, keyCol, families).map { r => onRow(); r }
+        .grouped(batchSize).foreach(g => store.mutate(g.toSeq))
     }
 
   /** Streaming sink: `foreachBatch` + per-microbatch distributed write —
