@@ -283,5 +283,45 @@ object BatchQueries {
       strftime(ts, '%Y-%m-%d_%H-%M') AS stream_key
       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+  /** As-of join (union + partitioned window, no range probe): for each
+    * event, the latest 'click' of the same user at or before it. The
+    * DuckDB oracle uses the native ASOF LEFT JOIN — independent
+    * implementations of the same semantics. */
+  private val q15 = Q(
+    "q15_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.lastBefore(
+        e.select("event_id", "user_id", "ts"), clicks,
+        Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, c.value AS asof_value
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+      ORDER BY e.event_id""".replaceAll("\\s+", " ")))
+
+  /** Gap-based sessionization: 30-minute inactivity closes a session;
+    * two stacked windows over one (user, ts) sort. */
+  private val q16 = Q(
+    "q16_sessionize",
+    (s, dir) => graft.operators.Sessionize
+      .assign(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id"),
+    Some("""WITH x AS (SELECT event_id, user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM x ORDER BY event_id""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
 }

@@ -75,6 +75,49 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("lastBefore picks the latest reference row at-or-before each probe row per key") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:05:00")),
+      (3L, "u1", ts("2024-01-01 10:10:00")),
+      (4L, "u2", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:05:00"), 50.0), // equal ts → matches row 2
+      ("u1", ts("2024-01-01 10:07:00"), 70.0),
+      ("u3", ts("2024-01-01 09:00:00"), 90.0)).toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.lastBefore(left, right, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    got shouldBe Map(
+      1L -> None,        // before any reference row
+      2L -> Some(50.0),  // equality matches (ASOF >= semantics)
+      3L -> Some(70.0),  // latest preceding wins
+      4L -> None)        // no reference rows for this key
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("assign numbers sessions by >gap inactivity per key") {
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:20:00")), // 20 min gap → same session
+      (3L, "u1", ts("2024-01-01 11:00:00")), // 40 min gap → new session
+      (4L, "u1", ts("2024-01-01 11:30:00")), // exactly 30 min → SAME session (gap must exceed)
+      (5L, "u2", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Sessionize.assign(df, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L)
+  }
+}
+
 class ShingleSpec extends SparkSpec {
   import spark.implicits._
 
