@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step that
+  * turns pairwise matches (q22/q24/q29/q30 output) into dedup GROUPS:
+  * every document in a component shares its cluster id (the component's
+  * minimum id), so "keep one per cluster" becomes a groupBy.
+  *
+  * Algorithm: iterative min-label propagation. Each vertex starts
+  * labeled with itself; every round it takes the min of its own and its
+  * neighbors' labels; converges in O(component diameter) rounds —
+  * near-dup clusters are dense (quasi-cliques), so diameter is tiny.
+  * Each round is one join + one aggregate, all partition-parallel; the
+  * driver only checks the convergence counter. `localCheckpoint`
+  * truncates lineage each round so plans don't grow with iterations.
+  * (GraphX/GraphFrames are the classic homes for this; a DataFrame-only
+  * version keeps the engine dependency-free and Catalyst-planned.)
+  */
+object Clustering {
+
+  /** @param pairs DataFrame with two id columns (`aCol`, `bCol`) — an
+    *              undirected edge list (direction ignored).
+    * @return (id, cluster_id) for every id APPEARING IN PAIRS; callers
+    *         union isolated vertices back with cluster_id = own id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_label").as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster assignment for a full corpus: every id gets a cluster_id —
+    * its component's min id, or itself when it has no near-dup pair. */
+  def assignClusters(ids: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    ids.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+}

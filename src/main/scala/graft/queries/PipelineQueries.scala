@@ -257,5 +257,20 @@ object PipelineQueries {
         .replaceAll("\\s+", " ")))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+  /** Near-dup clusters: LSH-verified pairs → connected components →
+    * one cluster id per document. Not SQL-expressible (iterative
+    * fixpoint) — the driver records the rows-only check; exactness is
+    * covered by ClusteringSpec's brute-force union-find property test. */
+  private val q32 = Q(
+    "q32_neardup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Clustering.assignClusters(
+        docs, "doc_id",
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", K, BAND, 0.5), "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

@@ -118,6 +118,49 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Clustering
+
+  test("connectedComponents labels each component with its min id") {
+    // components: {1,2,3} (chain), {5,6}, isolated 9 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("assignClusters gives isolated ids their own cluster") {
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Clustering.assignClusters(ids, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L)
+  }
+
+  test("property: components match brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // brute-force union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Clustering.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      withClue(s"edges=$edges: ") { got shouldBe expected }
+    }
+  }
+}
+
 class ShingleSpec extends SparkSpec {
   import spark.implicits._
 

@@ -170,6 +170,27 @@ class StreamingSpec extends SparkSpec {
     CountingKvStore.sizes.asScala.toSeq.sorted shouldBe Seq(3, 10, 10) // 23 rows → 10+10+3
   }
 
+  test("native session_window aggregates a watermarked stream by inactivity gap") {
+    val in = MemoryStream[(Timestamp, String)]
+    val sessions = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .count()
+      .select(col("user"), col("count"))
+    val q = sessions.writeStream.format("memory").queryName("t_session")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:03:00"), "u1"),  // within 5 min → same session
+      (ts("2024-01-01 00:20:00"), "u1"))  // new session
+    in.addData((ts("2024-01-01 01:00:00"), "u1")) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_session").as[(String, Long)].collect().sorted
+    rows should contain((("u1"), 2L)) // the two-event session closed and emitted
+    rows should contain((("u1"), 1L)) // the single-event session
+  }
+
   test("T8: persisted GBT model scores a streaming frame inside the plan") {
     import graft.ml.MlPipeline
     val train = (1 to 200).map(i => (i.toDouble, i.toDouble * 2 + 1)).toDF("x", "y")
