@@ -60,6 +60,17 @@ object Scratch {
     time("q30_full")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
     time("q30_full_again")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5).count())
 
+    {
+      val emb = t(spark, dir, "embeddings")
+      val pairs = graft.operators.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      time("q29_pairs")(pairs.count())
+      val cached = pairs.localCheckpoint()
+      time("cc_only")(graft.operators.Clustering
+        .connectedComponents(cached, "id_a", "id_b").count())
+      time("q32_full")(graft.operators.Clustering
+        .assignClusters(emb, "vec_id", pairs, "id_a", "id_b").count())
+    }
+
     // experiment: packed-long distinct for candidate pairs
     {
       import graft.functions.PortableHash

@@ -23,9 +23,11 @@ object Clustering {
   /** @param pairs DataFrame with two id columns (`aCol`, `bCol`) — an
     *              undirected edge list (direction ignored).
     * @return (id, cluster_id) for every id APPEARING IN PAIRS; callers
-    *         union isolated vertices back with cluster_id = own id. */
+    *         union isolated vertices back with cluster_id = own id.
+    * @throws IllegalStateException if maxIter rounds don't converge —
+    *         a silent cutoff would return WRONG components. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -38,19 +40,32 @@ object Clustering {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // round part 1: take the min of own and neighbors' labels
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("neighbor_min"))
-      val updated = labels
+      val afterMin = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("new_label"))
+          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("mid_label"))
+      // round part 2: pointer jump — follow the label's own label, which
+      // collapses chains exponentially (O(log diameter) rounds total;
+      // plain propagation needs O(diameter), painful on path-like
+      // near-dup graphs)
+      val jump = afterMin.select(col("id").as("_jid"), col("mid_label").as("_jlabel"))
+      val updated = afterMin
+        .join(jump, col("mid_label") === col("_jid"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("_jlabel"), col("mid_label")).as("new_label"))
         .localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -257,18 +257,21 @@ object PipelineQueries {
         .replaceAll("\\s+", " ")))
   }
 
-  /** Near-dup clusters: LSH-verified pairs → connected components →
-    * one cluster id per document. Not SQL-expressible (iterative
-    * fixpoint) — the driver records the rows-only check; exactness is
-    * covered by ClusteringSpec's brute-force union-find property test. */
+  /** Near-dup clusters: embedding-cosine pairs (q29's generator) →
+    * connected components → one cluster id per vector. Not
+    * SQL-expressible (iterative fixpoint) — the driver records the
+    * rows-only check; exactness is covered by ClusteringSpec's
+    * brute-force union-find property test. (The same operator clusters
+    * LSH-verified text pairs — q30's output — identically; the
+    * embedding graph is the cheaper bench representative.) */
   private val q32 = Q(
     "q32_neardup_clusters",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
       graft.operators.Clustering.assignClusters(
-        docs, "doc_id",
-        Dedup.lshVerifiedPairs(docs, "doc_id", "text", K, BAND, 0.5), "id_a", "id_b")
-        .orderBy("doc_id")
+        emb, "vec_id",
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4), "id_a", "id_b")
+        .orderBy("vec_id")
     },
     None)
 
