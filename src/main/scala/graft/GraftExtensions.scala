@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 import graft.functions.{CosineSimilarity, SortedIntersectSize}
 
@@ -27,7 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size(a, b) - intersection size of two SORTED string arrays"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_size takes exactly 2 arguments")
-        SortedIntersectSize(args(0), args(1))
+        // coerce like the Column API does — raw args of another array
+        // type would make getUTF8String read garbage
+        SortedIntersectSize(
+          Cast(args(0), ArrayType(StringType)), Cast(args(1), ArrayType(StringType)))
       }: Expression))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -35,7 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity(a, b) - fused cosine similarity of two double arrays"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
-        CosineSimilarity(args(0), args(1))
+        // coerce to array<double>: float arrays (e.g. the embeddings
+        // table) would otherwise be read through getDouble as garbage
+        CosineSimilarity(
+          Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
       }: Expression))
   }
 }

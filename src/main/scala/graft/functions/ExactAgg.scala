@@ -28,8 +28,12 @@ object ExactAgg {
 
   private val Dec = "decimal(18,6)"
 
-  /** Exact order-independent sum of a double measure. */
-  def sumDec(c: Column): Column = sum(c.cast(Dec))
+  /** Exact order-independent sum of a double measure. try_cast, not
+    * cast: under Spark 4's default ANSI mode, cast(NaN/Infinity/|x|≥1e12
+    * AS DECIMAL) throws and one junk record would abort the whole
+    * aggregate; try_cast skips it as null (the DuckDB mirrors use
+    * TRY_CAST for the identical semantics). */
+  def sumDec(c: Column): Column = sum(c.try_cast(Dec))
 
   /** sum rounded to 2dp, bitwise-portable. */
   def sum2(c: Column): Column = PortableRound.round2(sumDec(c).cast("double"))
@@ -44,7 +48,7 @@ object ExactAgg {
 
   // ---- DuckDB mirrors (x is a SQL expression string) ----
 
-  def sumDecSql(x: String): String = s"sum(CAST($x AS DECIMAL(18,6)))"
+  def sumDecSql(x: String): String = s"sum(TRY_CAST($x AS DECIMAL(18,6)))"
 
   def sum2Sql(x: String): String =
     PortableRound.sql2(s"CAST(${sumDecSql(x)} AS DOUBLE)")

@@ -34,9 +34,14 @@ object AsOfJoin {
     val taggedLeft = valueCols.foldLeft(left.withColumn("_side", lit(1))) {
       (df, c) => df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
     }
+    // NULL join keys never match under equi/ASOF semantics, but
+    // Window.partitionBy groups NULLs into one partition — so null-key
+    // reference rows must be dropped (null-key probe rows then see no
+    // reference rows and correctly get null).
+    val matchableRight = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
     val taggedRight = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
       .foldLeft {
-        valueCols.foldLeft(right.withColumn("_side", lit(0))) {
+        valueCols.foldLeft(matchableRight.withColumn("_side", lit(0))) {
           (df, c) => df.withColumn(s"_r_$c", col(c))
         }.select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ valueCols.map(c => col(s"_r_$c")): _*)
       } { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }

@@ -28,8 +28,12 @@ object Clustering {
     *         a silent cutoff would return WRONG components. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize pairs ONCE — the union below references it twice, and
+    // without this the (often expensive) pair-generation plan executes
+    // once per branch
+    val p = pairs.select(col(aCol).as("_a"), col(bCol).as("_b")).localCheckpoint()
+    val edges = p.select(col("_a").as("src"), col("_b").as("dst"))
+      .unionByName(p.select(col("_b").as("src"), col("_a").as("dst")))
       .distinct()
       .localCheckpoint()
 

@@ -31,7 +31,8 @@ object RollingWindow {
     * the frame count with one IEEE division, and rounding is
     * [[PortableRound]]. */
   private def windowed(fn: String, measure: String, w: WindowSpec): Column = {
-    val dec = col(measure).cast("decimal(18,6)")
+    // try_cast: ANSI-mode cast(NaN AS DECIMAL) would abort the job
+    val dec = col(measure).try_cast("decimal(18,6)")
     fn match {
       case "sum" => PortableRound.round2(sum(dec).over(w).cast("double"))
       case "avg" => PortableRound.round2(

@@ -151,8 +151,8 @@ object BatchQueries {
     },
     Some(s"""WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, value FROM events)
       SELECT event_id, ts_unix,
-      ${PortableRound.sql2("CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)")} AS sum_value_3600s,
-      ${PortableRound.sql2("(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(value) OVER w))")} AS avg_value_3600s
+      ${PortableRound.sql2("CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)")} AS sum_value_3600s,
+      ${PortableRound.sql2("(CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(value) OVER w))")} AS avg_value_3600s
       FROM e WINDOW w AS (ORDER BY ts_unix RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
       ORDER BY event_id""".replaceAll("\\s+", " ")))
 
@@ -291,8 +291,11 @@ object BatchQueries {
     "q15_asof_join",
     (s, dir) => {
       val e = t(s, dir, "events")
+      // max-aggregate enforces lastBefore's uniqueness precondition on
+      // (user_id, ts) — without it, same-instant ties would resolve
+      // arbitrarily in both engines (a flaky oracle)
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
       graft.operators.AsOfJoin.lastBefore(
         e.select("event_id", "user_id", "ts"), clicks,
         Seq("user_id"), "ts", Seq("value"))
@@ -301,7 +304,8 @@ object BatchQueries {
     },
     Some("""SELECT e.event_id, c.value AS asof_value
       FROM events e ASOF LEFT JOIN
-        (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        (SELECT user_id, ts, max(value) AS value FROM events
+         WHERE event_type = 'click' GROUP BY 1, 2) c
         ON e.user_id = c.user_id AND e.ts >= c.ts
       ORDER BY e.event_id""".replaceAll("\\s+", " ")))
 
@@ -318,8 +322,8 @@ object BatchQueries {
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT event_id, user_id,
-        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
       FROM x ORDER BY event_id""".replaceAll("\\s+", " ")))
 
   val all: Seq[Q] =

@@ -100,8 +100,8 @@ object PipelineQueries {
 
   /** Portable-rounded cosine (mirrors Similarity.cosine + round4). */
   private def cosineSql(v: String, q: String): String =
-    s"""(floor((list_dot_product($v, $q) /
-       (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)))) * 10000.0 + 0.5) / 10000.0)"""
+    PortableRound.sql4(
+      s"list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)))")
 
   /** Brute-force cosine top-k against a broadcast query vector. */
   private val q25 = Q(
@@ -231,8 +231,8 @@ object PipelineQueries {
           CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_uni
           FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
         SELECT id_a, id_b, n_int, n_uni,
-          (floor((CAST(n_int AS DOUBLE) / n_uni) * 10000.0 + 0.5) / 10000.0) AS jaccard
-        FROM p WHERE (floor((CAST(n_int AS DOUBLE) / n_uni) * 10000.0 + 0.5) / 10000.0) >= 0.5
+          ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
+        FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 

@@ -98,6 +98,16 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> Some(70.0),  // latest preceding wins
       4L -> None)        // no reference rows for this key
   }
+
+  test("NULL join keys never match (join semantics, not window-partition semantics)") {
+    val left = Seq((1L, Option.empty[String], ts("2024-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val right = Seq((Option.empty[String], ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.lastBefore(left, right, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect()
+    got shouldBe Array((1L, None)) // null keys must not pair up
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
