@@ -115,12 +115,20 @@ object Dedup {
     val toks = df.select(col(idCol).as("_tid"),
       array_sort(distinctTokens(col(textCol))).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
-    // Explicit-N repartition: AQE would coalesce the candidate id-pair
-    // shuffle (tiny bytes) onto a couple of partitions, serializing the
-    // CPU-heavy verification; pin the fan-out instead.
+    // Candidate generation inlined (vs minhashCandidates) so the dedup
+    // and the verification fan-out share ONE keyed shuffle: explicit-N
+    // repartition by the pair key (AQE-exempt — byte-based coalescing
+    // would serialize the CPU-heavy verify), then dropDuplicates plans a
+    // single complete aggregate over the already-co-located rows.
     val nPart = Plans.shufflePartitions(df)
-    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
-      .repartition(nPart)
+    val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
+    val ba = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
+    val bb = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
+    ba.join(Plans.maybeBroadcast(bb, broadcastBuild), Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(nPart, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
         col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
