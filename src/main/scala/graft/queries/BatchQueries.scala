@@ -326,6 +326,21 @@ object BatchQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
       FROM x ORDER BY event_id""".replaceAll("\\s+", " ")))
 
+  /** Batch event-time range join (J6's batch analog): same-user event
+    * pairs within ±60 s via the bucket/adjacent-bucket equi-join — no
+    * per-key cross product, each pair found exactly once. */
+  private val q17 = Q(
+    "q17_range_join",
+    (s, dir) => graft.operators.RangeJoin
+      .selfWithinTolerance(t(s, dir, "events"), "user_id", "event_id", "ts", 60L)
+      .select(col("k").as("user_id"), col("id_a"), col("id_b"))
+      .orderBy("user_id", "id_a", "id_b"),
+    Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+      FROM events a JOIN events b ON a.user_id = b.user_id
+        AND a.event_id < b.event_id
+        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+      ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
 }

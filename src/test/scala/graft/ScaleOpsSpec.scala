@@ -110,6 +110,42 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("selfWithinTolerance finds each in-range same-key pair exactly once") {
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:00:30")),  // 30s from 1 → pair
+      (3L, "u1", ts("2024-01-01 10:01:00")),  // 60s from 1 (boundary) and 30s from 2
+      (4L, "u1", ts("2024-01-01 10:05:00")),  // out of range of all
+      (5L, "u2", ts("2024-01-01 10:00:10")))  // other key
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.RangeJoin
+      .selfWithinTolerance(df, "user_id", "event_id", "ts", 60L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    got shouldBe Array((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
+  test("property: bucketed range join == brute-force filter on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100000).toLong))
+    val df = rows.map { case (id, k, sec) => (id, k, new Timestamp(sec * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.RangeJoin
+      .selfWithinTolerance(df, "user_id", "event_id", "ts", 500L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, ka, ta) <- rows; (ib, kb, tb) <- rows
+      if ka == kb && ia < ib && math.abs(ta - tb) <= 500L
+    } yield (ia, ib)).toSet
+    got shouldBe expected
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
   import java.sql.Timestamp
