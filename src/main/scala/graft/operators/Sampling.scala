@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling for training-data curation — narrow, shuffle-free, seeded.
+  *
+  * `stratified` rebalances classes by per-stratum fractions (e.g.
+  * downsample the dominant language); `deterministic` keeps an exact
+  * reproducible subset by hashing the id — unlike `sample()`, the SAME
+  * rows are selected regardless of partitioning, executor count, or
+  * Spark version, which matters when a sample must be recomputable
+  * from a 100 TB corpus.
+  */
+object Sampling {
+
+  /** Per-stratum Bernoulli sampling (`df.stat.sampleBy`). */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic ~`fraction` sample: keep rows whose md5-derived id
+    * hash falls under the cutoff. Same input row → same decision,
+    * everywhere, every run. */
+  def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val bucket = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    df.filter(bucket < lit((fraction * (1L << 32)).toLong))
+  }
+}

@@ -341,6 +341,29 @@ object BatchQueries {
         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
+  /** Ranking window: per-group top-k (row_number over a deterministic
+    * (value desc, id) order — ties broken by id so both engines agree).
+    * Completes the window-function family beyond the reference's
+    * range-frame windows. */
+  private val q18 = Q(
+    "q18_topk_per_group",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rank_in_user", row_number().over(w).cast("long"))
+        .filter(col("rank_in_user") <= 3)
+        .select("user_id", "rank_in_user", "event_id", "value")
+        .orderBy("user_id", "rank_in_user")
+    },
+    Some("""SELECT user_id, rank_in_user, event_id, value FROM (
+        SELECT user_id, event_id, value,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT)
+            AS rank_in_user
+        FROM events)
+      WHERE rank_in_user <= 3 ORDER BY user_id, rank_in_user""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
 }

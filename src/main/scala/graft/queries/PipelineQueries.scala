@@ -275,5 +275,23 @@ object PipelineQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+  /** Deterministic hash sampling: the same ~30% of documents selected
+    * regardless of partitioning or cluster size — recomputable from the
+    * raw corpus, unlike Bernoulli sample(). Exact oracle via the same
+    * md5-derived hash. */
+  private val q19 = {
+    val cutoff = (0.3 * (1L << 32)).toLong
+    Q(
+      "q19_deterministic_sample",
+      (s, dir) => graft.operators.Sampling
+        .deterministic(t(s, dir, "documents"), "doc_id", 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${PortableHash.md5Hash32Sql("CAST(doc_id AS VARCHAR)")} < $cutoff
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  val all: Seq[Q] =
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

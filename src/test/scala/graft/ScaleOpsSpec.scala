@@ -164,6 +164,29 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private val df = (1 to 3000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+    .toDF("id", "lang")
+
+  test("stratified sampling approximates per-stratum fractions") {
+    val got = Sampling.stratified(df, "lang", Map("en" -> 0.1, "de" -> 0.5), seed = 9L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    got("en").toDouble shouldBe 100.0 +- 40.0 // 1000 × 0.1
+    got("de").toDouble shouldBe 1000.0 +- 120.0 // 2000 × 0.5
+  }
+
+  test("deterministic sample selects identical rows across repartitionings") {
+    val a = Sampling.deterministic(df, "id", 0.25).select("id").as[Long].collect().toSet
+    val b = Sampling.deterministic(df.repartition(13), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+    a.size.toDouble shouldBe 750.0 +- 100.0
+  }
+}
+
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Clustering

@@ -97,6 +97,37 @@ class StreamingSpec extends SparkSpec {
     rows should contain ((Some(ts("2024-01-01 00:05:00")), Some(21.0), None, None))
   }
 
+  test("T4b: inner interval join emits only matches; leftOuter flushes unmatched left") {
+    def run(joinType: String): Seq[(Option[Double], Option[Double])] = {
+      val left = MemoryStream[(Timestamp, Double)]
+      val right = MemoryStream[(Timestamp, Double)]
+      val joined = StreamJoin.intervalJoin(
+        StreamJoin.side(left.toDF().toDF("ts", "a"), "ts", "weather"),
+        "weather",
+        StreamJoin.side(right.toDF().toDF("ts", "b"), "ts", "stock"),
+        "stock", 30, joinType)
+        .select("a", "b")
+      val name = s"t4b_${joinType.toLowerCase}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      left.addData((ts("2024-01-01 00:01:00"), 1.0)) // matches
+      right.addData((ts("2024-01-01 00:01:10"), 2.0))
+      left.addData((ts("2024-01-01 00:05:00"), 3.0)) // unmatched
+      q.processAllAvailable()
+      left.addData((ts("2024-01-01 00:30:00"), 9.0)) // advance watermarks
+      right.addData((ts("2024-01-01 00:30:00"), 9.5))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[(Option[Double], Option[Double])].collect().toSeq
+    }
+    val inner = run("inner")
+    inner should contain((Some(1.0), Some(2.0)))
+    inner should not contain ((Some(3.0), None)) // inner drops unmatched
+    val leftOuter = run("leftOuter")
+    leftOuter should contain((Some(1.0), Some(2.0)))
+    leftOuter should contain((Some(3.0), None)) // left-outer flushes it
+  }
+
   test("T7/S9: foreachBatch KV sink writes minute-keyed families via executors") {
     InMemoryKvStore.clear()
     val in = MemoryStream[(Timestamp, Double, Double)]
