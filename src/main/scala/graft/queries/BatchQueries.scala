@@ -364,6 +364,30 @@ object BatchQueries {
         FROM events)
       WHERE rank_in_user <= 3 ORDER BY user_id, rank_in_user""".replaceAll("\\s+", " ")))
 
+  /** Wide pivot aggregation: per-user event-type count matrix with a
+    * FIXED value list (dynamic pivot needs a driver-side distinct pass;
+    * pinning the classes keeps the plan one pass and the schema
+    * deterministic — the right shape at scale and for oracles). */
+  private val q33 = Q(
+    "q33_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q15, q16, q17, q18, q33)
 }
