@@ -25,7 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
-        "sorted_intersect_size(a, b) - intersection size of two SORTED string arrays"),
+        "sorted_intersect_size(a, b) - set-intersection size of two SORTED string arrays (duplicates count once)"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_size takes exactly 2 arguments")
         // coerce like the Column API does — raw args of another array

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * two-pointer merge count compiled into whole-stage codegen. Inputs
   * must be sorted ascending (Spark's `array_sort` / `sort_array` use
   * UTF8String binary order, which is what the merge compares with);
-  * sort once per document, merge per pair.
+  * sort once per document, merge per pair. Duplicate elements are
+  * counted ONCE (set semantics, same as `size(array_intersect(a, b))`):
+  * after a match the merge skips past equal runs on both sides, so
+  * callers need not `array_distinct` first.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +42,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       else if (y.isNullAt(j)) j += 1
       else {
         val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        if (cmp == 0) {
+          c += 1
+          // set semantics: skip equal runs so duplicates count once
+          val v = x.getUTF8String(i)
+          i += 1; j += 1
+          while (i < na && !x.isNullAt(i) && x.getUTF8String(i).compareTo(v) == 0) i += 1
+          while (j < nb && !y.isNullAt(j) && y.getUTF8String(j).compareTo(v) == 0) j += 1
+        }
         else if (cmp < 0) i += 1
         else j += 1
       }
@@ -54,6 +64,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val cmp = ctx.freshName("cmp")
+      val v = ctx.freshName("matched")
       s"""
          |int $i = 0, $j = 0;
          |final int $na = $a.numElements();
@@ -64,7 +75,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
          |    final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |    if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
+         |    if ($cmp == 0) {
+         |      ${ev.value}++;
+         |      // set semantics: skip equal runs so duplicates count once
+         |      final org.apache.spark.unsafe.types.UTF8String $v = $a.getUTF8String($i);
+         |      $i++; $j++;
+         |      while ($i < $na && !$a.isNullAt($i) && $a.getUTF8String($i).compareTo($v) == 0) $i++;
+         |      while ($j < $nb && !$b.isNullAt($j) && $b.getUTF8String($j).compareTo($v) == 0) $j++;
+         |    }
          |    else if ($cmp < 0) $i++;
          |    else $j++;
          |  }

@@ -38,13 +38,19 @@ object ExactAgg {
   /** sum rounded to 2dp, bitwise-portable. */
   def sum2(c: Column): Column = PortableRound.round2(sumDec(c).cast("double"))
 
-  /** avg (null-skipping) rounded to 2dp, bitwise-portable. */
+  /** avg (null-skipping) rounded to 2dp, bitwise-portable. The
+    * denominator counts the same try_cast'd values as the numerator sum,
+    * so junk records the cast drops (NaN/Infinity/|x|≥1e12) are excluded
+    * from BOTH — this is "avg of the included values", not sum-of-good
+    * over count-of-all. */
   def avg2(c: Column): Column =
-    PortableRound.round2(sumDec(c).cast("double") / count(c))
+    PortableRound.round2(sumDec(c).cast("double") / count(c.try_cast(Dec)))
 
   /** Unrounded exact-sum average — for intermediates that feed further
-    * aggregation (e.g. avg-of-avgs fine level). */
-  def avgExact(c: Column): Column = sumDec(c).cast("double") / count(c)
+    * aggregation (e.g. avg-of-avgs fine level). Same numerator/denominator
+    * pairing as [[avg2]]. */
+  def avgExact(c: Column): Column =
+    sumDec(c).cast("double") / count(c.try_cast(Dec))
 
   // ---- DuckDB mirrors (x is a SQL expression string) ----
 
@@ -53,9 +59,12 @@ object ExactAgg {
   def sum2Sql(x: String): String =
     PortableRound.sql2(s"CAST(${sumDecSql(x)} AS DOUBLE)")
 
+  private def countDecSql(x: String): String =
+    s"count(TRY_CAST($x AS DECIMAL(18,6)))"
+
   def avg2Sql(x: String): String =
-    PortableRound.sql2(s"(CAST(${sumDecSql(x)} AS DOUBLE) / count($x))")
+    PortableRound.sql2(s"(CAST(${sumDecSql(x)} AS DOUBLE) / ${countDecSql(x)})")
 
   def avgExactSql(x: String): String =
-    s"(CAST(${sumDecSql(x)} AS DOUBLE) / count($x))"
+    s"(CAST(${sumDecSql(x)} AS DOUBLE) / ${countDecSql(x)})"
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Connected components over a near-duplicate pair list — the step that
   * turns pairwise matches (q22/q24/q29/q30 output) into dedup GROUPS:
@@ -36,10 +37,18 @@ object Clustering {
       .unionByName(p.select(col("_b").as("src"), col("_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    // edges (eagerly checkpointed) is the only consumer of p — release
+    // p's blocks now; checkpoints are otherwise freed only when the
+    // ContextCleaner GCs them, which leaks across repeated calls on a
+    // long-lived driver
+    CheckpointBridge.release(p)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // the checkpoint superseded by the current round, released as soon
+    // as the round's replacement has materialized
+    var prevCkpt = labels
 
     var changed = 1L
     var iter = 0
@@ -64,9 +73,14 @@ object Clustering {
           coalesce(col("_jlabel"), col("mid_label")).as("new_label"))
         .localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
+      CheckpointBridge.release(prevCkpt)
+      prevCkpt = updated
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    // the returned frame reads only the LAST round's checkpoint; edges
+    // is no longer referenced
+    CheckpointBridge.release(edges)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")

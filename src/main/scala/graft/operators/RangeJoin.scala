@@ -19,14 +19,29 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Pairs (id_a < id_b) of same-`keyCol` rows with |ts_a − ts_b| ≤
-    * `toleranceSec`, with both timestamps carried. */
+    * `toleranceSec`, with both timestamps carried.
+    *
+    * toleranceSec = 0 degenerates to exact-timestamp pairs, which the
+    * bucket scheme cannot express (a zero-width bucket divides by zero
+    * and would silently return no rows), so it is planned as a plain
+    * equi-join on (key, timestamp). Negative tolerance is rejected. */
   def selfWithinTolerance(df: DataFrame, keyCol: String, idCol: String,
       tsCol: String, toleranceSec: Long): DataFrame = {
-    val usec = toleranceSec * 1000000L
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
     val base = df.select(
       col(keyCol).as("k"),
       col(idCol).as("id"),
       unix_micros(col(tsCol)).as("us"))
+    if (toleranceSec == 0) {
+      val a = base.select(col("k"), col("id").as("id_a"), col("us").as("us_a"))
+      val b = base.select(col("k"), col("id").as("id_b"), col("us").as("us_a"))
+      return a.join(b, Seq("k", "us_a"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("k"), col("id_a"), col("id_b"),
+          timestamp_micros(col("us_a")).as("ts_a"),
+          timestamp_micros(col("us_a")).as("ts_b"))
+    }
+    val usec = toleranceSec * 1000000L
     val a = base.select(col("k"), col("id").as("id_a"), col("us").as("us_a"))
       .withColumn("bucket", floor(col("us_a") / usec))
     val b = base.select(col("k"), col("id").as("id_b"), col("us").as("us_b"))

@@ -98,10 +98,14 @@ object PipelineQueries {
       FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
-  /** Portable-rounded cosine (mirrors Similarity.cosine + round4). */
+  /** Portable-rounded cosine (mirrors Similarity.cosine + round4).
+    * NULLIF guards the norm product: the engine's CosineSimilarity
+    * yields null for zero-norm vectors, while a bare division here would
+    * produce NaN — which DuckDB ORDERS ABOVE all values, so `>= t` would
+    * KEEP the degenerate pair the engine drops. */
   private def cosineSql(v: String, q: String): String =
     PortableRound.sql4(
-      s"list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)))")
+      s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
 
   /** Brute-force cosine top-k against a broadcast query vector. */
   private val q25 = Q(

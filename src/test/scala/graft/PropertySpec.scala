@@ -71,11 +71,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ExactAgg.avg2/avgExact: values the decimal cast drops are excluded from BOTH sides") {
+    // NaN and |x| >= 1e12 fail try_cast(DECIMAL(18,6)): they must not
+    // count toward the denominator either — avg of the INCLUDED values
+    val df = Seq(1.0, 3.0, Double.NaN, 2e12).toDF("v")
+    val (a2, ax) = df.agg(
+      graft.functions.ExactAgg.avg2(col("v")),
+      graft.functions.ExactAgg.avgExact(col("v"))).as[(Double, Double)].head()
+    a2 shouldBe 2.0
+    ax shouldBe 2.0
+  }
+
   test("property: SortedIntersectSize == distinct-set intersection size") {
+    // inputs are sorted but NOT deduplicated — the merge must enforce
+    // set semantics itself (duplicates on both sides count once)
     val arrGen = Gen.listOf(Gen.choose(0, 30).map(i => s"t$i"))
     val cases = samples(Gen.zip(arrGen, arrGen), 40)
     val rows = cases.map { case (a, b) =>
-      (a.distinct.sorted, b.distinct.sorted)
+      (a.sorted, b.sorted)
     }
     val df = rows.toDF("a", "b")
     val got = df.select(

@@ -129,6 +129,21 @@ class RangeJoinSpec extends SparkSpec {
     got shouldBe Array((1L, 2L), (1L, 3L), (2L, 3L))
   }
 
+  test("tolerance 0 degenerates to exact-timestamp pairs; negative rejected") {
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:00:00")), // exact match with 1
+      (3L, "u1", ts("2024-01-01 10:00:01")), // 1s off → no pair at tol 0
+      (4L, "u2", ts("2024-01-01 10:00:00"))) // other key
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.RangeJoin
+      .selfWithinTolerance(df, "user_id", "event_id", "ts", 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    got shouldBe Array((1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.RangeJoin.selfWithinTolerance(df, "user_id", "event_id", "ts", -1L)
+  }
+
   test("property: bucketed range join == brute-force filter on random data") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 300).map(i =>
@@ -205,6 +220,17 @@ class ClusteringSpec extends SparkSpec {
     val got = Clustering.assignClusters(ids, "doc_id", pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L)
+  }
+
+  test("superseded per-round checkpoints are released (no storage growth across calls)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    Clustering.connectedComponents(pairs, "id_a", "id_b").count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach(_ => Clustering.connectedComponents(pairs, "id_a", "id_b").count())
+    val after4 = spark.sparkContext.getPersistentRDDs.size
+    // each call may leave only its FINAL labels checkpoint behind (the
+    // returned frame still reads it); intermediate rounds must be freed
+    (after4 - after1) should be <= 3
   }
 
   test("property: components match brute-force union-find on random graphs") {
