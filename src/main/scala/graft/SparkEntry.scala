@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchQueries, PipelineQueries, Q}
+import graft.queries.{BatchQueries, PipelineQueries, Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{BatchQueries, PipelineQueries, Q}
   * (S5–S10) are exercised in ScalaTest (src/test/scala/graft). */
 object SparkEntry {
 
-  private val defs: Seq[Q] = BatchQueries.all ++ PipelineQueries.all
+  private val defs: Seq[Q] =
+    BatchQueries.all ++ PipelineQueries.all ++ RelationalQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the
     * `batch_stock` hourly-aggregate shape (SURVEY.md §7.2 step 1). */

@@ -141,6 +141,69 @@ object Dedup {
       .select("id_a", "id_b", "n_int", "n_uni", "jaccard")
   }
 
+  /** Exact dedup with "keep the best" canonicalization: per content
+    * digest, the surviving row is the argmax of (`score` desc, id asc) —
+    * one hash-shuffle on the digest via the argmax-struct trick (the
+    * engine-wide tie-break pattern, SURVEY.md §2.5 A3), no ranking
+    * window, no second pass. `idCol` must be numeric (the id tie-break
+    * inverts it so `max` picks the smallest). */
+  def keepBest(df: DataFrame, idCol: String, textCol: String, score: Column): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(
+        max(struct(
+          score.as("s"),
+          (lit(Long.MaxValue) - col(idCol).cast("long")).as("inv"),
+          col(idCol).cast("long").as("kid"))).as("best"),
+        count(lit(1)).as("dup_count"))
+      .select(
+        col("digest"),
+        col("best.kid").as("keep_id"),
+        col("best.s").as("best_score"),
+        col("dup_count"))
+
+  /** SimHash near-duplicate pairs: all (a, b), a < b, with
+    * hamming(simhash_a, simhash_b) ≤ `maxHamming`.
+    *
+    * Scale path is pigeonhole banding: split the `bits`-bit fingerprint
+    * into `bits / bandBits` chunks; a pair within `maxHamming` (when
+    * maxHamming < number of chunks) must agree on at least one whole
+    * chunk, so the candidate join is an equi-join on (band_id,
+    * band_value) — COMPLETE (no recall loss, unlike MinHash LSH) and
+    * never all-pairs. Verification is one xor+popcount per candidate. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxHamming: Int = 3, bandBits: Int = 4,
+      broadcastBuild: Boolean = true): DataFrame = {
+    require(bits % bandBits == 0, "bits must be divisible by bandBits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
+    val sig = simhash(df, idCol, textCol, bits)
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+    }
+    val exploded = sig.select(col(idCol), col("simhash"),
+      explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_val"))
+    val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_val"))
+    val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+      col("band_id"), col("band_val"))
+    val nPart = Plans.shufflePartitions(df)
+    a.join(Plans.maybeBroadcast(b, broadcastBuild), Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      // candidates repeat once per agreeing band: repartition by the pair
+      // key (explicit N — AQE-exempt) + dropDuplicates = ONE keyed
+      // shuffle that also spreads the verify fan-out (q30's pattern)
+      .repartition(nPart, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

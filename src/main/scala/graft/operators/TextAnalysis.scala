@@ -85,6 +85,36 @@ object TextAnalysis {
     aggregate(hs, lit(0L), (acc, h) => (acc + h) % lit(PortableHash.P))
   }
 
+  /** Canonical text normalization: lowercase, strip everything but
+    * [a-z0-9 ], squeeze runs of spaces, trim. The standard pre-dedup /
+    * pre-tokenization cleanup; all regexp ops are codegen'd and
+    * replace-all on both engines. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Top-`k` characteristic terms per document by a tf/df density score.
+    *
+    * score1m = tf·10⁶ ÷ df (integer division) — tf with multiplicity,
+    * df = number of docs containing the term. Integer arithmetic makes
+    * the ranking bit-portable across engines (a float idf would make
+    * top-k membership flip on last-ulp log() differences); ties break on
+    * the term itself. Plan: explode → two hash aggregates (term stats
+    * are built once, partial-combined) → broadcast-joined df counts →
+    * per-doc ranking window. At corpus scale the df frame is the only
+    * global structure and it's |vocabulary|-sized, not corpus-sized. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score1m").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .withColumn("score1m", expr("(tf * 1000000) DIV df_t"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df_t"), col("score1m"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

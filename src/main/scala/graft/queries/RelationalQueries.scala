@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ExactAgg, PortableHash, PortableRound}
+import graft.operators.{Dedup, TextAnalysis}
+import graft.queries.Tables.t
+
+/** Round-3 coverage widening: multi-level aggregation (rollup/grouping
+  * sets), semi/anti joins, the positional window-function family
+  * (lag/lead/rank/ntile), generators (posexplode), exact percentiles,
+  * text normalization, SimHash hamming near-dup pairs, tf/df term
+  * ranking, and keep-best dedup canonicalization. Same oracle discipline
+  * as the rest of the engine: every float goes through ExactAgg /
+  * PortableRound, every ranking has a deterministic tie-break, every
+  * query ends in a total ORDER BY.
+  */
+object RelationalQueries {
+
+  /** Multi-level aggregation in one pass: ROLLUP over
+    * (l_returnflag, l_linestatus) with grouping_id. Catalyst plans one
+    * Expand + single hash aggregate — at scale this beats N separate
+    * GROUP BYs over the same scan. Aggregated-away keys surface as
+    * 'ALL' so the ORDER BY is total over non-null keys (Spark and
+    * DuckDB disagree on null-ordering defaults). */
+  private val q34 = Q(
+    "q34_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          ExactAgg.sum2(col("l_quantity")).as("sum_qty"))
+        .select(
+          col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls"),
+    Some(s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      count(*) AS n, ${ExactAgg.sum2Sql("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
+  /** Semi/anti joins: per nation, customers with and without orders.
+    * left_semi/left_anti never materialize the probe side's columns —
+    * the 100 TB shape for existence checks (vs a join + distinct, which
+    * shuffles the full payload). */
+  private val q35 = Q(
+    "q35_semi_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val base = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+      base.join(active, Seq("c_nationkey"), "left")
+        .join(inactive, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey"), col("n_customers"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH b AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1),
+      a AS (SELECT c_nationkey, count(*) AS n_active FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1),
+      i AS (SELECT c_nationkey, count(*) AS n_inactive FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1)
+      SELECT b.c_nationkey, b.n_customers,
+        coalesce(a.n_active, 0) AS n_active, coalesce(i.n_inactive, 0) AS n_inactive
+      FROM b LEFT JOIN a USING (c_nationkey) LEFT JOIN i USING (c_nationkey)
+      ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** Positional window functions (lag/lead) over the per-user event
+    * timeline plus a ranking family (rank, ntile) over a deterministic
+    * (value desc, event_id) order — completes the window surface beyond
+    * q07's range frames and q18's row_number. */
+  private val q36 = Q(
+    "q36_lag_lead_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val timeline = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ranking = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val usec = unix_micros(col("ts"))
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          ((usec - lag(usec, 1).over(timeline)) / lit(1000000L)).cast("long")
+            .as("prev_gap_sec"),
+          ((lead(usec, 1).over(timeline) - usec) / lit(1000000L)).cast("long")
+            .as("next_gap_sec"),
+          rank().over(ranking).cast("long").as("value_rank"),
+          ntile(4).over(ranking).cast("long").as("value_quartile"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS BIGINT) AS prev_gap_sec,
+      CAST((lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS BIGINT) AS next_gap_sec,
+      CAST(rank() OVER r AS BIGINT) AS value_rank,
+      CAST(ntile(4) OVER r AS BIGINT) AS value_quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             r AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+      ORDER BY event_id""".replaceAll("\\s+", " ")))
+
+  /** Generator surface: posexplode of the token array — the flatten
+    * step of every token-level pipeline (a narrow, codegen'd per-row
+    * expansion; no shuffle). */
+  private val q37 = Q(
+    "q37_token_positions",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy("doc_id", "pos"),
+    Some("""SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos, unnest(toks) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ORDER BY doc_id, pos""".replaceAll("\\s+", " ")))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` vs
+    * DuckDB `quantile_cont` — independent implementations of the same
+    * NIST linear-interpolation definition). */
+  private val q38 = Q(
+    "q38_percentiles",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          PortableRound.round2(percentile(col("value"), lit(0.5))).as("p50"),
+          PortableRound.round2(percentile(col("value"), lit(0.9))).as("p90"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, count(*) AS n,
+      ${PortableRound.sql2("quantile_cont(CAST(value AS DOUBLE), 0.5)")} AS p50,
+      ${PortableRound.sql2("quantile_cont(CAST(value AS DOUBLE), 0.9)")} AS p90
+      FROM events GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** Canonical text normalization (lower/strip/squeeze/trim) — the
+    * pre-dedup cleanup pass; digest + length so the oracle hashes the
+    * full normalized value without megabytes of text in the result. */
+  private val q39 = Q(
+    "q39_text_normalize",
+    (s, dir) => {
+      val norm = TextAnalysis.normalize(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(norm).cast("long").as("norm_len"),
+          md5(norm).as("norm_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_digest
+      FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
+  /** SimHash hamming near-dup pairs via pigeonhole banding (complete,
+    * unlike MinHash LSH) — the engine side bands; the oracle brute-
+    * forces the same semantics. */
+  private val q40 = {
+    // 32-bit fingerprints with 8-bit bands: 4 bands of 256 values keep
+    // the pigeonhole candidate join selective (4-bit bands have only 16
+    // values per band — on a near-dup-heavy corpus that floods the
+    // candidate set with ~16× more spurious pairs for the same recall)
+    val bits = 32
+    val maxHamming = 3
+    val bitSumsSql = (0 until bits)
+      .map(j => s"sum(CASE WHEN ((hv >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val fpSql = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val hashCte =
+      s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks)"""
+    Q(
+      "q40_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", bits, maxHamming, bandBits = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $hashCte,
+        bs AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS f FROM bs)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= $maxHamming
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
+  /** Top-3 characteristic terms per document by the integer tf/df
+    * density score (see TextAnalysis.tfidfTopTerms for why the score is
+    * integer, not a float idf). */
+  private val q41 = Q(
+    "q41_tfidf_topterms",
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, tok, tf, df_t, tf * 1000000 // df_t AS score1m
+        FROM tf JOIN d USING (tok)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score1m DESC, tok) AS rn
+        FROM sc)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df_t, score1m
+      FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".replaceAll("\\s+", " ")))
+
+  /** Keep-best dedup canonicalization: per exact-dup group, survive the
+    * longest document (ties → smallest id) — argmax-struct in ONE
+    * digest-keyed aggregate, vs q20's keep-min-id. */
+  private val q42 = Q(
+    "q42_dedup_keep_best",
+    (s, dir) => Dedup.keepBest(
+      t(s, dir, "documents"), "doc_id", "text",
+      TextAnalysis.tokenCount(col("text")))
+      .orderBy("digest"),
+    Some("""WITH s AS (SELECT md5(text) AS digest, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      r AS (SELECT digest, doc_id, n_tok,
+        row_number() OVER (PARTITION BY digest ORDER BY n_tok DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY digest) AS dup_count
+        FROM s)
+      SELECT digest, doc_id AS keep_id, n_tok AS best_score, dup_count
+      FROM r WHERE rn = 1 ORDER BY digest""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42)
+}

@@ -170,6 +170,35 @@ class DedupSpec extends SparkSpec {
     fp(1L) should not be fp(4L)
   }
 
+  test("keepBest survives the highest-score doc per digest group, ties to min id") {
+    val d = Seq(
+      (5L, "a a"), (6L, "a a"), // dup group: same score → keep 5
+      (7L, "b b b"), (8L, "c")) // singletons
+      .toDF("doc_id", "text")
+    val got = Dedup.keepBest(d, "doc_id", "text",
+      graft.operators.TextAnalysis.tokenCount(col("text")))
+      .select("keep_id", "best_score", "dup_count")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array((5L, 2L, 2L), (7L, 3L, 1L), (8L, 1L, 1L))
+  }
+
+  test("simhashNearDupPairs == brute-force hamming filter (pigeonhole completeness)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val corpus = (1L to 60L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", bits = 16, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val fp = Dedup.simhash(df, "doc_id", "text", 16).as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    got shouldBe expected
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted random arrays") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(200) {
@@ -202,6 +231,25 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = TextAnalysis.profile(df, "doc_id", "text")
       .select("fingerprint").as[Long].collect()
     fps(0) shouldBe fps(1)
+  }
+
+  test("normalize lowers, strips non-alnum, squeezes and trims spaces") {
+    val df = Seq((1L, "  Héllo,   WORLD!! x2 ")).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.normalize(col("text"))).as[String].head()
+    got shouldBe "hllo world x2" // non-ascii é is stripped, runs squeezed
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first, ties on term") {
+    val df = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana common common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
+      .select("doc_id", "rank", "tok").as[(Long, Long, String)].collect().sorted
+    // doc 1: apple tf=3 df=1 → 3M beats common tf=1 df=3 → 333k
+    got.filter(_._1 == 1L).map(_._3).toSeq shouldBe Seq("apple", "common")
+    got.filter(_._1 == 2L).map(_._3).toSeq shouldBe Seq("banana", "common")
+    got.filter(_._1 == 3L).map(_._3).toSeq shouldBe Seq("cherry", "common")
   }
 }
 
