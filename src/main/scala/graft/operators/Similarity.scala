@@ -76,6 +76,76 @@ object Similarity {
       .map(j => when(element_at(asDouble(vec), j + 1) > 0.0, lit(1L << j)).otherwise(0L))
       .reduce[Column](_ + _)
 
+  /** IVF ANN with a TRAINED coarse quantizer (vs [[signBucket]]'s
+    * data-oblivious hashing): k-means centroids partition the corpus
+    * into `nCentroids` cells; each query probes only its `nProbe`
+    * nearest cells. This is the classic inverted-file layout — at 100 TB
+    * the cell id becomes the partition/bucket column of the stored
+    * index, so a probe is partition pruning + a scan of nProbe/nCentroids
+    * of the corpus. Recall rises with nProbe (nProbe = nCentroids
+    * degenerates to brute force).
+    *
+    * The quantizer trains distributed (MLlib KMeans over the corpus);
+    * cell assignment is one model.transform; the query→cell probe list
+    * is tiny (queries × centroids) and broadcast. Deterministic for a
+    * fixed seed. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int, seed: Long = 42L,
+      quantizerIter: Int = 5, trainFraction: Double = 0.25): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
+    // Quantizer training economics: a COARSE quantizer doesn't need
+    // convergence or the full corpus — cell quality for ROUTING
+    // saturates with a few Lloyd rounds over a sample (classic IVF
+    // practice). So: deterministic hash-sample of the corpus, cached so
+    // each Lloyd round doesn't re-scan the source, random init (the
+    // k-means|| parallel init spends extra full passes picking
+    // marginally better seeds — routing is insensitive to that).
+    val train = Sampling.deterministic(featured, idCol, trainFraction)
+      .select("_feat").persist()
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
+      .setInitMode("random")
+      .setFeaturesCol("_feat").setPredictionCol("_cell")
+      .fit(train)
+    train.unpersist(blocking = false) // fit is eager; sample no longer needed
+    val indexed = model.transform(featured).drop("_feat")
+
+    // query → nProbe nearest cells by L2 (k-means' own metric); the
+    // centers frame is centroids-sized, the probe list queries×nProbe
+    val centers = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("_cell", "_center")
+    val l2sq = aggregate(
+      zip_with(asDouble(col("_qvec")), col("_center"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("_d2").asc, col("_cell").asc)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("_qvec"))
+      .crossJoin(broadcast(centers))
+      .withColumn("_d2", l2sq)
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "_qvec", "_cell")
+
+    val hitRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    indexed.join(broadcast(probes), Seq("_cell"))
+      .select(
+        col("query_id"),
+        col(idCol),
+        PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(hitRank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   /** IVF/LSH-bucketed ANN: probe only the query's sign bucket. Recall is
     * partial (that's the ANN trade) but cost is corpus/2^nBits per
     * query. */

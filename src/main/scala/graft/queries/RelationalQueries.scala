@@ -228,5 +228,23 @@ object RelationalQueries {
       SELECT digest, doc_id AS keep_id, n_tok AS best_score, dup_count
       FROM r WHERE rn = 1 ORDER BY digest""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42)
+  /** IVF ANN with a trained k-means coarse quantizer — the scale path
+    * for similarity search (cell id = partition column at 100 TB; a
+    * probe is partition pruning). Not SQL-expressible (iterative
+    * k-means training) — the driver records the rows-only check;
+    * exactness vs brute force is covered by SimilaritySpec's
+    * well-separated-clusters recall test. */
+  private val q43 = Q(
+    "q43_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 2)
+        .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

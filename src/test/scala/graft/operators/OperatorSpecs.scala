@@ -278,4 +278,39 @@ class SimilaritySpec extends SparkSpec {
     got(0)._2 shouldBe 1.0
     got(2)._2 shouldBe 0.7071 +- 0.0001
   }
+
+  test("ivfTopK with nProbe=1 recovers brute-force top-k on well-separated clusters") {
+    // 3 tight clusters around orthogonal axes in 6-dim space: the
+    // k-means cells align with the clusters, so probing ONE cell holds
+    // every true neighbor of a near-axis query
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 1f, 0f))
+    val corpus = (0 until 90).map(i => (i.toLong, jitter(axes(i % 3))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, axes(0)), (101L, axes(2))).toDF("vec_id", "embedding")
+
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nCentroids = 3, nProbe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def brute(qid: Long): Set[Long] =
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+        .select("vec_id").as[Long].collect().toSet
+
+    ivf(100L) shouldBe brute(100L)
+    ivf(101L) shouldBe brute(101L)
+    // determinism: same seed → same result
+    val again = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nCentroids = 3, nProbe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    again shouldBe ivf
+  }
 }
