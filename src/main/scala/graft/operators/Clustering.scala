@@ -50,12 +50,22 @@ object Clustering {
     // as the round's replacement has materialized
     var prevCkpt = labels
 
+    // Checkpointed frames carry no size statistics, so Catalyst cannot
+    // see that the labels side is vertex-sized (usually tiny next to the
+    // edge list) and would sort-merge-join the FULL edge list every
+    // round. Broadcasting labels keeps edges in place: per round, the
+    // only shuffle left is the vertex-sized partial-aggregated groupBy.
+    val nVertices = labels.count()
+    val hintLabels: DataFrame => DataFrame =
+      if (nVertices <= 10000000L) broadcast(_) else identity
+
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // round part 1: take the min of own and neighbors' labels
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .join(hintLabels(labels.select(col("id").as("dst"), col("label").as("dst_label"))),
+          Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("neighbor_min"))
       val afterMin = labels
@@ -68,7 +78,7 @@ object Clustering {
       // near-dup graphs)
       val jump = afterMin.select(col("id").as("_jid"), col("mid_label").as("_jlabel"))
       val updated = afterMin
-        .join(jump, col("mid_label") === col("_jid"), "left")
+        .join(hintLabels(jump), col("mid_label") === col("_jid"), "left")
         .select(col("id"), col("label"),
           coalesce(col("_jlabel"), col("mid_label")).as("new_label"))
         .localCheckpoint()
