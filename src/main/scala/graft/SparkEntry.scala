@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BatchQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{BatchQueries, CurationQueries, PipelineQueries, Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{BatchQueries, PipelineQueries, Q, RelationalQueries}
 object SparkEntry {
 
   private val defs: Seq[Q] =
-    BatchQueries.all ++ PipelineQueries.all ++ RelationalQueries.all
+    BatchQueries.all ++ PipelineQueries.all ++ RelationalQueries.all ++ CurationQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the
     * `batch_stock` hourly-aggregate shape (SURVEY.md §7.2 step 1). */

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Plans, PortableHash}
+
+/** Train/test decontamination: drop corpus documents that share any
+  * n-gram with a held-out evaluation set — the standard pre-training
+  * hygiene pass (the reference has no analog; this is part of the
+  * engine's training-data suite).
+  *
+  * Shape at 100 TB: the corpus side is the 100 TB table, the test side
+  * is tiny (benchmarks are thousands of documents). So the plan must
+  * never shuffle the corpus on gram keys: the test set's distinct gram
+  * hashes aggregate to a frame small enough to BROADCAST, the corpus
+  * streams through a broadcast semi-join in place, and only the matched
+  * doc ids (bounded by corpus contamination rate) reach a shuffle. The
+  * gram unit is the same w-shingling as the MinHash pipeline
+  * ([[Dedup.distinctShingles]]) with the engine's portable hash, so a
+  * stored gram index is shareable between dedup and decontamination.
+  *
+  * For corpora where even the per-doc gram fan-out is too expensive to
+  * semi-join twice, [[cleanBloomExact]] pre-screens grams against a
+  * Bloom filter of the test set (orders of magnitude smaller than the
+  * hash frame) and only bloom-positive grams — a small superset of the
+  * true matches — enter the exact join, preserving exactness while the
+  * full corpus gram stream never shuffles at all.
+  */
+object Decontaminate {
+
+  /** (id, gram_hash): distinct n-token-gram hashes per document. A
+    * document shorter than `n` tokens contributes no grams (and so can
+    * never be flagged). Narrow: explode + projection, no shuffle. */
+  def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(Dedup.distinctShingles(col(textCol), n)).as("_gram"))
+      .select(col(idCol), PortableHash.md5Hash32(col("_gram")).as("gram_hash"))
+
+  /** Distinct gram hashes of the test set — the (small) reference side. */
+  def testGramSet(test: DataFrame, textCol: String, n: Int): DataFrame =
+    test.select(explode(Dedup.distinctShingles(col(textCol), n)).as("_gram"))
+      .select(PortableHash.md5Hash32(col("_gram")).as("gram_hash"))
+      .distinct()
+
+  /** Ids of corpus documents sharing ≥1 n-gram with `test`. Broadcast
+    * semi-join on the gram hash, then one distinct over the (small)
+    * matched id set. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String, n: Int,
+      broadcastTest: Boolean = true): DataFrame =
+    ngramHashes(corpus, idCol, textCol, n)
+      .join(Plans.maybeBroadcast(testGramSet(test, testTextCol, n), broadcastTest),
+        Seq("gram_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+
+  /** The corpus minus contaminated documents, full rows. The
+    * contaminated id frame is contamination-rate-sized, so the anti
+    * join broadcasts it and the corpus again streams in place. */
+  def clean(corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String, n: Int,
+      broadcastTest: Boolean = true): DataFrame =
+    corpus.join(
+      Plans.maybeBroadcast(
+        contaminatedIds(corpus, idCol, textCol, test, testTextCol, n, broadcastTest),
+        broadcastTest),
+      Seq(idCol), "left_anti")
+
+  /** [[clean]] with a Bloom pre-screen: grams are first tested against
+    * a Bloom filter built over the test gram hashes (`fpp` false-
+    * positive rate); only bloom-positive grams enter the exact
+    * semi-join, so false positives are removed and the result equals
+    * [[clean]] EXACTLY — the filter only changes how much of the corpus
+    * gram stream reaches the join. The filter is built with one
+    * aggregation over the test side and shipped in the filter closure
+    * (at cluster scale: a broadcast variable of a few MB vs a hash
+    * frame of hundreds). */
+  def cleanBloomExact(corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = testGramSet(test, testTextCol, n)
+    val expected = math.max(1L, grams.count())
+    val bloom = grams.stat.bloomFilter("gram_hash", expected, fpp)
+    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+    val candidates = ngramHashes(corpus, idCol, textCol, n)
+      .filter(mightContain(col("gram_hash")))
+      .join(broadcast(grams), Seq("gram_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(candidates), Seq(idCol), "left_anti")
+  }
+}

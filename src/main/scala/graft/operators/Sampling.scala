@@ -27,4 +27,27 @@ object Sampling {
     val bucket = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
     df.filter(bucket < lit((fraction * (1L << 32)).toLong))
   }
+
+  /** Per-group quota: keep at most `maxPerGroup` rows per `groupCol`
+    * (the domain/source-capping pass of corpus curation). Which rows
+    * survive is DETERMINISTIC — priority is the md5-derived id hash
+    * (ties → id), not arrival order — so a capped corpus is exactly
+    * recomputable, like [[deterministic]].
+    *
+    * One shuffle on the group key (ranking window + filter). Skew note
+    * for 100 TB: a giant group funnels into one task, but only its
+    * `maxPerGroup` smallest hashes matter — pre-filtering each group to
+    * hash < cutoff (cutoff from a coarse per-group count) bounds the
+    * window input to ~maxPerGroup rows per group before the shuffle;
+    * the same hash-priority makes that pre-filter sound. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(pri.asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerGroup)
+      .drop("_rn")
+  }
 }

@@ -115,6 +115,48 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df_t"), col("score1m"))
   }
 
+  /** Corpus vocabulary: the `topN` terms by document frequency with
+    * stable integer ids — the vocab-building pass of tokenizer/feature
+    * pipelines. Term stats build in two partial-aggregated hash
+    * aggregates (per-doc tf, then global tf/df — the q41 shape); topN
+    * selection is orderBy+limit, which Catalyst plans as
+    * TakeOrderedAndProject (per-partition heaps, only topN rows move).
+    * The ranking window that assigns vocab_id then runs over the
+    * ALREADY-REDUCED topN rows — the unpartitioned window is topN-sized
+    * by construction, never corpus-sized. Ordering is fully
+    * deterministic: df desc, then term asc. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val perDoc = toks.groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf_d"))
+    val stats = perDoc.groupBy(col("tok"))
+      .agg(sum(col("tf_d")).as("tf"), count(lit(1)).as("df_t"))
+    val top = stats.orderBy(col("df_t").desc, col("tok").asc).limit(topN)
+    val w = Window.orderBy(col("df_t").desc, col("tok").asc)
+    top.withColumn("vocab_id", row_number().over(w).cast("long"))
+      .select(col("vocab_id"), col("tok"), col("tf"), col("df_t"))
+  }
+
+  /** Fixed-size sequence chunking: split each document into consecutive
+    * `chunkSize`-token windows — the context-window packing step that
+    * turns variable-length documents into training sequences. Narrow
+    * per-row expansion (slice + posexplode), no shuffle; the last chunk
+    * is the remainder (shorter than `chunkSize`). */
+  def chunk(df: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val toks = tokens(col(textCol))
+    val nChunks = floor((size(toks) + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunkSize + 1, lit(chunkSize))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        tokenCount(col("chunk_text")).as("n_tokens"),
+        col("chunk_text"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Sampling, TextAnalysis}
+
+/** Round-3 curation operators: decontamination, quota capping,
+  * vocabulary, chunking, exact-sum moments. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b c d e f g h"),        // shares 5-gram "a b c d e" with test
+    (2L, "x y z w v u t s"),        // clean
+    (3L, "b c d e f qq r s t"),     // shares "b c d e f"
+    (4L, "short doc"),              // < 5 tokens: never flagged
+    (5L, "p q r s t u v w x y z")   // clean
+  ).toDF("doc_id", "text")
+
+  private val testSet = Seq(
+    (100L, "a b c d e f zz"),
+    (101L, "mm nn oo pp qq")
+  ).toDF("doc_id", "text")
+
+  test("decontaminate drops exactly the docs sharing an n-gram") {
+    val clean = Decontaminate.clean(corpus, "doc_id", "text", testSet, "text", 5)
+      .select("doc_id").as[Long].collect().sorted
+    clean shouldBe Array(2L, 4L, 5L) // 1 shares "a b c d e", 3 shares "b c d e f"
+    val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text", testSet, "text", 5)
+      .as[Long].collect().sorted
+    bad shouldBe Array(1L, 3L)
+  }
+
+  test("bloom-prescreened decontamination equals the exact result") {
+    val exact = Decontaminate.clean(corpus, "doc_id", "text", testSet, "text", 5)
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = Decontaminate.cleanBloomExact(corpus, "doc_id", "text", testSet, "text", 5)
+      .select("doc_id").as[Long].collect().sorted
+    bloomed shouldBe exact
+  }
+
+  test("capPerGroup keeps at most the cap, deterministically across partitionings") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.capPerGroup(df.repartition(7), "grp", "id", 10)
+    val b = Sampling.capPerGroup(df.repartition(2), "grp", "id", 10)
+    val rowsA = a.select("id").as[Long].collect().sorted
+    rowsA shouldBe b.select("id").as[Long].collect().sorted
+    a.groupBy("grp").count().select("count").as[Long].collect().foreach(_ shouldBe 10L)
+  }
+
+  test("vocabulary ranks by document frequency with term tie-break") {
+    val df = Seq(
+      (1L, "cat dog cat"), (2L, "cat fish"), (3L, "dog ape")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "doc_id", "text", 3)
+      .orderBy("vocab_id")
+      .as[(Long, String, Long, Long)].collect()
+    // df: cat=2, dog=2, ape=1, fish=1 → cat, dog, ape
+    v.map(_._2) shouldBe Array("cat", "dog", "ape")
+    v.map(_._4) shouldBe Array(2L, 2L, 1L)  // df_t
+    v.map(_._3) shouldBe Array(3L, 2L, 1L)  // tf with multiplicity
+  }
+
+  test("chunking reassembles to the original text and respects the size") {
+    val df = Seq((1L, (1 to 70).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val c = TextAnalysis.chunk(df, "doc_id", "text", 32)
+    val byDoc = c.orderBy("doc_id", "chunk_id")
+      .select("doc_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    byDoc(1L).map(_._2) shouldBe Array(32L, 32L, 6L)
+    byDoc(1L).map(_._3).mkString(" ") shouldBe (1 to 70).map(i => s"t$i").mkString(" ")
+    byDoc(2L).map(_._3).mkString(" ") shouldBe "a b"
+    c.filter(col("n_tokens") > 32).count() shouldBe 0L
+  }
+
+  test("exact-sum moments agree with Spark's built-ins to rounding tolerance") {
+    val df = (1 to 500).map(i => (i % 7, i * 0.5 + (i % 13), i * 1.5 - (i % 11)))
+      .toDF("g", "x", "y")
+    val ours = df.groupBy("g").agg(
+      graft.functions.ExactAgg.stddevSamp2(col("x")).as("sd"),
+      graft.functions.ExactAgg.varSamp2(col("x")).as("va"),
+      graft.functions.ExactAgg.covarSamp2(col("x"), col("y")).as("cv"),
+      graft.functions.ExactAgg.corr4(col("x"), col("y")).as("co"))
+    val ref = df.groupBy("g").agg(
+      stddev_samp(col("x")).as("sd_r"),
+      var_samp(col("x")).as("va_r"),
+      covar_samp(col("x"), col("y")).as("cv_r"),
+      corr(col("x"), col("y")).as("co_r"))
+    ours.join(ref, "g").collect().foreach { r =>
+      math.abs(r.getDouble(1) - r.getDouble(5)) should be <= 0.01
+      math.abs(r.getDouble(2) - r.getDouble(6)) should be <= 0.01
+      math.abs(r.getDouble(3) - r.getDouble(7)) should be <= 0.01
+      math.abs(r.getDouble(4) - r.getDouble(8)) should be <= 0.001
+    }
+  }
+}
