@@ -85,21 +85,57 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Only ids and
-    * band keys shuffle. The probe side is broadcast: band rows are
-    * (id, band_id, key) — tiny relative to the corpus — so the self-join
-    * runs as a broadcast hash join with stream-side parallelism instead
-    * of hash-partitioning on band keys (which skews badly on large
-    * near-dup clusters, where one hot band key funnels the whole
-    * cluster's candidate explosion into a single task). */
+  /** Band rows carrying the doc's FULL key vector: (id, band_id,
+    * band_key, keys[0..nBands)). The keys array is what makes dedup-free
+    * pair enumeration possible (see [[minhashCandidates]]). */
+  private def lshBandsKeyed(sig: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, "k must be divisible by bandSize")
+    val keys = (0 until k / bandSize).map { b =>
+      concat_ws("-", (0 until bandSize).map(j => col(s"mh${b * bandSize + j}")): _*)
+    }
+    sig.select(col(idCol), array(keys: _*).as("keys"))
+      .select(col(idCol), col("keys"), posexplode(col("keys")).as(Seq("band_id", "band_key")))
+  }
+
+  /** For all j < band_id: the two docs' j-th band keys DIFFER — i.e.
+    * this band is the FIRST collision. Each colliding pair is emitted by
+    * exactly one band, so the enumeration needs NO distinct: the classic
+    * dedup-free LSH join. The filter is a handful of string compares per
+    * candidate row vs a full shuffle+aggregate over the (heavily
+    * duplicated — up to nBands×) pair stream. */
+  private def firstCollision(nBands: Int, keysA: Column, keysB: Column): Column =
+    (0 until nBands - 1)
+      .map(j => lit(j) >= col("band_id") ||
+        element_at(keysA, j + 1) =!= element_at(keysB, j + 1))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band, each pair
+    * exactly once. Only ids and band keys shuffle. The probe side is
+    * broadcast: band rows are tiny relative to the corpus, so the
+    * self-join runs as a broadcast hash join with stream-side
+    * parallelism instead of hash-partitioning on band keys (which skews
+    * badly on large near-dup clusters, where one hot band key funnels
+    * the whole cluster's candidate explosion into a single task).
+    * Cross-band duplicates are eliminated by the first-collision filter
+    * ([[firstCollision]]) instead of a pair-keyed shuffle+distinct —
+    * the dominant cost of the naive formulation (the pair stream is
+    * ~nBands× the distinct pair count). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandSize: Int = 4, broadcastBuild: Boolean = true): DataFrame = {
-    val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
-    val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
-    val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
+    val nBands = k / bandSize
+    val bands = lshBandsKeyed(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
+    // Explicit-N repartition: the stream side is byte-tiny but each row's
+    // probe fans out quadratically inside hot bands — AQE's byte-based
+    // coalescing would serialize it (SURVEY.md §8.1).
+    val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"),
+      col("keys").as("keys_a")).repartition(Plans.shufflePartitions(df))
+    val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"),
+      col("keys").as("keys_b"))
     a.join(Plans.maybeBroadcast(b, broadcastBuild), Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("id_a") < col("id_b") &&
+        firstCollision(nBands, col("keys_a"), col("keys_b")))
+      .select("id_a", "id_b")
   }
 
   /** The 100 TB dedup pipeline: LSH candidate generation
@@ -115,20 +151,12 @@ object Dedup {
     val toks = df.select(col(idCol).as("_tid"),
       array_sort(distinctTokens(col(textCol))).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
-    // Candidate generation inlined (vs minhashCandidates) so the dedup
-    // and the verification fan-out share ONE keyed shuffle: explicit-N
-    // repartition by the pair key (AQE-exempt — byte-based coalescing
-    // would serialize the CPU-heavy verify), then dropDuplicates plans a
-    // single complete aggregate over the already-co-located rows.
-    val nPart = Plans.shufflePartitions(df)
-    val bands = lshBands(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
-    val ba = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
-    val bb = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_key"))
-    ba.join(Plans.maybeBroadcast(bb, broadcastBuild), Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .repartition(nPart, col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Candidate generation is [[minhashCandidates]]' dedup-free
+    // first-collision join, so candidates flow STRAIGHT into the
+    // verification joins — zero shuffles between enumeration and verify
+    // (everything after the signature aggregate is one fused
+    // broadcast-probe pipeline).
+    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
         col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
@@ -186,19 +214,24 @@ object Dedup {
     val exploded = sig.select(col(idCol), col("simhash"),
       explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_val"))
+    // Explicit-N repartition: byte-tiny stream side, quadratic probe
+    // fan-out — AQE coalescing would serialize it (SURVEY.md §8.1).
     val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
-      col("band_id"), col("band_val"))
+      col("band_id"), col("band_val")).repartition(Plans.shufflePartitions(df))
     val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_val"))
-    val nPart = Plans.shufflePartitions(df)
+    // A candidate repeats once per agreeing band; emit it only from the
+    // FIRST agreeing band. Earlier bands are recomputable from the two
+    // fingerprints (shift+mask), so — unlike the MinHash variant — the
+    // filter needs no carried key array, and no pair-keyed
+    // shuffle+distinct at all.
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(j => lit(j) >= col("band_id") ||
+        shiftright(col("sim_a"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("sim_b"), j * bandBits).bitwiseAND(lit(mask)))
+      .reduceOption(_ && _).getOrElse(lit(true))
     a.join(Plans.maybeBroadcast(b, broadcastBuild), Seq("band_id", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b")
-      // candidates repeat once per agreeing band: repartition by the pair
-      // key (explicit N — AQE-exempt) + dropDuplicates = ONE keyed
-      // shuffle that also spreads the verify fan-out (q30's pattern)
-      .repartition(nPart, col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(col("id_a") < col("id_b") && noEarlierAgreement)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
