@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CheckpointBridge
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Connected components over a near-duplicate pair list — the step that
   * turns pairwise matches (q22/q24/q29/q30 output) into dedup GROUPS:
@@ -21,18 +22,46 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
   */
 object Clustering {
 
+  /** Edge-count ceiling for the driver-side solve: 2M edges collect to
+    * ~tens of MB and union-find them in well under a second, vs multiple
+    * join+aggregate rounds whose per-round scheduling latency dominates
+    * on small graphs. Above the ceiling (or for unsupported id types)
+    * the distributed min-label loop runs — identical output. */
+  val DefaultDriverSolveMaxEdges: Long = 2000000L
+
   /** @param pairs DataFrame with two id columns (`aCol`, `bCol`) — an
-    *              undirected edge list (direction ignored).
+    *              undirected edge list (direction ignored; edges with a
+    *              null endpoint are dropped — SQL equality cannot
+    *              propagate labels through null ids).
+    * @param driverSolveMaxEdges edge count at or below which the graph
+    *              is solved with driver-side union-find (exact same
+    *              labels); pass 0 to force the distributed loop.
     * @return (id, cluster_id) for every id APPEARING IN PAIRS; callers
     *         union isolated vertices back with cluster_id = own id.
     * @throws IllegalStateException if maxIter rounds don't converge —
     *         a silent cutoff would return WRONG components. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverSolveMaxEdges: Long = DefaultDriverSolveMaxEdges): DataFrame = {
     // materialize pairs ONCE — the union below references it twice, and
     // without this the (often expensive) pair-generation plan executes
     // once per branch
-    val p = pairs.select(col(aCol).as("_a"), col(bCol).as("_b")).localCheckpoint()
+    val p = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .localCheckpoint()
+
+    // Adaptive execution: a graph this small is cheaper to solve on the
+    // driver than to iterate over — the loop's cost is dominated by
+    // per-round job scheduling, not data. The id ordering must match
+    // Spark's min() for identical cluster ids.
+    val sameType = p.schema("_a").dataType == p.schema("_b").dataType
+    val keyOrdering = if (sameType) minOrdering(p.schema("_a").dataType) else None
+    if (p.count() <= driverSolveMaxEdges && keyOrdering.isDefined) {
+      val out = driverSolve(p, keyOrdering.get)
+      CheckpointBridge.release(p)
+      return out
+    }
+
     val edges = p.select(col("_a").as("src"), col("_b").as("dst"))
       .unionByName(p.select(col("_b").as("src"), col("_a").as("dst")))
       .distinct()
@@ -95,6 +124,50 @@ object Clustering {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** The orderings under which min-label semantics is defined for the
+    * driver solve; must agree with Spark's `min()` on the same type. */
+  private def minOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+    case StringType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+    case _ => None
+  }
+
+  /** Union-find with path compression, roots kept at the component MIN
+    * (so the root IS the cluster id — no second pass). One driver
+    * thread, O(E α(V)) amortized with compression. */
+  private def driverSolve(p: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = p.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var root = x0
+      var pr = parent.get(root)
+      while (pr != null && pr != root) { root = pr; pr = parent.get(root) }
+      var x = x0
+      while (x != root) {
+        val nxt = parent.get(x)
+        parent.put(x, root)
+        x = if (nxt == null) root else nxt
+      }
+      root
+    }
+    val verts = new java.util.LinkedHashSet[Any]()
+    p.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      verts.add(a); verts.add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val idType = p.schema("_a").dataType
+    val rows = new java.util.ArrayList[Row](verts.size())
+    verts.forEach(v => rows.add(Row(v, find(v))))
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("cluster_id", idType))))
   }
 
   /** Cluster assignment for a full corpus: every id gets a cluster_id —

@@ -262,10 +262,11 @@ object PipelineQueries {
   }
 
   /** Near-dup clusters: embedding-cosine pairs (q29's generator) →
-    * connected components → one cluster id per vector. Not
-    * SQL-expressible (iterative fixpoint) — the driver records the
-    * rows-only check; exactness is covered by ClusteringSpec's
-    * brute-force union-find property test. (The same operator clusters
+    * connected components → one cluster id per vector. The engine side
+    * is iterative (adaptive union-find / min-label fixpoint); the DuckDB
+    * oracle expresses the same fixpoint as a recursive-CTE transitive
+    * closure — quadratic in component size, fine at oracle SF where
+    * near-dup clusters are small. (The same operator clusters
     * LSH-verified text pairs — q30's output — identically; the
     * embedding graph is the cheaper bench representative.) */
   private val q32 = Q(
@@ -277,7 +278,18 @@ object PipelineQueries {
         Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4), "id_a", "id_b")
         .orderBy("vec_id")
     },
-    None)
+    Some(s"""WITH RECURSIVE
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE ${cosineSql("a.v", "b.v")} >= 0.4),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (SELECT src, dst FROM e
+        UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+      SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
+      FROM c LEFT JOIN m ON c.vec_id = m.src
+      ORDER BY c.vec_id""".replaceAll("\\s+", " ")))
 
   /** Deterministic hash sampling: the same ~30% of documents selected
     * regardless of partitioning or cluster size — recomputable from the

@@ -206,12 +206,23 @@ class ClusteringSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Clustering
 
-  test("connectedComponents labels each component with its min id") {
+  test("connectedComponents labels each component with its min id (both paths)") {
     // components: {1,2,3} (chain), {5,6}, isolated 9 not in pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Clustering.connectedComponents(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path (default threshold covers 3 edges)
+    Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap shouldBe expected
+    // distributed min-label loop, forced
+    Clustering.connectedComponents(pairs, "id_a", "id_b", driverSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap shouldBe expected
+  }
+
+  test("connectedComponents works on string ids (driver path ordering)") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap shouldBe
+      Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
   }
 
   test("assignClusters gives isolated ids their own cluster") {
@@ -223,10 +234,12 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("superseded per-round checkpoints are released (no storage growth across calls)") {
+    // force the distributed loop — the driver path keeps no checkpoints
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
-    Clustering.connectedComponents(pairs, "id_a", "id_b").count()
+    Clustering.connectedComponents(pairs, "id_a", "id_b", driverSolveMaxEdges = 0).count()
     val after1 = spark.sparkContext.getPersistentRDDs.size
-    (1 to 3).foreach(_ => Clustering.connectedComponents(pairs, "id_a", "id_b").count())
+    (1 to 3).foreach(_ => Clustering
+      .connectedComponents(pairs, "id_a", "id_b", driverSolveMaxEdges = 0).count())
     val after4 = spark.sparkContext.getPersistentRDDs.size
     // each call may leave only its FINAL labels checkpoint behind (the
     // returned frame still reads it); intermediate rounds must be freed
@@ -249,9 +262,13 @@ class ClusteringSpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      val got = Clustering.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
-        .as[(Long, Long)].collect().toMap
-      withClue(s"edges=$edges: ") { got shouldBe expected }
+      Seq(Clustering.DefaultDriverSolveMaxEdges, 0L).foreach { thresh =>
+        val got = Clustering
+          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+            driverSolveMaxEdges = thresh)
+          .as[(Long, Long)].collect().toMap
+        withClue(s"edges=$edges thresh=$thresh: ") { got shouldBe expected }
+      }
     }
   }
 }
