@@ -157,6 +157,44 @@ object TextAnalysis {
         col("chunk_text"))
   }
 
+  /** Boilerplate detection: n-gram shingles appearing in at least
+    * `minDocs` DISTINCT documents (headers, footers, license blocks —
+    * the cross-document repetition CCNet-style curation removes).
+    * Shingles are distinct per document ([[Dedup.distinctShingles]]), so
+    * a plain count after the explode IS the document frequency — one
+    * partial-aggregated hash aggregate over (gram), no distinct-agg.
+    * At corpus scale the aggregate output is vocabulary-sized; the
+    * `minDocs` filter applies post-aggregation (HAVING). */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long): DataFrame =
+    df.select(explode(Dedup.distinctShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") >= minDocs)
+
+  /** Token-budget shard packing: assign each document to a training
+    * shard so consecutive (by `orderCol`, within `partCol`) documents
+    * fill ~`budgetTokens`-token shards — the document→shard layout pass
+    * before sequence serialization. A document lands in the shard its
+    * STARTING token offset falls in (documents spanning a boundary are
+    * not split; oversized documents own their span).
+    *
+    * The running total is a rows-frame window per `partCol` — the
+    * partition column keeps it parallel (one task per partition value),
+    * the idiomatic Spark shape for per-group sequential layout. */
+  def packShards(df: DataFrame, partCol: String, orderCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(orderCol), col(partCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("_cum") - col("n_tokens")) / lit(budgetTokens)).cast("long"))
+      .drop("_cum")
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

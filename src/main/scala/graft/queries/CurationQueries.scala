@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ExactAgg, PortableHash}
+import graft.functions.{ExactAgg, PortableHash, PortableRound}
 import graft.operators.{Decontaminate, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
@@ -133,5 +133,70 @@ object CurationQueries {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49)
+  /** Boilerplate 5-grams: shingles shared by ≥5 distinct documents. */
+  private val q50 = {
+    val (n, minDocs) = (5, 5L)
+    Q(
+      "q50_repeated_ngrams",
+      (s, dir) => TextAnalysis.repeatedNgrams(t(s, dir, "documents"), "doc_id", "text", n, minDocs)
+        .orderBy("gram"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(${shingleListSql("toks", n)})) AS gram FROM tk)
+        SELECT gram, CAST(count(*) AS BIGINT) AS df_g FROM g
+        GROUP BY 1 HAVING count(*) >= $minDocs ORDER BY gram"""
+        .replaceAll("\\s+", " ")))
+  }
+
+  /** Token-budget shard packing: per-language greedy sequential layout
+    * into ~1000-token shards. */
+  private val q51 = Q(
+    "q51_pack_shards",
+    (s, dir) => TextAnalysis.packShards(t(s, dir, "documents"), "lang", "doc_id", "text", 1000L)
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tk)
+      SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 1000 AS shard_id
+      FROM c ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
+  /** Per-label embedding centroids: exact component-wise means. */
+  private val q52 = Q(
+    "q52_cluster_centroids",
+    (s, dir) => graft.operators.Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("label"),
+    Some(s"""WITH e AS (SELECT label, r.i AS pos,
+        CAST(embedding[r.i + 1] AS DOUBLE) AS c
+        FROM embeddings CROSS JOIN range(0, 64) r(i)),
+      s AS (SELECT label, pos, ${PortableRound.sql4(ExactAgg.avgExactSql("c"))} AS m,
+        count(*) AS n_pos FROM e GROUP BY 1, 2)
+      SELECT label, CAST(max(n_pos) AS BIGINT) AS n,
+        list(m ORDER BY pos) AS centroid
+      FROM s GROUP BY label ORDER BY label""".replaceAll("\\s+", " ")))
+
+  /** Corpus report card per source: doc/token/language/length stats in
+    * one pass — includes the engine's only count-DISTINCT aggregate. */
+  private val q53 = Q(
+    "q53_source_report",
+    (s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(txt)).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          ExactAgg.avg2(col("n_chars")).as("avg_chars"),
+          max(TextAnalysis.tokenCount(txt)).as("max_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      ${ExactAgg.avg2Sql("n_chars")} AS avg_chars,
+      CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+      FROM documents GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

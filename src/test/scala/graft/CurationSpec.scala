@@ -93,4 +93,44 @@ class CurationSpec extends SparkSpec {
       math.abs(r.getDouble(4) - r.getDouble(8)) should be <= 0.001
     }
   }
+
+  test("repeatedNgrams finds exactly the cross-document shingles") {
+    val df = Seq(
+      (1L, "a b c d e tail1"),
+      (2L, "a b c d e tail2"),
+      (3L, "a b c d e a b c d e"), // duplicate shingle inside ONE doc: df=1
+      (4L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedNgrams(df, "doc_id", "text", 5, 3L)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("a b c d e" -> 3L)
+    // minDocs above any df → empty
+    TextAnalysis.repeatedNgrams(df, "doc_id", "text", 5, 5L).count() shouldBe 0L
+  }
+
+  test("packShards assigns documents to shards by starting token offset") {
+    val df = Seq(
+      (1L, "en", "t1 t2 t3 t4"),    // offset 0  → shard 0
+      (2L, "en", "t1 t2 t3"),       // offset 4  → shard 0
+      (3L, "en", "t1 t2 t3 t4 t5"), // offset 7  → shard 0 (spans into 1)
+      (4L, "en", "t1 t2"),          // offset 12 → shard 1
+      (5L, "de", "t1 t2 t3")        // own partition, offset 0 → shard 0
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.packShards(df, "lang", "doc_id", "text", 10L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L)
+  }
+
+  test("centroids compute exact per-label component means") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, -2.0f))
+    ).toDF("label", "embedding")
+    val got = graft.operators.Embeddings.centroids(df, "label", "embedding")
+      .orderBy("label")
+      .as[(Int, Long, Seq[Double])].collect()
+    got shouldBe Array(
+      (0, 2L, Seq(2.0, 4.0)),
+      (1, 1L, Seq(10.0, -2.0)))
+  }
 }
