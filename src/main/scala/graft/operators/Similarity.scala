@@ -45,10 +45,17 @@ object Similarity {
     val nPart = graft.functions.Plans.shufflePartitions(df)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")).repartition(nPart)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(graft.functions.Plans.maybeBroadcast(b, broadcastBuild), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        PortableRound.round4(cosine(col("vec_a"), col("vec_b"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    // The threshold lives INSIDE the join condition so the nested-loop
+    // join materializes only passing pairs, and behind a `when` guard on
+    // the cheap id ordering: Catalyst reorders plain conjuncts and would
+    // otherwise evaluate the cosine for ALL n² combos instead of the
+    // ordered half. Survivor rows recompute the (few) cosines once more
+    // in the projection — far cheaper than materializing every ordered
+    // pair with both vectors attached.
+    val sim = PortableRound.round4(cosine(col("vec_a"), col("vec_b")))
+    a.join(graft.functions.Plans.maybeBroadcast(b, broadcastBuild),
+        when(col("id_a") < col("id_b"), sim).otherwise(lit(null)) >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
   }
 
   /** All-pairs cosine of `df` against the (tiny, broadcast) `queries`

@@ -222,6 +222,83 @@ class StreamingSpec extends SparkSpec {
     rows should contain((("u1"), 1L)) // the single-event session
   }
 
+  test("tumbling window aggregate emits closed windows after watermark") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamAgg.tumbling(
+      in.toDF().toDF("ts", "sym", "v"), "ts", "1 minute", "10 minutes",
+      Seq("sym"), Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+      .select(col("window.start").cast("string").as("ws"), col("sym"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("t_tumble")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), "A", 1.0),
+      (ts("2024-01-01 00:04:00"), "A", 2.0),  // same 00:00-00:10 window
+      (ts("2024-01-01 00:12:00"), "A", 5.0))  // next window
+    in.addData((ts("2024-01-01 01:00:00"), "B", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_tumble").as[(String, String, Long, Double)].collect()
+    rows should contain (("2024-01-01 00:00:00", "A", 2L, 3.0))
+    rows should contain (("2024-01-01 00:10:00", "A", 1L, 5.0))
+  }
+
+  test("sliding window aggregate lands each event in duration/slide windows") {
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = StreamAgg.sliding(
+      in.toDF().toDF("ts", "v"), "ts", "1 minute", "10 minutes", "5 minutes",
+      Seq.empty, Seq(count(lit(1)).as("n")))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_slide")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((ts("2024-01-01 00:07:00"), 1.0)) // windows 00:00 and 00:05
+    in.addData((ts("2024-01-01 01:00:00"), 9.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_slide").as[(String, Long)].collect().toMap
+    rows("2024-01-01 00:00:00") shouldBe 1L
+    rows("2024-01-01 00:05:00") shouldBe 1L
+  }
+
+  test("mapGroupsWithState keeps running per-key totals across batches") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val totals = StatefulOps.runningTotals(
+      in.toDF().toDF("ts", "key", "v"), "key", "ts", "v")
+    val q = totals.toDF().writeStream.format("memory").queryName("t_running")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:00:01"), "a", 2.0),
+      (ts("2024-01-01 00:00:02"), "b", 5.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:00:03"), "a", 4.0)) // second batch folds in
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_running").as[(String, Long, Double)].collect()
+    rows should contain (("a", 2L, 3.0))  // after batch 1
+    rows should contain (("a", 3L, 7.0))  // after batch 2 — state carried over
+    rows should contain (("b", 1L, 5.0))
+  }
+
+  test("flatMapGroupsWithState emits sessions exactly once on event-time timeout") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val sessions = StatefulOps.timeoutSessions(
+      in.toDF().toDF("ts", "key", "v"), "key", "ts", "v",
+      delay = "1 minute", gapSec = 300)
+    val q = sessions.toDF().writeStream.format("memory").queryName("t_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "u1", 1.0),
+      (ts("2024-01-01 00:03:00"), "u1", 1.0))  // within 5-min gap → one session
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 01:00:00"), "u2", 0.0)) // watermark → timeout u1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_fmgws")
+      .as[(String, Timestamp, Timestamp, Long)].collect()
+    rows shouldBe Array(("u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:03:00"), 2L))
+    // u2's session is still open (no later watermark advance) — not emitted
+  }
+
   test("T8: persisted GBT model scores a streaming frame inside the plan") {
     import graft.ml.MlPipeline
     val train = (1 to 200).map(i => (i.toDouble, i.toDouble * 2 + 1)).toDF("x", "y")
