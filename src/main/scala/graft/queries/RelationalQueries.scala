@@ -246,5 +246,55 @@ object RelationalQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+  /** Set operations with SQL DISTINCT semantics: customers ordering in
+    * both of two status classes (INTERSECT) and in the first only
+    * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
+    * union — no pairwise comparison. */
+  private val q54 = {
+    Q(
+      "q54_set_ops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.intersect(b).withColumn("op", lit("intersect"))
+          .unionByName(a.except(b).withColumn("op", lit("except")))
+          .select(col("op"), col("o_custkey"))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+        e AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        SELECT 'intersect' AS op, o_custkey FROM i
+        UNION ALL SELECT 'except' AS op, o_custkey FROM e
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
+  /** Distribution window family: percent_rank and cume_dist per return
+    * flag — completes q36's positional family. Both are exact integer
+    * ratios evaluated with one IEEE division, so values are bitwise
+    * identical across engines without rounding. */
+  private val q55 = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    Q(
+      "q55_distribution_windows",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        // (orderkey, linenumber) is not unique in the synthetic lineitem,
+        // so include quantity: rows equal on all four sort keys have
+        // identical pr/cd and are interchangeable.
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr,
+        cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        FROM lineitem ORDER BY 1, 2, 3, 4""".replaceAll("\\s+", " ")))
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55)
 }

@@ -62,4 +62,32 @@ object SchemaReader {
     val frames = paths.map(p => coerce(spark.read.parquet(p), schema))
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** CSV with the same lenient-parse-then-coerce contract as the stream
+    * sources (§2.1 T2): every field reads as string (so a malformed cell
+    * can't abort the scan under ANSI mode), then [[coerce]] casts to the
+    * declared schema with per-cell null degradation. One multi-path
+    * scan; header column names drive the by-name coercion. */
+  def readCsv(spark: SparkSession, schema: StructType, paths: Seq[String],
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(paths: _*)
+    // headerless files get positional names from the declared schema
+    val named =
+      if (header) raw
+      else raw.toDF(schema.fieldNames.take(raw.columns.length).toIndexedSeq: _*)
+    coerce(named, schema)
+  }
+
+  /** JSON-lines with the same contract: schema-as-strings scan (field
+    * presence only), then declared-type coercion. Malformed lines
+    * surface as all-null rows rather than failures, matching the
+    * streaming payload parser's degradation. */
+  def readJson(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame = {
+    val stringly = StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
+    coerce(spark.read.schema(stringly).json(paths: _*), schema)
+  }
 }

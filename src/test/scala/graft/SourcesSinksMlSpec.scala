@@ -44,6 +44,38 @@ class SchemaReaderSpec extends SparkSpec {
     got(1).getString(2) shouldBe "hello"
   }
 
+  test("readCsv parses leniently and coerces to the declared schema") {
+    val dir = tmpDir("csvsrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.csv"),
+      "id,price,note,junk\n1,2.5,ok,zzz\noops,not_a_number,still here,zzz\n")
+    val got = SchemaReader.readCsv(spark, schema, Seq(s"$dir/a.csv"))
+      .orderBy(col("id").asc_nulls_last).collect()
+    got(0).getInt(0) shouldBe 1
+    got(0).getDouble(1) shouldBe 2.5
+    got(0).getString(2) shouldBe "ok"
+    got(1).isNullAt(0) shouldBe true // "oops" degrades to null, row survives
+    got(1).isNullAt(1) shouldBe true
+    got(1).getString(2) shouldBe "still here"
+    got.head.schema.fieldNames.toSeq shouldBe Seq("id", "price", "note") // junk dropped
+  }
+
+  test("readJson coerces typed fields and degrades malformed values to null") {
+    val dir = tmpDir("jsonsrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id":"1","price":"2.5","note":"ok"}
+        |{"id":"2","price":"oops"}
+        |""".stripMargin)
+    val got = SchemaReader.readJson(spark, schema, Seq(s"$dir/a.json"))
+      .orderBy("id").collect()
+    got(0).getInt(0) shouldBe 1
+    got(0).getDouble(1) shouldBe 2.5
+    got(1).getInt(0) shouldBe 2
+    got(1).isNullAt(1) shouldBe true // bad double → null
+    got(1).isNullAt(2) shouldBe true // absent field → null
+  }
+
   test("read (fast path) coerces a multi-path scan") {
     val dir = tmpDir("fast")
     Seq((1, 1.0, "a"), (2, 2.0, "b")).toDF("id", "price", "note")
