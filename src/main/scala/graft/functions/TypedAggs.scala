@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator`s — the engine's custom-aggregation tier (SURVEY.md
+  * §7.3 named the mode Aggregator as the one optional custom aggregate;
+  * the heavy-hitters sketch extends the mergeable-sketch family of
+  * [[graft.operators.Sketches]] with frequency estimation).
+  *
+  * Both run inside Spark's ObjectHashAggregate with map-side partial
+  * combine: `reduce` folds rows into a per-partition buffer, `merge`
+  * combines partials across the shuffle — the buffer, not the data, is
+  * what moves. Registered as Column functions via `udaf(...)`;
+  * [[TypedAggs.register]] exposes them to SQL.
+  */
+object TypedAggs {
+
+  private def mapEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+
+  /** Grouped mode with the engine-wide tie-break (max count, then max
+    * value — the reference's argmax-struct semantic,
+    * `batch_openweather.py:16-18`). Null inputs are skipped. Buffer =
+    * value→count map; per-group distinct-value cardinality bounds the
+    * buffer, and partials pre-combine map-side exactly like the
+    * two-aggregate struct formulation. */
+  object ModeAggregator extends Aggregator[String, Map[String, Long], String] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b else b.updated(v, b.getOrElse(v, 0L) + 1L)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      if (a.size < b.size) merge(b, a)
+      else b.foldLeft(a) { case (acc, (v, c)) => acc.updated(v, acc.getOrElse(v, 0L) + c) }
+    override def finish(m: Map[String, Long]): String =
+      if (m.isEmpty) null
+      else m.maxBy { case (v, c) => (c, v) }._1 // (count, value) — ties → greatest value
+    override def bufferEncoder: Encoder[Map[String, Long]] = mapEncoder
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Mode as a Column aggregate: `df.groupBy(...).agg(modeOf(col("c")))`. */
+  def modeOf(c: Column): Column = udaf(ModeAggregator).apply(c)
+
+  /** Misra–Gries heavy hitters with `k` counters: every item whose true
+    * frequency exceeds n/k is GUARANTEED present, and each reported
+    * count undercounts by at most n/k (merge preserves the bound —
+    * Agarwal et al., "Mergeable Summaries"). The bounded buffer is the
+    * point: frequent-token stats over a 100 TB corpus in O(k) state per
+    * group, vs a full vocabulary aggregate's unbounded one.
+    *
+    * Output: (item, count) pairs sorted count desc, item asc. Estimates
+    * are lower bounds; callers needing exact counts re-count just the
+    * reported items (a semi-join — candidate set is ≤ k). */
+  class HeavyHittersAggregator(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    require(k > 1, "k must be > 1")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b
+      else if (b.contains(v) || b.size < k) b.updated(v, b.getOrElse(v, 0L) + 1L)
+      else { // full and new: decrement-all, drop zeros (one MG step)
+        b.collect { case (i, c) if c > 1L => i -> (c - 1L) }
+      }
+
+    /** Merged-MG: sum counts; if over capacity subtract the (k+1)-th
+      * largest combined count from everything and drop non-positives. */
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val combined = b.foldLeft(a) { case (acc, (v, c)) =>
+        acc.updated(v, acc.getOrElse(v, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        val d = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        combined.collect { case (i, c) if c > d => i -> (c - d) }
+      }
+    }
+
+    override def finish(m: Map[String, Long]): Seq[(String, Long)] =
+      m.toSeq.sortBy { case (i, c) => (-c, i) }
+
+    override def bufferEncoder: Encoder[Map[String, Long]] = mapEncoder
+    override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+  }
+
+  /** Heavy hitters as a Column aggregate. */
+  def heavyHittersOf(c: Column, k: Int): Column =
+    udaf(new HeavyHittersAggregator(k)).apply(c)
+
+  /** Session-level SQL registration:
+    * `SELECT mode_agg(c), heavy_hitters_16(c) FROM ...`. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("mode_agg", udaf(ModeAggregator))
+    spark.udf.register("heavy_hitters_16", udaf(new HeavyHittersAggregator(16)))
+  }
+}
