@@ -195,6 +195,64 @@ object TextAnalysis {
       .drop("_cum")
   }
 
+  /** [[packShards]] without the per-group serialization: the rows-frame
+    * window above caps parallelism at the number of distinct `partCol`
+    * values (5 languages = 5 tasks, no matter the cluster). This
+    * variant computes the SAME global running total in two passes, with
+    * parallelism = shuffle partitions:
+    *
+    *  1. range-repartition by (partCol, orderCol) — contiguous runs of
+    *     the global order land in separate tasks;
+    *  2. per-(task, group) token sums → driver (tasks × groups rows, a
+    *     plan-stats-sized collect) → prefix offsets per task;
+    *  3. within-task windows (partitioned by task id — all parallel)
+    *     plus the broadcast offset give each row its global offset.
+    *
+    * Output equals [[packShards]] row-for-row whenever `orderCol` is
+    * unique within each `partCol` (ties make the running total — and so
+    * either variant — order-ambiguous). */
+  def packShardsScalable(df: DataFrame, partCol: String, orderCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nPart = graft.functions.Plans.shufflePartitions(df)
+    val ranged = df
+      .select(col(orderCol), col(partCol), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(nPart, col(partCol), col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    // pass 1: per-(task, group) sums; tiny — tasks × groups rows
+    val partials = ranged.groupBy(col("_pid"), col(partCol))
+      .agg(sum(col("n_tokens")).as("_psum"))
+      .collect()
+    val offsets: Seq[(Int, Any, Long)] = partials
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, g, s) =>
+          val off = acc; acc += s; (pid, g, off)
+        }
+      }.toSeq
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map(o =>
+        org.apache.spark.sql.Row(o._1, o._2, o._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType),
+        ranged.schema(partCol).copy(),
+        org.apache.spark.sql.types.StructField("_offset",
+          org.apache.spark.sql.types.LongType))))
+    // pass 2: within-task running totals — parallel across tasks
+    val w = Window.partitionBy(col("_pid"), col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsetDf), Seq("_pid", partCol))
+      .withColumn("_cum", col("_offset") + sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("_cum") - col("n_tokens")) / lit(budgetTokens)).cast("long"))
+      .select(col(orderCol), col(partCol), col("n_tokens"), col("shard_id"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -148,10 +148,13 @@ object CurationQueries {
   }
 
   /** Token-budget shard packing: per-language greedy sequential layout
-    * into ~1000-token shards. */
+    * into ~1000-token shards. Runs the SCALABLE two-pass variant so the
+    * oracle validates the distributed implementation, not just the
+    * single-task window reference. */
   private val q51 = Q(
     "q51_pack_shards",
-    (s, dir) => TextAnalysis.packShards(t(s, dir, "documents"), "lang", "doc_id", "text", 1000L)
+    (s, dir) => TextAnalysis
+      .packShardsScalable(t(s, dir, "documents"), "lang", "doc_id", "text", 1000L)
       .orderBy("doc_id"),
     Some("""WITH tk AS (SELECT doc_id, lang,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

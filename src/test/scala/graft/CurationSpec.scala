@@ -121,6 +121,22 @@ class CurationSpec extends SparkSpec {
     got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L)
   }
 
+  test("packShardsScalable equals packShards across partitionings") {
+    val rnd = new scala.util.Random(41)
+    val df = (1L to 300L)
+      .map(i => (i, s"lang${rnd.nextInt(4)}",
+        (1 to 1 + rnd.nextInt(20)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val simple = TextAnalysis.packShards(df, "lang", "doc_id", "text", 50L)
+      .orderBy("doc_id").collect().toSeq
+    Seq(df.repartition(1), df.repartition(13)).foreach { d =>
+      val scalable = TextAnalysis
+        .packShardsScalable(d, "lang", "doc_id", "text", 50L)
+        .orderBy("doc_id").collect().toSeq
+      scalable shouldBe simple
+    }
+  }
+
   test("centroids compute exact per-label component means") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
