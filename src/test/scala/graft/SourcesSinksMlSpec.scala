@@ -103,6 +103,38 @@ class ArchiveJobSpec extends SparkSpec {
     spark.read.parquet(dest).count() shouldBe 3
     SchemaReader.glob(spark, s"$live/*") shouldBe empty
   }
+
+  test("runPartitioned lays out hive date partitions that prune at scan time") {
+    val root = tmpDir("archive_part")
+    val live = s"$root/live"
+    val hist = s"$root/historical"
+    Seq(
+      (1, "2024-03-05 10:00:00", "a"),
+      (2, "2024-03-05 11:00:00", "b"),
+      (3, "2024-03-06 09:00:00", "c"))
+      .toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.parquet(live)
+
+    ArchiveJob.runPartitioned(spark, live, hist, "ts", "id") shouldBe 3
+    SchemaReader.glob(spark, s"$live/*") shouldBe empty
+    SchemaReader.glob(spark, s"$hist/date_key=*").map(_.split('/').last).sorted shouldBe
+      Seq("date_key=2024-03-05", "date_key=2024-03-06")
+
+    // a day predicate must prune to PartitionFilters, not a data filter
+    val day = spark.read.parquet(hist).filter(col("date_key") === "2024-03-05")
+    day.count() shouldBe 2
+    val scan = day.queryExecution.executedPlan.collectLeaves().head.toString
+    scan should include ("PartitionFilters")
+    scan.split("PartitionFilters").last should include ("date_key")
+
+    // next rotation day appends its partition without clobbering history
+    Seq((4, "2024-03-07 08:00:00", "d")).toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(live) // rotation left an empty dir
+    ArchiveJob.runPartitioned(spark, live, hist, "ts", "id") shouldBe 1
+    spark.read.parquet(hist).count() shouldBe 4 // dynamic overwrite kept 03-05/03-06
+  }
 }
 
 class KvSinkSpec extends SparkSpec {
