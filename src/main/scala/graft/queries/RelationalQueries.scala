@@ -296,5 +296,70 @@ object RelationalQueries {
         FROM lineitem ORDER BY 1, 2, 3, 4""".replaceAll("\\s+", " ")))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55)
+  /** Scalar-function breadth in one narrow projection: the temporal /
+    * string / conditional families beyond the reference's §2.3 surface,
+    * each chosen for exact cross-engine semantics (1-based substr,
+    * identical extract fields, integer day diffs — no float, no
+    * locale). */
+  private val q56 = Q(
+    "q56_scalar_breadth",
+    (s, dir) => t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_eoy"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri_code"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+        reverse(col("o_orderpriority")).as("pri_rev"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_at"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        greatest(col("o_totalprice"), lit(0.0)).as("price_floor"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nonopen"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+      CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+      CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+      CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+      upper(substr(o_orderpriority, 1, 1)) AS pri_code,
+      lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+      reverse(o_orderpriority) AS pri_rev,
+      CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
+      concat_ws('|', o_orderstatus, o_orderpriority) AS status_pri,
+      greatest(o_totalprice, 0.0) AS price_floor,
+      nullif(o_orderstatus, 'O') AS status_nonopen
+      FROM orders ORDER BY o_orderkey""".replaceAll("\\s+", " ")))
+
+  /** MapType construction and use: per-user event_type → count map
+    * built from sorted entries (deterministic entry order on both
+    * engines), plus its cardinality. */
+  private val q57 = Q(
+    "q57_event_type_map",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id"),
+    Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+        map(list(event_type ORDER BY event_type), list(n ORDER BY event_type)) AS type_counts,
+        count(*) AS n_types
+      FROM c GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] =
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57)
 }
