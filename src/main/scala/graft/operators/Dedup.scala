@@ -156,17 +156,12 @@ object Dedup {
     // verification joins — zero shuffles between enumeration and verify
     // (everything after the signature aggregate is one fused
     // broadcast-probe pipeline).
-    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
+    val joined = minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
         col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
       .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
         col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
-      .withColumn("n_int",
-        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
-      .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
-      .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_int", "n_uni", "jaccard")
+    withJaccard(joined, Seq.empty, threshold)
   }
 
   /** Exact dedup with "keep the best" canonicalization: per content
@@ -285,16 +280,39 @@ object Dedup {
     // round4(j) >= threshold requires j >= threshold - 0.00005; j is at
     // most min/max, so prune on 20000*min >= (20000*threshold - 1)*max.
     val tScaled = math.round(threshold * 20000) - 1
-    a.as("A").join(Plans.maybeBroadcast(b.as("B"), broadcastBuild),
-        col("A.block") === col("B.block") &&
-          col("id_a") < col("id_b") &&
-          least(col("n_a"), col("n_b")) * 20000L >= greatest(col("n_a"), col("n_b")) * tScaled)
-      .withColumn("n_int",
-        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
-      .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
-      .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("A.block").as("block"), col("id_a"), col("id_b"),
-        col("n_int"), col("n_uni"), col("jaccard"))
+    val joined = a.as("A").join(Plans.maybeBroadcast(b.as("B"), broadcastBuild),
+      col("A.block") === col("B.block") &&
+        col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) * 20000L >= greatest(col("n_a"), col("n_b")) * tScaled)
+    withJaccard(joined, Seq(col("A.block").as("block")), threshold)
   }
+
+  /** Shared verification tail: compute n_int/n_uni/jaccard over joined
+    * pair rows and apply the exact threshold — with the intersection
+    * merge evaluated EXACTLY ONCE per pair. Without a fence, predicate
+    * pushdown substitutes the jaccard alias through the projections and
+    * into the join condition, re-deriving the (dominant)
+    * `sorted_intersect_size` merge 3× per candidate. The fence:
+    * Catalyst refuses to push any predicate through a projection with a
+    * non-deterministic field — so the filter runs on the materialized
+    * n_int attribute. The fence needs BOTH halves: the non-det `_mid`
+    * column makes the projection unpushable-through, and the filter
+    * referencing `_mid` keeps column pruning from removing it (an
+    * unused column is pruned, dissolving the fence; a non-det conjunct
+    * alone is split off and the deterministic rest pushed;
+    * `_mid.isNotNull` would fold to `true` — the `>= 0` guard is
+    * runtime-true but not statically foldable).
+    * Expects columns toks_a/toks_b/n_a/n_b/id_a/id_b on `joined`. */
+  private[operators] def withJaccard(joined: DataFrame, leading: Seq[Column],
+      threshold: Double): DataFrame =
+    joined
+      .select(leading ++ Seq(col("id_a"), col("id_b"),
+        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b"))
+          .cast("long").as("n_int"),
+        (col("n_a") + col("n_b")).as("_s"),
+        monotonically_increasing_id().as("_mid")): _*)
+      .withColumn("n_uni", col("_s") - col("n_int"))
+      .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
+      .filter(when(col("_mid") >= 0, col("jaccard")) >= threshold)
+      .drop("_s", "_mid")
 }
