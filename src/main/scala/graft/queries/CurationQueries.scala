@@ -201,5 +201,64 @@ object CurationQueries {
       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
       FROM documents GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+  /** Gopher-style within-document repetition metrics: top-unigram and
+    * top-bigram mass fractions plus the distinct-token ratio, with a
+    * composite keep/drop flag — the repetition family of quality rules
+    * (complementing q27's length/character/stopword family). Two narrow
+    * explode→count→argmax aggregations, joined per doc; at corpus scale
+    * each is one partial-aggregated shuffle on (doc_id, gram). */
+  private val q58 = {
+    val thrUni = 0.2; val thrBi = 0.3; val thrDistinct = 0.3
+    Q(
+      "q58_repetition_rules",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = TextAnalysis.tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"),
+            count(lit(1)).as("n_distinct"))
+        val bi = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+        val uniFrac = PortableRound.round4(col("top_uni").cast("double") / col("n_uni"))
+        val biFrac = PortableRound.round4(col("top_bi").cast("double") / col("n_bi"))
+        val distinctRatio = PortableRound.round4(col("n_distinct").cast("double") / col("n_uni"))
+        uni.join(bi, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            uniFrac.as("top_uni_frac"),
+            biFrac.as("top_bi_frac"),
+            distinctRatio.as("distinct_ratio"),
+            (uniFrac <= thrUni && biFrac <= thrBi && distinctRatio >= thrDistinct)
+              .as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        us AS (SELECT doc_id, max(c) AS top_uni, sum(c) AS n_uni,
+          count(*) AS n_distinct FROM uc GROUP BY 1),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg FROM d),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        bs AS (SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM bc GROUP BY 1),
+        j AS (SELECT us.doc_id,
+          ${PortableRound.sql4("CAST(top_uni AS DOUBLE) / n_uni")} AS top_uni_frac,
+          ${PortableRound.sql4("CAST(top_bi AS DOUBLE) / n_bi")} AS top_bi_frac,
+          ${PortableRound.sql4("CAST(n_distinct AS DOUBLE) / n_uni")} AS distinct_ratio
+          FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id)
+        SELECT doc_id, top_uni_frac, top_bi_frac, distinct_ratio,
+          (top_uni_frac <= $thrUni AND top_bi_frac <= $thrBi
+            AND distinct_ratio >= $thrDistinct) AS keep
+        FROM j ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58)
 }

@@ -360,6 +360,77 @@ object RelationalQueries {
         count(*) AS n_types
       FROM c GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
+  /** Value-positional window family over explicit ROWS frames:
+    * first/last/nth value and a bounded sliding sum — the frame shapes
+    * q36's offset family (lag/lead) doesn't cover. Ordering is total
+    * per partition ((ts, event_id), event_id unique) so every frame is
+    * deterministic; the sliding sum goes through the decimal path since
+    * a 3-row double sum is still association-ordered. */
+  private val q59 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q59_value_windows",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cume = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val sliding = w.rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            first(col("event_type")).over(cume).as("first_type"),
+            last(col("event_type")).over(fwd).as("last_type"),
+            nth_value(col("event_type"), 3).over(cume).as("third_type"),
+            PortableRound.round2(
+              sum(col("value").try_cast("decimal(18,6)")).over(sliding).cast("double"))
+              .as("sliding3_sum"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT user_id, event_id,
+        first_value(event_type) OVER c AS first_type,
+        last_value(event_type) OVER f AS last_type,
+        nth_value(event_type, 3) OVER c AS third_type,
+        ${PortableRound.sql2("CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER s AS DOUBLE)")} AS sliding3_sum
+        FROM events WINDOW
+        c AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        f AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        s AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** GROUPING SETS with an arbitrary (non-rollup, non-cube) set list —
+    * the general form behind q34/q49. One Expand + one hash aggregate
+    * over a single scan, vs one scan per set if written as a UNION ALL
+    * of GROUP BYs. */
+  private val q60 = Q(
+    "q60_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq(col("o_orderstatus"), col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          ExactAgg.sum2(col("o_totalprice")).as("sum_price"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("gid", "st", "pri"),
+    Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+      count(*) AS n, ${ExactAgg.sum2Sql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        (o_orderstatus, o_orderpriority), ())
+      ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57)
+    Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
+      q59, q60)
 }
