@@ -430,7 +430,64 @@ object RelationalQueries {
         (o_orderstatus, o_orderpriority), ())
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
+  /** Subquery surface: IN and correlated-EXISTS predicates plus
+    * correlated and uncorrelated scalar subqueries. Catalyst rewrites
+    * these to semi/outer joins and a broadcast one-row relation
+    * (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery) — the
+    * declarative forms carry no scale hazard beyond the joins they
+    * lower to. max(double) is exact (it returns an input value), so no
+    * rounding is needed. */
+  private val q61 = Q(
+    "q61_subqueries",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g61_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g61_orders")
+      s.sql("""SELECT c_custkey,
+        (SELECT count(*) FROM g61_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT max(o_totalprice) FROM g61_orders) AS global_max
+        FROM g61_customer c
+        WHERE c_custkey IN (SELECT o_custkey FROM g61_orders)
+          AND EXISTS (SELECT 1 FROM g61_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+      (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      (SELECT max(o_totalprice) FROM orders) AS global_max
+      FROM customer c
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        AND EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+      ORDER BY c_custkey""".replaceAll("\\s+", " ")))
+
+  /** Higher-order array functions (filter/exists/forall/aggregate/
+    * transform): codegen-friendly per-row array programs — the
+    * scalable form of "loop over the tokens" (no UDF, no explode +
+    * re-aggregate shuffle). */
+  private val q62 = Q(
+    "q62_array_hof",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(toks, u => length(u) >= 5)).cast("long").as("n_long"),
+          exists(toks, u => u === "spark").as("has_spark"),
+          forall(toks, u => length(u) <= 8).as("all_short"),
+          aggregate(toks, lit(0L), (acc, u) => acc + length(u)).as("char_sum"),
+          array_max(transform(toks, u => length(u))).cast("long").as("max_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(toks, u -> len(u) >= 5)) AS BIGINT) AS n_long,
+        list_contains(toks, 'spark') AS has_spark,
+        (len(list_filter(toks, u -> len(u) > 8)) = 0) AS all_short,
+        CAST(list_sum(list_transform(toks, u -> len(u))) AS BIGINT) AS char_sum,
+        CAST(list_max(list_transform(toks, u -> len(u))) AS BIGINT) AS max_len
+      FROM d ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60)
+      q59, q60, q61, q62)
 }
