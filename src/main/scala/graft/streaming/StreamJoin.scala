@@ -35,4 +35,16 @@ object StreamJoin {
          |timestamp_$leftSuffix <= timestamp_$rightSuffix + interval $toleranceSec seconds""".stripMargin
     left.join(right, expr(cond), joinType)
   }
+
+  /** Stream-static dimension enrichment: equi-join a stream against a
+    * (small) batch dimension frame, broadcast so every micro-batch is a
+    * stateless map-side hash join — no state store, no watermark, no
+    * shuffle of the stream. The 100 TB/day shape for attaching slowly-
+    * changing dimensions; `leftOuter` keeps stream rows with no dim
+    * match (inner drops them). The static side is re-resolvable per
+    * batch, so replacing the dim source between restarts upgrades the
+    * enrichment without touching stream state. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
 }

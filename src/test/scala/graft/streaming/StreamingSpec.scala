@@ -128,6 +128,25 @@ class StreamingSpec extends SparkSpec {
     leftOuter should contain((Some(3.0), None)) // left-outer flushes it
   }
 
+  test("stream-static broadcast join enriches each micro-batch without state") {
+    val dim = Seq(("AAPL", "tech"), ("XOM", "energy")).toDF("sym", "sector")
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val enriched = StreamJoin.enrichWithDim(
+      in.toDF().toDF("ts", "sym", "v"), dim, Seq("sym"))
+    val q = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "AAPL", 1.0),
+      (ts("2024-01-01 00:00:01"), "MSFT", 2.0)) // no dim row -> null sector
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:00:02"), "XOM", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_enrich").select("sym", "sector")
+      .as[(String, Option[String])].collect().sortBy(_._1)
+    got shouldBe Array(("AAPL", Some("tech")), ("MSFT", None), ("XOM", Some("energy")))
+  }
+
   test("T7/S9: foreachBatch KV sink writes minute-keyed families via executors") {
     InMemoryKvStore.clear()
     val in = MemoryStream[(Timestamp, Double, Double)]
