@@ -71,4 +71,33 @@ object ArchiveJob {
       }
     }
   }
+
+  /** Small-file compaction: rewrite a parquet dir into ~`targetRows`-row
+    * files. Long-running ingestion accretes one file per micro-batch /
+    * task; at archive scale the resulting millions of KB-files dominate
+    * job startup (footer reads, scheduling, NameNode/liststore load), so
+    * periodic compaction is a first-class maintenance op. Writes to
+    * `<dir>.compact-tmp`, verifies the row count, then atomically swaps
+    * — the crash-safe order (verify BEFORE destroying the source),
+    * matching [[run]]'s discipline. Returns (files before, files after,
+    * rows). */
+  def compact(spark: SparkSession, dir: String, targetRows: Long): (Int, Int, Long) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Int =
+      Option(fs.globStatus(new Path(s"$p/*.parquet"))).map(_.length).getOrElse(0)
+    val before = parquetFiles(dir)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
+    val tmp = s"$dir.compact-tmp"
+    // repartition(n) (round-robin) balances rows across exactly n files;
+    // coalesce(n) would skip the shuffle but inherits upstream skew and
+    // can't split large partitions.
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val written = spark.read.parquet(tmp).count()
+    require(written == rows, s"compact verify failed: wrote $written, expected $rows")
+    fs.delete(new Path(dir), true)
+    require(fs.rename(new Path(tmp), new Path(dir)), s"compact rename failed for $dir")
+    (before, parquetFiles(dir), rows)
+  }
 }

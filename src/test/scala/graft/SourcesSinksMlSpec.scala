@@ -135,6 +135,20 @@ class ArchiveJobSpec extends SparkSpec {
     ArchiveJob.runPartitioned(spark, live, hist, "ts", "id") shouldBe 1
     spark.read.parquet(hist).count() shouldBe 4 // dynamic overwrite kept 03-05/03-06
   }
+
+  test("compact rewrites many small files into few, preserving rows") {
+    val dir = s"${tmpDir("compact")}/data"
+    // 10 single-row files (range partitioning on 10 distinct keys is 1:1)
+    (1 to 10).toDF("id").repartitionByRange(10, col("id")).write.parquet(dir)
+    val before = SchemaReader.glob(spark, s"$dir/*.parquet").length
+    before shouldBe 10
+
+    val (b, a, rows) = ArchiveJob.compact(spark, dir, targetRows = 5L)
+    b shouldBe before
+    a shouldBe 2 // ceil(10 / 5)
+    rows shouldBe 10
+    spark.read.parquet(dir).as[Int].collect().sorted shouldBe (1 to 10).toArray
+  }
 }
 
 class KvSinkSpec extends SparkSpec {
