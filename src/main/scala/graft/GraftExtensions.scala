@@ -11,7 +11,9 @@ import graft.functions.{CosineSimilarity, SortedIntersectSize}
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
   * same hot-path operators as the Column API
-  * (`SELECT sorted_intersect_size(a, b)`, `SELECT cosine_similarity(v, q)`).
+  * (`SELECT sorted_intersect_size(a, b)`, `SELECT cosine_similarity(v, q)`),
+  * plus the [[graft.plans.IntervalJoinRewrite]] optimizer rule that
+  * plans naive `|a − b| <= tol` theta-joins as bucketed equi-joins.
   *
   * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.GraftExtensions` in config.
@@ -22,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",

@@ -43,4 +43,50 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("IntervalJoinRewrite plans a keyless |a-b|<=tol theta-join as a bucketed equi-join") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      import org.apache.spark.sql.functions.{abs, col, lit}
+
+      // includes bucket-boundary-crossing (14 vs 17) and negative
+      // (−2 vs 1) pairs, so floor-division bucketing is exercised
+      val data = Seq((1L, 10L), (2L, 13L), (3L, 100L), (4L, 102L),
+        (5L, 200L), (6L, 14L), (7L, 17L), (8L, -2L), (9L, 1L))
+      val ev = data.toDF("id", "t")
+      val a = ev.select(col("id").as("id_a"), col("t").as("t_a"))
+      val b = ev.select(col("id").as("id_b"), col("t").as("t_b"))
+      val joined = a.join(b,
+        abs(col("t_a") - col("t_b")) <= lit(5L) && col("id_a") < col("id_b"))
+
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      optimized should include("_graft_bucket")
+      val physical = joined.queryExecution.executedPlan.toString
+      physical should not include "NestedLoop"
+      physical should not include "Cartesian"
+
+      val expected = (for {
+        (i, ti) <- data; (jj, tj) <- data
+        if i < jj && math.abs(ti - tj) <= 5L
+      } yield (i, jj)).sorted
+      joined.select("id_a", "id_b").as[(Long, Long)].collect().sorted shouldBe expected
+
+      // guard: a join that already has an equi key is left alone
+      val keyed = a.join(b,
+        col("id_a") === col("id_b") && abs(col("t_a") - col("t_b")) <= lit(5L))
+      keyed.queryExecution.optimizedPlan.toString should not include "_graft_bucket"
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
