@@ -21,10 +21,11 @@ object Scratch {
     val wanted = if (args.nonEmpty) args.toSeq else Seq("q22", "q24", "q30", "q32")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => wanted.exists(w => n.startsWith(w)))
-    for (name <- names) {
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    for (name <- names; r <- 1 to repeat) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"[scratch] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"[scratch] $name%-30s run$r ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()
   }

@@ -180,4 +180,18 @@ object ArrayOps {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Let-binding for expression trees: evaluate `value` ONCE and feed
+    * it to `body` as a lambda variable. Codegen's subexpression
+    * elimination does not reach inside higher-order-function lambdas,
+    * so a lambda body referencing an expensive subtree (e.g.
+    * `slice(split(text), i, n)` inside a shingle `transform`) re-runs
+    * it per ELEMENT — a 3× slowdown measured on the shingle pipeline.
+    * `transform(array(value), v => body(v))` evaluates `value` once per
+    * row and binds it as a (cheap) lambda variable; `element_at(_, 1)`
+    * unwraps the singleton result. */
+  def bind(value: Column)(body: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(value), v => body(v)), 1)
 }

@@ -34,14 +34,17 @@ object Dedup {
     * word order, so MinHash over shingles detects near-dups that
     * bag-of-tokens misses (same vocabulary, different text). Documents
     * shorter than `n` tokens produce no shingles. */
-  def distinctShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // sequence(1, 0) counts DOWN in Spark, so guard the short-doc case
-    // explicitly to yield an empty shingle set.
-    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def distinctShingles(text: Column, n: Int): Column =
+    // let-bind the token array: the shingle lambda references it per
+    // element, and codegen CSE does not reach inside lambdas — unbound,
+    // split() re-runs once per shingle start (3× slower end-to-end).
+    graft.functions.ArrayOps.bind(tokens(text)) { toks =>
+      // sequence(1, 0) counts DOWN in Spark, so guard the short-doc case
+      // explicitly to yield an empty shingle set.
+      val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   /** Shared minhash pipeline: explode a distinct-unit array (tokens or
     * shingles) → md5-derived hash → one partial-aggregated groupBy(doc)

@@ -144,11 +144,14 @@ object TextAnalysis {
     * is the remainder (shorter than `chunkSize`). */
   def chunk(df: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
-    val toks = tokens(col(textCol))
-    val nChunks = floor((size(toks) + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
-    val chunks = transform(
-      sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * chunkSize + 1, lit(chunkSize))))
+    // let-bound so split() runs once per row, not once per chunk
+    // (codegen CSE does not reach inside the transform lambda)
+    val chunks = graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
+      val nChunks = floor((size(toks) + lit(chunkSize - 1)) / lit(chunkSize)).cast("int")
+      transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * chunkSize + 1, lit(chunkSize))))
+    }
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .select(
         col(idCol),

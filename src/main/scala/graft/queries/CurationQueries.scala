@@ -213,12 +213,14 @@ object CurationQueries {
       "q58_repetition_rules",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val toks = TextAnalysis.tokens(col("text"))
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val uni = docs.select(col("doc_id"), explode(toks).as("tok"))
+        val bigrams = graft.functions.ArrayOps.bind(TextAnalysis.tokens(col("text"))) { toks =>
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val uni = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(
             max(col("c")).as("top_uni"), sum(col("c")).as("n_uni"),
