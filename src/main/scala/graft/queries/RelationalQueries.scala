@@ -487,7 +487,76 @@ object RelationalQueries {
         CAST(list_max(list_transform(toks, u -> len(u))) AS BIGINT) AS max_len
       FROM d ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    * multiplicity (min / left-minus-right counts) — one aggregate per
+    * side under the hood, no pairwise comparison, same scale shape as
+    * q54's distinct variants. */
+  private val q63 = Q(
+    "q63_set_ops_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .select(col("op"), col("o_custkey"))
+        .orderBy("op", "o_custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      i AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+      e AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      SELECT 'intersect_all' AS op, o_custkey FROM i
+      UNION ALL SELECT 'except_all' AS op, o_custkey FROM e
+      ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+
+  /** JSON string-path extraction (get_json_object / json_tuple) — the
+    * schemaless complement to q10's from_json: no declared schema, per
+    * path access, null on missing paths. */
+  private val q64 = Q(
+    "q64_json_path",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.missing").as("gone"),
+          json_tuple(col("props"), "k").as("k_tup"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      json_extract_string(props, '$.missing') AS gone,
+      json_extract_string(props, '$.k') AS k_tup
+      FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
+
+  /** Calendar-arithmetic breadth: month shifts, next-weekday, day/week
+    * ordinals, quarter truncation — integer/date-exact everywhere (no
+    * float), with next_day mirrored via ISO day-of-week arithmetic in
+    * DuckDB (which lacks the function). */
+  private val q65 = Q(
+    "q65_date_arithmetic",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          next_day(col("o_orderdate"), "Monday").as("next_mon"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          trunc(col("o_orderdate"), "quarter").as("q_start"),
+          date_add(col("o_orderdate"), 30).as("plus30d"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL (CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0
+        THEN 7 ELSE (8 - isodow(o_orderdate)) % 7 END) DAY AS DATE) AS next_mon,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+      CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30d
+      FROM orders ORDER BY o_orderkey""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60, q61, q62)
+      q59, q60, q61, q62, q63, q64, q65)
 }
