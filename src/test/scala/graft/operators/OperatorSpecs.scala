@@ -146,6 +146,16 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6))
   }
 
+  test("jaccard threshold filter evaluates the intersection merge exactly once") {
+    // Regression guard for the pushdown fence (SURVEY.md §9.4): without
+    // it, Catalyst substitutes the jaccard alias through the projections
+    // and into the join condition, re-deriving sorted_intersect_size 3×
+    // per candidate pair.
+    val plan = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+      .queryExecution.optimizedPlan.toString
+    "sorted_intersect_size".r.findAllIn(plan).length shouldBe 1
+  }
+
   test("lshVerifiedPairs = candidates verified by exact jaccard") {
     val got = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 16, 4, 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
