@@ -556,7 +556,96 @@ object RelationalQueries {
       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30d
       FROM orders ORDER BY o_orderkey""".replaceAll("\\s+", " ")))
 
+  /** Generator breadth beyond q37's posexplode: stack (row unpivot,
+    * wide→long without a shuffle) and explode_outer (empty generator
+    * input keeps the row with nulls instead of dropping it). */
+  private val q66 = Q(
+    "q66_unpivot_outer",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          expr("stack(2, 'price', l_extendedprice, 'quantity', l_quantity) AS (measure, mval)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"), col("mval"),
+          explode_outer(
+            when(col("l_linenumber") % 2 === 1, array(col("l_quantity")))
+              .otherwise(array().cast("array<double>"))).as("q_odd"))
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""WITH u AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, 'price' AS measure,
+          l_extendedprice AS mval FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity, 'quantity', l_quantity FROM lineitem)
+      SELECT l_orderkey, l_linenumber, measure, mval,
+        unnest(CASE WHEN l_linenumber % 2 = 1 THEN [l_quantity]
+          ELSE [CAST(NULL AS DOUBLE)] END) AS q_odd
+      FROM u ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
+  /** Fixed-boundary histogram via width_bucket (mirrored with explicit
+    * floor arithmetic in DuckDB, which lacks the function): bucket
+    * width 600000/12 = 50000 is exactly representable, so the division
+    * is bitwise-identical across engines. */
+  private val q67 = Q(
+    "q67_histogram",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+    Some(s"""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        WHEN o_totalprice >= 600000.0 THEN 13
+        ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) + 1 END AS bucket,
+      count(*) AS n, ${ExactAgg.sum2Sql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — exact integer
+    * folds, order-independent by construction. */
+  private val q68 = Q(
+    "q68_bit_aggs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          bit_and(col("l_partkey")).as("pk_and"),
+          bit_or(col("l_partkey")).as("pk_or"),
+          bit_xor(col("l_partkey")).as("pk_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_suppkey"),
+    Some("""SELECT l_suppkey, bit_and(l_partkey) AS pk_and, bit_or(l_partkey) AS pk_or,
+      bit_xor(l_partkey) AS pk_xor, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** Calendar gap fill: a generated (day × hour) grid left-joined onto
+    * hourly aggregates, empty slots coalesced to zero — the dense
+    * time-series shape reporting needs. The grid derives from
+    * `sequence` + explode, never a driver loop; at scale it is tiny
+    * (days × 24) and broadcast onto the aggregate. */
+  private val q69 = Q(
+    "q69_gap_fill",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hourly = e.groupBy(to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"), ExactAgg.sum2(col("value")).as("sum_value"))
+      val grid = e.select(to_date(col("ts")).as("d")).distinct()
+        .select(col("d"), explode(sequence(lit(0L), lit(23L))).as("h"))
+      grid.join(hourly, Seq("d", "h"), "left")
+        .select(col("d"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("d", "h")
+    },
+    Some(s"""WITH hourly AS (SELECT CAST(ts AS DATE) AS d,
+        CAST(extract(hour FROM ts) AS BIGINT) AS h,
+        count(*) AS n_events, ${ExactAgg.sum2Sql("value")} AS sum_value
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT d, unnest(generate_series(0, 23)) AS h
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
+      SELECT grid.d, grid.h, coalesce(n_events, 0) AS n_events,
+        coalesce(sum_value, 0.0) AS sum_value
+      FROM grid LEFT JOIN hourly ON grid.d = hourly.d AND grid.h = hourly.h
+      ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60, q61, q62, q63, q64, q65)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
