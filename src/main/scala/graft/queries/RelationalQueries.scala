@@ -645,7 +645,34 @@ object RelationalQueries {
       FROM grid LEFT JOIN hourly ON grid.d = hourly.d AND grid.h = hourly.h
       ORDER BY 1, 2""".replaceAll("\\s+", " ")))
 
+  /** Regexp + string-transform family (extract with group, global
+    * replace, match count, rlike, translate, repeat). Patterns stay in
+    * the character-class subset where Java regex (Spark) and RE2
+    * (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g'
+    * flag to match Spark's replace-all semantics. */
+  private val q70 = Q(
+    "q70_regexp_strings",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+          regexp_count(col("text"), lit("ta")).cast("long").as("n_ta"),
+          col("text").rlike("table|window").as("mentions_rel"),
+          translate(col("source"), "aeiou", "AEIOU").as("src_caps_vowels"),
+          repeat(col("lang"), 2).as("lang2"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+      regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+      CAST(len(regexp_extract_all(text, 'ta')) AS BIGINT) AS n_ta,
+      regexp_matches(text, 'table|window') AS mentions_rel,
+      translate(source, 'aeiou', 'AEIOU') AS src_caps_vowels,
+      repeat(lang, 2) AS lang2
+      FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }
