@@ -672,7 +672,52 @@ object RelationalQueries {
       repeat(lang, 2) AS lang2
       FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
+  /** ANSI-mode error-safe family (try_divide / try_element_at /
+    * try_cast): Spark 4 runs ANSI by default, where these are the
+    * idiomatic null-on-error escape hatches — the engine's lenient
+    * ingestion (SchemaReader, StreamParse) is built on the same
+    * primitives. DuckDB mirrors: NULLIF guard, out-of-bounds
+    * list_extract (already NULL), TRY_CAST. */
+  private val q71 = Q(
+    "q71_try_functions",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+          try_element_at(array(col("l_quantity")), lit(5)).as("oob"),
+          try_element_at(array(col("l_quantity")), lit(1)).as("first_q"),
+          col("l_returnflag").try_cast("int").as("bad_int"),
+          concat(lit(""), col("l_linenumber").cast("string")).try_cast("int")
+            .cast("long").as("roundtrip"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
+      list_extract([l_quantity], 5) AS oob,
+      list_extract([l_quantity], 1) AS first_q,
+      TRY_CAST(l_returnflag AS INTEGER) AS bad_int,
+      CAST(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS BIGINT) AS roundtrip
+      FROM lineitem ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+
+  /** VARIANT (Spark 4's semi-structured type): parse_json → typed
+    * variant_get path access, null on missing paths — the open-schema
+    * counterpart to q10's declared StructType parse. The oracle reads
+    * the same paths through DuckDB's JSON accessors. */
+  private val q72 = Q(
+    "q72_variant",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+          variant_get(parse_json(col("props")), "$.missing", "string").as("gone"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      json_extract_string(props, '$.missing') AS gone
+      FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
