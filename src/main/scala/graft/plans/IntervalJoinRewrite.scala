@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Scope guards:
   *  - Inner joins only (outer variants change unmatched-row semantics:
   *    the 3× replicated right side would need dedup for preserved rows).
+  *  - Batch plans only: streaming joins carry watermark/state semantics
+  *    the replicated Generate side would alter.
   *  - Fires only when the join has NO cross-side equi conjunct — with
   *    one, Spark already plans a hash join and the rewrite would only
   *    add a redundant key (and re-fire on RangeJoin's manual shape).
@@ -64,6 +66,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if left.resolved && right.resolved &&
+          !left.isStreaming && !right.isStreaming &&
           !left.output.exists(_.name.startsWith(Marker)) &&
           !right.output.exists(_.name.startsWith(Marker)) =>
       val conjuncts = splitConjunctivePredicates(cond)

@@ -77,12 +77,22 @@ object ArchiveJob {
     * task; at archive scale the resulting millions of KB-files dominate
     * job startup (footer reads, scheduling, NameNode/liststore load), so
     * periodic compaction is a first-class maintenance op. Writes to
-    * `<dir>.compact-tmp`, verifies the row count, then atomically swaps
-    * — the crash-safe order (verify BEFORE destroying the source),
-    * matching [[run]]'s discipline. Returns (files before, files after,
-    * rows). */
+    * `<dir>.compact-tmp`, verifies the row count, then swaps (delete +
+    * rename — verify happens BEFORE the source is destroyed, matching
+    * [[run]]'s discipline; a crash between the two leaves the data
+    * intact in the tmp dir). Returns (files before, files after, rows).
+    *
+    * Operates on ONE leaf directory: for a hive-partitioned archive,
+    * compact each partition path individually — rewriting the root
+    * would fold the partition column into the data files and destroy
+    * the layout (guarded below). */
   def compact(spark: SparkSession, dir: String, targetRows: Long): (Int, Int, Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionDirs = Option(fs.globStatus(new Path(s"$dir/*=*")))
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    require(partitionDirs.isEmpty,
+      s"$dir is hive-partitioned (${partitionDirs.head.getPath.getName}, ...); " +
+        "compact each partition directory instead")
     def parquetFiles(p: String): Int =
       Option(fs.globStatus(new Path(s"$p/*.parquet"))).map(_.length).getOrElse(0)
     val before = parquetFiles(dir)

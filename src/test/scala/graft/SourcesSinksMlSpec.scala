@@ -148,6 +148,14 @@ class ArchiveJobSpec extends SparkSpec {
     a shouldBe 2 // ceil(10 / 5)
     rows shouldBe 10
     spark.read.parquet(dir).as[Int].collect().sorted shouldBe (1 to 10).toArray
+
+    // hive-partitioned roots are refused — compacting them would fold
+    // the partition column into the data files
+    val part = s"${tmpDir("compact_part")}/data"
+    (1 to 4).toDF("id").withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(part)
+    an[IllegalArgumentException] should be thrownBy
+      ArchiveJob.compact(spark, part, 5L)
   }
 }
 
