@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.t
+
+/** Physical-plan contracts over the driver testdata: the properties
+  * that make plans survive a 100×+ scale-up — filters reaching the
+  * parquet scan, scans reading only referenced columns, dims
+  * broadcast, aggregates map-side combined. docs/PLANS.md shows these
+  * per query; this spec pins the load-bearing ones as assertions. */
+class PlanContractsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val df = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_custkey") > 100)
+      .select(col("o_orderkey"))
+    val scan = scanString(df)
+    scan should include("PushedFilters")
+    // (the node's toString truncates long filter lists — match prefixes)
+    scan should include("EqualTo(o_orderstatus,O)")
+    scan should include("GreaterThan(o_custkey")
+  }
+
+  test("scans read only the referenced columns (column pruning)") {
+    val df = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    val scan = scanString(df)
+    scan should include("ReadSchema")
+    val readSchema = scan.split("ReadSchema:").last
+    readSchema should include("l_returnflag")
+    readSchema should include("l_quantity")
+    readSchema should not include "l_extendedprice"
+    readSchema should not include "l_partkey"
+  }
+
+  test("small dimension joins plan as broadcast hash joins") {
+    val joined = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("groupBy aggregates combine map-side before the shuffle") {
+    val agg = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    plan should include("partial_count")
+    plan should include("HashAggregate")
+  }
+
+  test("the pair operators' explicit repartition survives into the physical plan") {
+    // AQE would coalesce the byte-tiny CPU-heavy stage; explicit-N
+    // round-robin repartition is exempt (SURVEY §8.1)
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      t(spark, dir, "documents"), "doc_id", "text", "lang", 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should include("RoundRobinPartitioning")
+  }
+}
