@@ -717,7 +717,46 @@ object RelationalQueries {
       json_extract_string(props, '$.missing') AS gone
       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
 
+  /** Aggregate-function breadth: boolean folds (bool_and/bool_or),
+    * conditional count (count_if), argmin/argmax (min_by/max_by), a
+    * deterministic collect_set, and any_value. min_by/max_by tie-break
+    * through a unique integer key (cents × 10^7 + orderkey — cents
+    * round identically on both engines since a 2-dp double × 100 never
+    * lands on .5), because Spark and DuckDB break value ties
+    * differently; any_value and collect_set are made deterministic by
+    * a per-group-constant argument and a sort respectively. */
+  private val q73 = {
+    val keySpark = (round(col("o_totalprice") * 100) * 10000000L + col("o_orderkey"))
+      .cast("long")
+    val keySql = "(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)"
+    Q(
+      "q73_agg_breadth",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"),
+            bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+            count_if(col("o_orderstatus") === "O").as("n_open"),
+            max_by(col("o_orderkey"), keySpark).as("priciest_order"),
+            min_by(col("o_orderkey"), keySpark).as("cheapest_order"),
+            array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+            any_value(col("o_custkey") % 7).as("ck_mod7"))
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, count(*) AS n,
+        bool_and(o_totalprice > 0) AS all_positive,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        count_if(o_orderstatus = 'O') AS n_open,
+        arg_max(o_orderkey, $keySql) AS priciest_order,
+        arg_min(o_orderkey, $keySql) AS cheapest_order,
+        list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+        any_value(o_custkey % 7) AS ck_mod7
+        FROM orders GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
-      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+      q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+      q73)
 }
