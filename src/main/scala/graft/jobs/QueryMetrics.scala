@@ -1,0 +1,50 @@
+package graft.jobs
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Production observability: a QueryExecutionListener that records one
+  * entry per completed action — action name, wall duration, the root
+  * operator's output-row metric when present, and the failure message
+  * otherwise. At fleet scale this is the feed for per-query SLO
+  * dashboards and regression alerting; here it is the same mechanism,
+  * session-registered and spec-tested.
+  *
+  * Entries accumulate in a lock-free queue (listener callbacks arrive
+  * on the listener-bus thread); `entries` snapshots without draining so
+  * a long-lived session can both alert and batch-export. */
+class QueryMetrics extends QueryExecutionListener {
+
+  final case class Entry(
+      action: String,
+      durationNs: Long,
+      outputRows: Option[Long],
+      error: Option[String])
+
+  private val log = new ConcurrentLinkedQueue[Entry]()
+
+  private def rootRows(qe: QueryExecution): Option[Long] =
+    qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    log.add(Entry(funcName, durationNs, rootRows(qe), None))
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    log.add(Entry(funcName, -1L, None, Some(exception.getMessage)))
+
+  def entries: Seq[Entry] = log.iterator().asScala.toSeq
+
+  /** Register on a session; returns this for chained use. */
+  def register(spark: SparkSession): QueryMetrics = {
+    spark.listenerManager.register(this)
+    this
+  }
+
+  def unregister(spark: SparkSession): Unit =
+    spark.listenerManager.unregister(this)
+}

@@ -25,6 +25,37 @@ class MiscCapabilitiesSpec extends SparkSpec {
     q.awaitTermination(5000) shouldBe true
   }
 
+  test("QueryMetrics listener records completed actions with durations") {
+    val m = new graft.jobs.QueryMetrics().register(spark)
+    try {
+      Seq(1, 2, 3).toDF("v").filter(col("v") > 1).count() shouldBe 2
+      // listener callbacks are asynchronous on the listener bus
+      val deadline = System.currentTimeMillis() + 30000
+      while (m.entries.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val e = m.entries
+      e should not be empty
+      e.head.action shouldBe "count"
+      e.head.durationNs should be > 0L
+      e.head.error shouldBe None
+    } finally m.unregister(spark)
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    val dir = tmpDir("availnow")
+    val src = s"$dir/src"
+    Seq(1, 2, 3).toDF("v").write.parquet(src)
+    val q = spark.readStream.schema("v INT").parquet(src)
+      .writeStream.format("memory").queryName("avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // processes existing files then STOPS — the batch-over-backlog
+    // pattern (no manual stop, unlike the reference's bounded run)
+    q.awaitTermination(60000) shouldBe true
+    spark.table("avail_now").as[Int].collect().sorted shouldBe Array(1, 2, 3)
+  }
+
   test("S11: current-date string via a 1-row DataFrame (merge_stock.py:81-84)") {
     val stamp = spark.range(1)
       .select(date_format(current_date(), "MM-dd-yyyy").as("d"))
