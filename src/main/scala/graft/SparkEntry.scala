@@ -12,8 +12,15 @@ import graft.queries.{BatchQueries, CurationQueries, PipelineQueries, Q, Relatio
   * (S5–S10) are exercised in ScalaTest (src/test/scala/graft). */
 object SparkEntry {
 
-  private val defs: Seq[Q] =
-    BatchQueries.all ++ PipelineQueries.all ++ RelationalQueries.all ++ CurationQueries.all
+  private val defs: Seq[Q] = {
+    val all =
+      BatchQueries.all ++ PipelineQueries.all ++ RelationalQueries.all ++ CurationQueries.all
+    // a duplicate name would silently drop a query from the Map-backed
+    // driver contract — fail loudly instead
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the
     * `batch_stock` hourly-aggregate shape (SURVEY.md §7.2 step 1). */
