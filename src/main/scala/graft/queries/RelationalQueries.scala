@@ -755,8 +755,82 @@ object RelationalQueries {
         FROM orders GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
   }
 
+  /** Array set/positional operations (intersect/except/union/position/
+    * repeat/flatten). Spark's set ops and DuckDB's list ops disagree on
+    * result ORDER, so every set-valued output is array_sort-normalized
+    * on both sides; array_position's 0-for-absent is mirrored with a
+    * coalesce (DuckDB returns NULL). */
+  private val q74 = {
+    val ref = Seq("table", "window", "agg")
+    val refSpark = array(ref.map(lit): _*)
+    val refSql = ref.map(w => s"'$w'").mkString("[", ", ", "]")
+    Q(
+      "q74_array_ops",
+      (s, dir) => {
+        val toks = array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            array_sort(array_intersect(toks, refSpark)).as("hits"),
+            array_sort(array_except(toks, refSpark)).as("rest"),
+            array_sort(array_union(slice(toks, 1, 3), refSpark)).as("uni"),
+            array_position(toks, "table").cast("long").as("table_at"),
+            array_repeat(col("lang"), 3).as("lang3"),
+            flatten(array(slice(toks, 1, 2), slice(toks, 1, 2))).as("dup2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+          list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
+        SELECT doc_id,
+          list_sort(list_intersect(toks, $refSql)) AS hits,
+          list_sort(list_filter(toks, t -> NOT list_contains($refSql, t))) AS rest,
+          list_sort(list_distinct(list_concat(toks[1:3], $refSql))) AS uni,
+          CAST(coalesce(list_position(toks, 'table'), 0) AS BIGINT) AS table_at,
+          [lang, lang, lang] AS lang3,
+          flatten([toks[1:2], toks[1:2]]) AS dup2
+        FROM d ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Map-typed operations over q57's per-user event-type count map:
+    * cardinality, sorted keys, value fold, map_filter,
+    * transform_values, and keyed access. DuckDB lacks the map HOFs, so
+    * the mirror round-trips through map_entries → list_filter /
+    * list_transform → map_from_entries; both engines build the map from
+    * SORTED entries so entry order (and the map hash) agrees. */
+  private val q75 = Q(
+    "q75_map_ops",
+    (s, dir) => {
+      val m = map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n")))))
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(m.as("m"))
+        .select(
+          col("user_id"),
+          map_keys(col("m")).as("types"),
+          aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("n_events"),
+          map_filter(col("m"), (_, v) => v > lit(20L)).as("frequent"),
+          transform_values(col("m"), (_, v) => v * 10).as("scaled"),
+          element_at(col("m"), "click").as("n_click"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT user_id,
+        map(list(event_type ORDER BY event_type), list(n ORDER BY event_type)) AS m
+        FROM c GROUP BY 1)
+      SELECT user_id,
+        map_keys(m) AS types,
+        CAST(list_sum(map_values(m)) AS BIGINT) AS n_events,
+        map_from_entries(list_filter(map_entries(m), e -> e.value > 20)) AS frequent,
+        map_from_entries(list_transform(map_entries(m),
+          e -> {'key': e.key, 'value': e.value * 10})) AS scaled,
+        map_extract(m, 'click')[1] AS n_click
+      FROM g ORDER BY user_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73)
+      q73, q74, q75)
 }
