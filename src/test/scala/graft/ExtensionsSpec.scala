@@ -84,6 +84,25 @@ class ExtensionsSpec extends SparkSpec {
       val keyed = a.join(b,
         col("id_a") === col("id_b") && abs(col("t_a") - col("t_b")) <= lit(5L))
       keyed.queryExecution.optimizedPlan.toString should not include "_graft_bucket"
+
+      // property: rewritten results == brute force on random timelines
+      // (ScalaCheck isn't in the offline cache — fixed-seed manual gen)
+      val rnd = new scala.util.Random(20260812L)
+      for (trial <- 1 to 3) {
+        val tol = 1L + rnd.nextInt(7)
+        val pts = (1 to 60).map(i => (i.toLong, rnd.nextLong() % 100))
+        val pa = pts.toDF("id", "t").select(col("id").as("ia"), col("t").as("ta"))
+        val pb = pts.toDF("id", "t").select(col("id").as("ib"), col("t").as("tb"))
+        val got = pa.join(pb, abs(col("ta") - col("tb")) <= lit(tol) && col("ia") < col("ib"))
+        withClue(s"trial $trial tol $tol: ") {
+          got.queryExecution.optimizedPlan.toString should include("_graft_bucket")
+          val expect = (for {
+            (i, ti) <- pts; (jj, tj) <- pts
+            if i < jj && math.abs(ti - tj) <= tol
+          } yield (i, jj)).sorted
+          got.select("ia", "ib").as[(Long, Long)].collect().sorted shouldBe expect
+        }
+      }
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
