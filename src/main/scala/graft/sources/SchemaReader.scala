@@ -90,4 +90,10 @@ object SchemaReader {
       org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
     coerce(spark.read.schema(stringly).json(paths: _*), schema)
   }
+
+  /** ORC with the declared-schema coercion contract — same columnar
+    * scan/pushdown properties as parquet (ORC is the other common
+    * warehouse format the engine should ingest without conversion). */
+  def readOrc(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    coerce(spark.read.orc(paths: _*), schema)
 }

@@ -84,6 +84,15 @@ class SchemaReaderSpec extends SparkSpec {
     got.count() shouldBe 2
     got.schema.fieldNames shouldBe Array("id", "price", "note")
   }
+
+  test("readOrc round-trips with declared-schema coercion") {
+    val dir = tmpDir("orcsrc")
+    Seq((1, 1.5, "a"), (2, 2.5, "b")).toDF("id", "price", "note")
+      .write.orc(s"$dir/d.orc")
+    val got = SchemaReader.readOrc(spark, schema, Seq(s"$dir/d.orc")).orderBy("id")
+    got.schema.fieldNames shouldBe Array("id", "price", "note")
+    got.collect().map(r => (r.getInt(0), r.getDouble(1))) shouldBe Array((1, 1.5), (2, 2.5))
+  }
 }
 
 class ArchiveJobSpec extends SparkSpec {
