@@ -829,8 +829,28 @@ object RelationalQueries {
         map_extract(m, 'click')[1] AS n_click
       FROM g ORDER BY user_id""".replaceAll("\\s+", " ")))
 
+  /** LATERAL correlated subqueries — the per-row derived-table form
+    * (DecorrelateInnerQuery lowers it to a join; max/count over an
+    * empty correlation produce the standard one-row null/zero). */
+  private val q76 = Q(
+    "q76_lateral",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g76_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g76_lineitem")
+      s.sql("""SELECT o.o_orderkey, agg.n_items, agg.max_qty
+        FROM g76_orders o,
+        LATERAL (SELECT count(*) AS n_items, max(l_quantity) AS max_qty
+          FROM g76_lineitem l WHERE l.l_orderkey = o.o_orderkey) agg
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey, agg.n_items, agg.max_qty
+      FROM orders o,
+      LATERAL (SELECT count(*) AS n_items, max(l_quantity) AS max_qty
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) agg
+      ORDER BY o.o_orderkey""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75)
+      q73, q74, q75, q76)
 }
