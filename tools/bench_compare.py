@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Diff two Bench JSON lines (files containing the {"metric":...} line):
+per-query delta sorted by regression size. Dev tooling only.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [min_delta_s]
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read()
+    i = text.find('{"metric"')
+    return json.loads(text[i:].split("\n")[0])
+
+
+def main(old_path, new_path, min_delta=0.2):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({new['value'] - old['value']:+.1f}s); "
+          f"queries: {len(oq)} -> {len(nq)}")
+    deltas = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None:
+            print(f"  NEW  {name}: {b:.2f}s")
+        elif b is None:
+            print(f"  GONE {name}: was {a:.2f}s")
+        else:
+            deltas.append((b - a, name, a, b))
+    for d, name, a, b in sorted(deltas, reverse=True):
+        if abs(d) >= min_delta:
+            print(f"  {d:+.2f}s  {name}: {a:.2f} -> {b:.2f}")
+
+
+if __name__ == "__main__":
+    try:
+        main(sys.argv[1], sys.argv[2],
+             float(sys.argv[3]) if len(sys.argv) > 3 else 0.2)
+    except BrokenPipeError:  # piped into head
+        pass
