@@ -146,6 +146,37 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6))
   }
 
+  test("property: lshVerifiedPairs is exact on its candidates (random corpora)") {
+    // ScalaCheck isn't in the offline cache — fixed-seed manual gen.
+    // LSH recall is probabilistic, but two properties are EXACT:
+    // (1) every emitted pair's jaccard is the true set jaccard and
+    //     clears the threshold;
+    // (2) emitted pairs ⊆ candidate pairs (verification only filters).
+    val rnd = new scala.util.Random(42L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 2) {
+      val corpus = (1L to 40L).map { id =>
+        val n = 3 + rnd.nextInt(6)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.lshVerifiedPairs(df, "doc_id", "text", 16, 4, 0.5)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+      withClue(s"trial $trial: ") {
+        got.foreach { case (a, b, j) =>
+          val trueJ = toks(a).intersect(toks(b)).size.toDouble /
+            toks(a).union(toks(b)).size
+          j shouldBe (math.floor(trueJ * 10000 + 0.5) / 10000)
+          j should be >= 0.5
+        }
+        val cands = Dedup.minhashCandidates(df, "doc_id", "text", 16, 4)
+          .as[(Long, Long)].collect().toSet
+        got.map(p => (p._1, p._2)).toSet.subsetOf(cands) shouldBe true
+      }
+    }
+  }
+
   test("jaccard threshold filter evaluates the intersection merge exactly once") {
     // Regression guard for the pushdown fence (SURVEY.md §9.4): without
     // it, Catalyst substitutes the jaccard alias through the projections
