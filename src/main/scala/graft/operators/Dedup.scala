@@ -251,6 +251,43 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Edit-distance near-duplicate pairs within a blocking key: all
+    * (a, b), a < b, with levenshtein(s_a, s_b) ≤ `maxDist` — the fuzzy
+    * title/short-string dedup family (token-set Jaccard is blind to
+    * intra-word typos). Plan shape matches [[jaccardPairs]]: broadcast
+    * build side, explicit-N stream repartition. Two exactness-preserving
+    * prunings: the length filter (|len_a − len_b| ≤ maxDist is implied
+    * by the distance bound) skips pairs for free, and the in-condition
+    * distance uses Spark's THRESHOLDED levenshtein — banded O(n·k) DP
+    * instead of O(n²), returning −1 past the bound, which the condition
+    * treats as no-match. Survivors recompute the plain distance once in
+    * the projection (q29's pattern: cheaper than materializing every
+    * candidate). The cheap conjuncts sit inside a `when` guard so the
+    * optimizer cannot reorder the DP before them (SURVEY §9.4). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int, broadcastBuild: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val s = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(strCol).as("s"), length(col(strCol)).as("len"))
+    val nPart = Plans.shufflePartitions(df)
+    val a = s.repartition(nPart).select(col("block"), col("id").as("id_a"),
+      col("s").as("s_a"), col("len").as("len_a"))
+    val b = s.select(col("block"), col("id").as("id_b"),
+      col("s").as("s_b"), col("len").as("len_b"))
+    // banded levenshtein returns −1 iff the distance exceeds maxDist,
+    // so `>= 0` is the complete bound check with ONE DP evaluation
+    // (an `x >= 0 && x <= k` form would re-run the DP per conjunct —
+    // the §9.4 duplication trap)
+    val banded = levenshtein(col("s_a"), col("s_b"), maxDist)
+    val inRange = when(
+      col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= maxDist,
+      banded).otherwise(lit(null))
+    a.as("A").join(Plans.maybeBroadcast(b.as("B"), broadcastBuild),
+        col("A.block") === col("B.block") && inRange >= 0)
+      .select(col("A.block").as("block"), col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+  }
+
   /** Exact token-set Jaccard over candidate pairs within a blocking key
     * (quadratic per block — the verifier stage, not the generator).
     *

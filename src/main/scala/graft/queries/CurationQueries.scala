@@ -262,5 +262,26 @@ object CurationQueries {
         FROM j ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58)
+  /** Fuzzy short-string dedup: language-blocked title pairs within
+    * levenshtein distance 3 (title = first 3 tokens). Completes the
+    * dedup family with the intra-word-typo case token-set methods
+    * miss; the engine side runs the banded thresholded DP. */
+  private val q77 = Q(
+    "q77_edit_distance_pairs",
+    (s, dir) => {
+      val titled = t(s, dir, "documents").withColumn("title",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      graft.operators.Dedup.editDistancePairs(titled, "doc_id", "title", "lang", 3)
+        .orderBy("block", "id_a", "id_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS title FROM documents)
+      SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 3
+      ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
+    q77)
 }

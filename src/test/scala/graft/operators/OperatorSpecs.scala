@@ -146,6 +146,18 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6))
   }
 
+  test("editDistancePairs finds in-block typo pairs within maxDist, once each") {
+    val titles = Seq(
+      (1L, "en", "quick brown fox"),
+      (2L, "en", "quick brown fax"),  // dist 1 to #1
+      (3L, "en", "slow green trees"), // far from all
+      (4L, "de", "quick brown fox")   // cross-block: excluded
+    ).toDF("doc_id", "lang", "title")
+    val got = Dedup.editDistancePairs(titles, "doc_id", "title", "lang", 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().sorted
+    got shouldBe Array((1L, 2L, 1L))
+  }
+
   test("property: lshVerifiedPairs is exact on its candidates (random corpora)") {
     // ScalaCheck isn't in the offline cache — fixed-seed manual gen.
     // LSH recall is probabilistic, but two properties are EXACT:
