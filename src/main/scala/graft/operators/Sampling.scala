@@ -50,4 +50,26 @@ object Sampling {
       .filter(col("_rn") <= maxPerGroup)
       .drop("_rn")
   }
+
+  /** Temperature-sampled source-mixture weights (α = 0.5): per group,
+    * weight_i = √t_i / Σ_j √t_j where t is the group's token mass —
+    * the up-weight-the-tail mixing computation training pipelines run
+    * before sampling (α = 1 is proportional, α → 0 uniform). √ because
+    * IEEE sqrt is correctly rounded on every platform while pow(x, α)
+    * is not — the general-α form would drift across engines. The
+    * normalizing sum runs in DECIMAL(18,6) (order-independent); the
+    * final division is one IEEE op, so weights are bitwise-portable.
+    * One aggregate + one tiny global window (rows = #groups). */
+  def temperatureWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perGroup = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.operators.TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+    val sDec = sqrt(col("n_tokens").cast("double")).try_cast("decimal(18,6)")
+    val total = sum(sDec).over(Window.partitionBy())
+    perGroup.select(
+      col(groupCol), col("n_docs"), col("n_tokens"),
+      graft.functions.PortableRound.round4(
+        sDec.cast("double") / total.cast("double")).as("weight"))
+  }
 }

@@ -282,6 +282,25 @@ object CurationQueries {
       WHERE levenshtein(a.title, b.title) <= 3
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
+  /** Temperature-sampled (α = 0.5) source-mixture weights — the
+    * up-weight-the-tail mixing computation run before training-data
+    * sampling. √ keeps the exponent portable (IEEE sqrt is correctly
+    * rounded; pow is not); the normalizer sums in decimal. */
+  private val q78 = Q(
+    "q78_mixture_weights",
+    (s, dir) => Sampling.temperatureWeights(t(s, dir, "documents"), "source", "text")
+      .orderBy("source"),
+    Some(s"""WITH g AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT source, n_docs, n_tokens,
+        TRY_CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sd,
+        sum(TRY_CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6))) OVER () AS tot
+        FROM g)
+      SELECT source, n_docs, n_tokens,
+        ${PortableRound.sql4("(CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE))")} AS weight
+      FROM w ORDER BY source""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77)
+    q77, q78)
 }
