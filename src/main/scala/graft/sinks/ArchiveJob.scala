@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, lit}
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
@@ -86,6 +87,30 @@ object ArchiveJob {
     * compact each partition path individually — rewriting the root
     * would fold the partition column into the data files and destroy
     * the layout (guarded below). */
+  /** Targeted deletion: rewrite a parquet dir WITHOUT the rows matching
+    * `predicate` (the right-to-be-forgotten / bad-source purge shape —
+    * parquet files are immutable, so deletion is a filtered rewrite).
+    * Same crash-safe order as [[compact]]: write the survivors to a tmp
+    * dir, verify surviving + deleted = original, then swap. Returns
+    * (rows deleted, rows kept). For hive-partitioned archives run it
+    * per partition path — or prune first and rewrite only partitions
+    * that can contain matches. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(dir)
+    val total = df.count()
+    val tmp = s"$dir.delete-tmp"
+    df.filter(!coalesce(predicate, lit(false))).write.mode("overwrite").parquet(tmp)
+    val kept = spark.read.parquet(tmp).count()
+    val matched = df.filter(coalesce(predicate, lit(false))).count()
+    require(kept + matched == total,
+      s"deleteWhere verify failed: kept $kept + deleted $matched != $total")
+    fs.delete(new Path(dir), true)
+    require(fs.rename(new Path(tmp), new Path(dir)), s"deleteWhere rename failed for $dir")
+    (matched, kept)
+  }
+
   def compact(spark: SparkSession, dir: String, targetRows: Long): (Int, Int, Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partitionDirs = Option(fs.globStatus(new Path(s"$dir/*=*")))

@@ -166,6 +166,16 @@ class ArchiveJobSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       ArchiveJob.compact(spark, part, 5L)
   }
+
+  test("deleteWhere purges matching rows; null predicates keep the row") {
+    val dir = s"${tmpDir("delete")}/data"
+    Seq((1, Some("u1")), (2, Some("u2")), (3, None), (4, Some("u1")))
+      .toDF("id", "user").write.parquet(dir)
+    val (deleted, kept) = ArchiveJob.deleteWhere(spark, dir, col("user") === "u1")
+    deleted shouldBe 2
+    kept shouldBe 2 // u2 + the null-user row (predicate NULL -> keep)
+    spark.read.parquet(dir).select("id").as[Int].collect().sorted shouldBe Array(2, 3)
+  }
 }
 
 class KvSinkSpec extends SparkSpec {
