@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSpec {
     leftOuter should contain((Some(3.0), None)) // left-outer flushes it
   }
 
+  test("parquet file sink writes partitioned exactly-once output with _spark_metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("filesink").toString
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = in.toDF().toDF("ts", "sym", "v")
+      .withColumn("d", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .partitionBy("d")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), "AAPL", 1.0),
+      (ts("2024-01-02 11:00:00"), "XOM", 2.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-02 12:00:00"), "AAPL", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    out.count() shouldBe 3
+    // hive layout by event date + the exactly-once transaction log
+    out.select("d").distinct().count() shouldBe 2
+    new java.io.File(s"$dir/out/_spark_metadata").exists() shouldBe true
+  }
+
   test("stream-static broadcast join enriches each micro-batch without state") {
     val dim = Seq(("AAPL", "tech"), ("XOM", "energy")).toDF("sym", "sector")
     val in = MemoryStream[(Timestamp, String, Double)]
