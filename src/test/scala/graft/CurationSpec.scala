@@ -149,4 +149,20 @@ class CurationSpec extends SparkSpec {
       (0, 2L, Seq(2.0, 4.0)),
       (1, 1L, Seq(10.0, -2.0)))
   }
+
+  test("temperatureWeights: sqrt-proportional, ordered by mass, summing to ~1") {
+    val df = Seq(
+      ("big", "a b c d e f g h i j k l m n o p"), // 16 tokens -> sqrt 4
+      ("mid", "a b c d e f g h i"),               // 9 tokens  -> sqrt 3
+      ("tiny", "a")                               // 1 token   -> sqrt 1
+    ).toDF("source", "text")
+    val got = graft.operators.Sampling.temperatureWeights(df, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    got("big") shouldBe 0.5 // 4 / (4+3+1)
+    got("mid") shouldBe 0.375
+    got("tiny") shouldBe 0.125
+    got.values.sum shouldBe 1.0 +- 1e-9
+    // temperature flattens: big's share (0.5) < its proportional share (16/26)
+    got("big") should be < 16.0 / 26.0
+  }
 }
