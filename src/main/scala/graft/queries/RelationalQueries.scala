@@ -849,8 +849,65 @@ object RelationalQueries {
         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) agg
       ORDER BY o.o_orderkey""".replaceAll("\\s+", " ")))
 
+  /** Funnel conversion: per signed-up user, the first purchase AFTER
+    * the signup — an order-sensitive two-stage aggregate (conditional
+    * min, then a re-join restricted to later events), the classic
+    * product-analytics shape. Timestamps surface as unix seconds (the
+    * engine's proven nanos-safe output form). */
+  private val q79 = Q(
+    "q79_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsu"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"))
+      signups.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(when(col("tsu") > col("signup_ts"), col("tsu"))).as("first_purchase_ts"))
+        .withColumn("converted", col("first_purchase_ts").isNotNull)
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS tsu FROM events),
+      s AS (SELECT user_id, min(tsu) AS signup_ts FROM e
+        WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase')
+      SELECT s.user_id, s.signup_ts,
+        min(CASE WHEN p.tsu > s.signup_ts THEN p.tsu END) AS first_purchase_ts,
+        (min(CASE WHEN p.tsu > s.signup_ts THEN p.tsu END) IS NOT NULL) AS converted
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+      GROUP BY 1, 2 ORDER BY 1""".replaceAll("\\s+", " ")))
+
+  /** Weekly retention: per activity week, active users and how many
+    * stay active the following week — a distinct-pair self-join on the
+    * (user, week) grid (both engines truncate weeks to Monday). */
+  private val q80 = Q(
+    "q80_retention",
+    (s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
+      uw.join(nxt, nxt("user_id") === uw("user_id") &&
+          col("wk_next") === date_add(col("wk"), 7), "left")
+        .groupBy(col("wk"))
+        .agg(
+          count(lit(1)).as("n_active"),
+          count(col("wk_next")).as("n_retained"))
+        .orderBy("wk")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+      SELECT a.wk, count(*) AS n_active,
+        CAST(count(b.wk) AS BIGINT) AS n_retained
+      FROM uw a LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+      GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76)
+      q73, q74, q75, q76, q79, q80)
 }
