@@ -41,14 +41,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
       else {
-        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val cmp = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
         if (cmp == 0) {
           c += 1
           // set semantics: skip equal runs so duplicates count once
           val v = x.getUTF8String(i)
           i += 1; j += 1
-          while (i < na && !x.isNullAt(i) && x.getUTF8String(i).compareTo(v) == 0) i += 1
-          while (j < nb && !y.isNullAt(j) && y.getUTF8String(j).compareTo(v) == 0) j += 1
+          while (i < na && !x.isNullAt(i) && x.getUTF8String(i).binaryEquals(v)) i += 1
+          while (j < nb && !y.isNullAt(j) && y.getUTF8String(j).binaryEquals(v)) j += 1
         }
         else if (cmp < 0) i += 1
         else j += 1
@@ -74,14 +74,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  if ($a.isNullAt($i)) { $i++; }
          |  else if ($b.isNullAt($j)) { $j++; }
          |  else {
-         |    final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    final int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
          |    if ($cmp == 0) {
          |      ${ev.value}++;
          |      // set semantics: skip equal runs so duplicates count once
          |      final org.apache.spark.unsafe.types.UTF8String $v = $a.getUTF8String($i);
          |      $i++; $j++;
-         |      while ($i < $na && !$a.isNullAt($i) && $a.getUTF8String($i).compareTo($v) == 0) $i++;
-         |      while ($j < $nb && !$b.isNullAt($j) && $b.getUTF8String($j).compareTo($v) == 0) $j++;
+         |      while ($i < $na && !$a.isNullAt($i) && $a.getUTF8String($i).binaryEquals($v)) $i++;
+         |      while ($j < $nb && !$b.isNullAt($j) && $b.getUTF8String($j).binaryEquals($v)) $j++;
          |    }
          |    else if ($cmp < 0) $i++;
          |    else $j++;
