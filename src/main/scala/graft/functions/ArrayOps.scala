@@ -59,33 +59,105 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val cmp = ctx.freshName("cmp")
-      val v = ctx.freshName("matched")
+      // Generic path: ArrayData interface + UTF8String wrappers.
+      val slowMerge = ctx.addNewFunction("graftSortedIntersectSlow",
+        s"""
+           |private int graftSortedIntersectSlow(
+           |    org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    org.apache.spark.sql.catalyst.util.ArrayData b) {
+           |  int i = 0, j = 0, c = 0;
+           |  final int na = a.numElements();
+           |  final int nb = b.numElements();
+           |  while (i < na && j < nb) {
+           |    if (a.isNullAt(i)) { i++; }
+           |    else if (b.isNullAt(j)) { j++; }
+           |    else {
+           |      final int cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j));
+           |      if (cmp == 0) {
+           |        c++;
+           |        final org.apache.spark.unsafe.types.UTF8String v = a.getUTF8String(i);
+           |        i++; j++;
+           |        while (i < na && !a.isNullAt(i) && a.getUTF8String(i).binaryEquals(v)) i++;
+           |        while (j < nb && !b.isNullAt(j) && b.getUTF8String(j).binaryEquals(v)) j++;
+           |      }
+           |      else if (cmp < 0) i++;
+           |      else j++;
+           |    }
+           |  }
+           |  return c;
+           |}
+         """.stripMargin)
+      // Fast path: both arrays Unsafe-backed (the case in every join/agg
+      // pipeline — rows are UnsafeRows). getUTF8String allocates a
+      // wrapper PER ELEMENT ACCESS (UTF8String.fromAddress dominated
+      // the post-binaryCompare JFR profile: ~half a billion short-lived
+      // objects across a pair pipeline), so this path compares the raw
+      // bytes via the documented UnsafeArrayData layout instead:
+      // [8B numElements][null bitset][8B offsetAndSize per element]
+      // with offset relative to the array base. Binary order ==
+      // unsigned-byte order, matching binaryCompare exactly.
+      val fastMerge = ctx.addNewFunction("graftSortedIntersectFast",
+        s"""
+           |private int graftSortedIntersectFast(
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData a,
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData b) {
+           |  final Object aBase = a.getBaseObject();
+           |  final Object bBase = b.getBaseObject();
+           |  final long aOff = a.getBaseOffset();
+           |  final long bOff = b.getBaseOffset();
+           |  final int na = a.numElements();
+           |  final int nb = b.numElements();
+           |  final long aElems = aOff + 8L + (((long) na + 63) / 64) * 8L;
+           |  final long bElems = bOff + 8L + (((long) nb + 63) / 64) * 8L;
+           |  int i = 0, j = 0, c = 0;
+           |  long mOff = 0L; int mLen = -1; // bytes of the last match (for run skip)
+           |  Object mBase = null;
+           |  while (i < na && j < nb) {
+           |    if (a.isNullAt(i)) { i++; continue; }
+           |    if (b.isNullAt(j)) { j++; continue; }
+           |    final long x = org.apache.spark.unsafe.Platform.getLong(aBase, aElems + 8L * i);
+           |    final long y = org.apache.spark.unsafe.Platform.getLong(bBase, bElems + 8L * j);
+           |    final long xo = aOff + (int) (x >> 32); final int xl = (int) x;
+           |    final long yo = bOff + (int) (y >> 32); final int yl = (int) y;
+           |    int cmp = 0;
+           |    final int min = xl < yl ? xl : yl;
+           |    for (int k = 0; k < min; k++) {
+           |      cmp = (org.apache.spark.unsafe.Platform.getByte(aBase, xo + k) & 0xFF)
+           |          - (org.apache.spark.unsafe.Platform.getByte(bBase, yo + k) & 0xFF);
+           |      if (cmp != 0) break;
+           |    }
+           |    if (cmp == 0) cmp = xl - yl;
+           |    if (cmp == 0) {
+           |      c++;
+           |      mBase = aBase; mOff = xo; mLen = xl;
+           |      i++; j++;
+           |      while (i < na && !a.isNullAt(i)) {
+           |        final long e = org.apache.spark.unsafe.Platform.getLong(aBase, aElems + 8L * i);
+           |        if ((int) e != mLen || !org.apache.spark.unsafe.array.ByteArrayMethods
+           |            .arrayEquals(aBase, aOff + (int) (e >> 32), mBase, mOff, mLen)) break;
+           |        i++;
+           |      }
+           |      while (j < nb && !b.isNullAt(j)) {
+           |        final long e = org.apache.spark.unsafe.Platform.getLong(bBase, bElems + 8L * j);
+           |        if ((int) e != mLen || !org.apache.spark.unsafe.array.ByteArrayMethods
+           |            .arrayEquals(bBase, bOff + (int) (e >> 32), mBase, mOff, mLen)) break;
+           |        j++;
+           |      }
+           |    }
+           |    else if (cmp < 0) i++;
+           |    else j++;
+           |  }
+           |  return c;
+           |}
+         """.stripMargin)
       s"""
-         |int $i = 0, $j = 0;
-         |final int $na = $a.numElements();
-         |final int $nb = $b.numElements();
-         |${ev.value} = 0;
-         |while ($i < $na && $j < $nb) {
-         |  if ($a.isNullAt($i)) { $i++; }
-         |  else if ($b.isNullAt($j)) { $j++; }
-         |  else {
-         |    final int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
-         |    if ($cmp == 0) {
-         |      ${ev.value}++;
-         |      // set semantics: skip equal runs so duplicates count once
-         |      final org.apache.spark.unsafe.types.UTF8String $v = $a.getUTF8String($i);
-         |      $i++; $j++;
-         |      while ($i < $na && !$a.isNullAt($i) && $a.getUTF8String($i).binaryEquals($v)) $i++;
-         |      while ($j < $nb && !$b.isNullAt($j) && $b.getUTF8String($j).binaryEquals($v)) $j++;
-         |    }
-         |    else if ($cmp < 0) $i++;
-         |    else $j++;
-         |  }
+         |if ($a instanceof org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    && $b instanceof org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) {
+         |  ${ev.value} = $fastMerge(
+         |    (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) $a,
+         |    (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) $b);
+         |} else {
+         |  ${ev.value} = $slowMerge($a, $b);
          |}
        """.stripMargin
     })
