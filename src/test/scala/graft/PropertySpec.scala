@@ -97,4 +97,20 @@ class PropertySpec extends SparkSpec {
     val expected = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
     got.toSeq shouldBe expected
   }
+
+  test("intersect kernel: interpreted eval handles nulls, dup runs, empties") {
+    // Drives nullSafeEval directly (the non-codegen path the unsafe
+    // fast path falls back from) through Literal-backed generic arrays.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def arr(xs: Seq[String]): Literal =
+      Literal.create(xs, ArrayType(StringType, containsNull = true))
+    def run(a: Seq[String], b: Seq[String]): Int =
+      graft.functions.SortedIntersectSize(arr(a), arr(b))
+        .eval(null).asInstanceOf[Int]
+    run(Seq("a", "b", "c"), Seq("b", "c", "d")) shouldBe 2
+    run(Seq("a", "a", "b", "b"), Seq("a", "b", "b")) shouldBe 2 // dup runs count once
+    run(Seq.empty, Seq("a")) shouldBe 0
+    run(Seq("a", "b", null), Seq("a", null)) shouldBe 1 // nulls (sorted last) never match
+  }
 }
