@@ -213,10 +213,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val ua = ctx.freshName("ua")
+      val ub = ctx.freshName("ub")
+      val aBase = ctx.freshName("aBase")
+      val bBase = ctx.freshName("bBase")
+      val aElems = ctx.freshName("aElems")
+      val bElems = ctx.freshName("bElems")
+      val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      val platform = "org.apache.spark.unsafe.Platform"
+      // Fast path mirrors SortedIntersectSize's: Unsafe-backed arrays
+      // (every join/agg pipeline) are read straight from the documented
+      // layout — getDouble through the ArrayData interface is a virtual
+      // dispatch per element, ~192 of them per all-pairs cosine.
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
-         |else {
+         |else if ($a instanceof $uad && $b instanceof $uad) {
+         |  final $uad $ua = ($uad) $a;
+         |  final $uad $ub = ($uad) $b;
+         |  final Object $aBase = $ua.getBaseObject();
+         |  final Object $bBase = $ub.getBaseObject();
+         |  final long $aElems = $ua.getBaseOffset() + 8L + ((($n + 63) / 64)) * 8L;
+         |  final long $bElems = $ub.getBaseOffset() + 8L + ((($n + 63) / 64)) * 8L;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($ua.isNullAt($i) || $ub.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      final double $xv = $platform.getDouble($aBase, $aElems + 8L * $i);
+         |      final double $yv = $platform.getDouble($bBase, $bElems + 8L * $i);
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
+         |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
