@@ -273,11 +273,90 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First-collision test for dedup-free LSH enumeration: TRUE iff the
+  * two key vectors DIFFER at every index j < `bandId` — i.e. `bandId`
+  * is the first band where the docs collide, so this band (alone)
+  * emits the pair. The composed column form
+  * (`element_at(keysA, j+1) =!= element_at(keysB, j+1)` per band)
+  * materializes a UTF8String wrapper per element access per pair; this
+  * expression compares raw bytes over Unsafe-backed arrays with the
+  * same layout walk as [[SortedIntersectSize]], falling back to
+  * wrapper equality for generic arrays. */
+case class NoEarlierCollision(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "no_earlier_collision"
+
+  override def nullSafeEval(ka: Any, kb: Any, bid: Any): Any = {
+    val a = ka.asInstanceOf[ArrayData]
+    val b = kb.asInstanceOf[ArrayData]
+    val upto = bid.asInstanceOf[Int]
+    var j = 0
+    while (j < upto) {
+      if (a.getUTF8String(j).binaryEquals(b.getUTF8String(j))) return false
+      j += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, bid) => {
+      val fn = ctx.addNewFunction("graftNoEarlierCollision",
+        s"""
+           |private boolean graftNoEarlierCollision(
+           |    org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    org.apache.spark.sql.catalyst.util.ArrayData b,
+           |    int upto) {
+           |  if (a instanceof org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |      && b instanceof org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) {
+           |    final org.apache.spark.sql.catalyst.expressions.UnsafeArrayData ua =
+           |      (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) a;
+           |    final org.apache.spark.sql.catalyst.expressions.UnsafeArrayData ub =
+           |      (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) b;
+           |    final Object aBase = ua.getBaseObject();
+           |    final Object bBase = ub.getBaseObject();
+           |    final long aOff = ua.getBaseOffset();
+           |    final long bOff = ub.getBaseOffset();
+           |    final long aElems = aOff + 8L + (((long) ua.numElements() + 63) / 64) * 8L;
+           |    final long bElems = bOff + 8L + (((long) ub.numElements() + 63) / 64) * 8L;
+           |    for (int j = 0; j < upto; j++) {
+           |      final long x = org.apache.spark.unsafe.Platform.getLong(aBase, aElems + 8L * j);
+           |      final long y = org.apache.spark.unsafe.Platform.getLong(bBase, bElems + 8L * j);
+           |      if ((int) x == (int) y && org.apache.spark.unsafe.array.ByteArrayMethods
+           |          .arrayEquals(aBase, aOff + (int) (x >> 32), bBase, bOff + (int) (y >> 32),
+           |            (int) x)) {
+           |        return false;
+           |      }
+           |    }
+           |    return true;
+           |  }
+           |  for (int j = 0; j < upto; j++) {
+           |    if (a.getUTF8String(j).binaryEquals(b.getUTF8String(j))) return false;
+           |  }
+           |  return true;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fn($a, $b, $bid);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NoEarlierCollision =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object ArrayOps {
   /** Column API for [[SortedIntersectSize]] — both inputs must be sorted. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[NoEarlierCollision]]: true iff `keysA` and
+    * `keysB` differ at every index below `bandId` (0-based). */
+  def noEarlierCollision(keysA: Column, keysB: Column, bandId: Column): Column =
+    ColumnBridge.column(NoEarlierCollision(
+      ColumnBridge.expression(keysA), ColumnBridge.expression(keysB),
+      ColumnBridge.expression(bandId)))
 
   /** Column API for [[CosineSimilarity]] — inputs cast to array<double>. */
   def cosineSimilarity(a: Column, b: Column): Column =

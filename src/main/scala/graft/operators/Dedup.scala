@@ -100,19 +100,6 @@ object Dedup {
       .select(col(idCol), col("keys"), posexplode(col("keys")).as(Seq("band_id", "band_key")))
   }
 
-  /** For all j < band_id: the two docs' j-th band keys DIFFER — i.e.
-    * this band is the FIRST collision. Each colliding pair is emitted by
-    * exactly one band, so the enumeration needs NO distinct: the classic
-    * dedup-free LSH join. The filter is a handful of string compares per
-    * candidate row vs a full shuffle+aggregate over the (heavily
-    * duplicated — up to nBands×) pair stream. */
-  private def firstCollision(nBands: Int, keysA: Column, keysB: Column): Column =
-    (0 until nBands - 1)
-      .map(j => lit(j) >= col("band_id") ||
-        element_at(keysA, j + 1) =!= element_at(keysB, j + 1))
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
-
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band, each pair
     * exactly once. Only ids and band keys shuffle. The probe side is
     * broadcast: band rows are tiny relative to the corpus, so the
@@ -121,12 +108,13 @@ object Dedup {
     * badly on large near-dup clusters, where one hot band key funnels
     * the whole cluster's candidate explosion into a single task).
     * Cross-band duplicates are eliminated by the first-collision filter
-    * ([[firstCollision]]) instead of a pair-keyed shuffle+distinct —
-    * the dominant cost of the naive formulation (the pair stream is
+    * ([[graft.functions.NoEarlierCollision]] — the pair survives only
+    * in the first band where the docs collide, tested with raw-byte
+    * key comparisons) instead of a pair-keyed shuffle+distinct — the
+    * dominant cost of the naive formulation (the pair stream is
     * ~nBands× the distinct pair count). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandSize: Int = 4, broadcastBuild: Boolean = true): DataFrame = {
-    val nBands = k / bandSize
     val bands = lshBandsKeyed(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
     // Explicit-N repartition: the stream side is byte-tiny but each row's
     // probe fans out quadratically inside hot bands — AQE's byte-based
@@ -137,7 +125,8 @@ object Dedup {
       col("keys").as("keys_b"))
     a.join(Plans.maybeBroadcast(b, broadcastBuild), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b") &&
-        firstCollision(nBands, col("keys_a"), col("keys_b")))
+        graft.functions.ArrayOps.noEarlierCollision(
+          col("keys_a"), col("keys_b"), col("band_id")))
       .select("id_a", "id_b")
   }
 

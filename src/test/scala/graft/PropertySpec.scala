@@ -113,4 +113,18 @@ class PropertySpec extends SparkSpec {
     run(Seq.empty, Seq("a")) shouldBe 0
     run(Seq("a", "b", null), Seq("a", null)) shouldBe 1 // nulls (sorted last) never match
   }
+
+  test("NoEarlierCollision: true iff keys differ at every earlier band") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+    def run(a: Seq[String], b: Seq[String], bid: Int): Boolean =
+      graft.functions.NoEarlierCollision(
+        Literal.create(a, ArrayType(StringType)),
+        Literal.create(b, ArrayType(StringType)),
+        Literal.create(bid, IntegerType)).eval(null).asInstanceOf[Boolean]
+    run(Seq("x", "y"), Seq("p", "q"), 2) shouldBe true // all earlier differ
+    run(Seq("x", "y"), Seq("x", "q"), 2) shouldBe false // collided at band 0
+    run(Seq("x", "y"), Seq("p", "y"), 1) shouldBe true // band 1 not inspected at bid=1
+    run(Seq("x"), Seq("p"), 0) shouldBe true // first band: vacuously true
+  }
 }
