@@ -906,8 +906,32 @@ object RelationalQueries {
         ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
       GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
+  /** Digest and binary-encoding functions (md5 / sha2-256 / base64
+    * round-trip) — content-addressing and payload-encoding surface.
+    * Hex digests agree byte-for-byte; Spark's base64 MIME-wraps lines
+    * at 76 chars (\r\n) where DuckDB emits unwrapped RFC-4648, so the
+    * engine output strips the wrapping (the decode round-trip proves
+    * the codec against the wrapped form). */
+  private val q81 = Q(
+    "q81_digests",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_hex"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+          unbase64(base64(col("text").cast("binary"))).cast("string").as("roundtrip"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(text) AS md5_hex,
+      sha256(text) AS sha256_hex,
+      to_base64(CAST(text AS BLOB)) AS b64,
+      CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) AS roundtrip
+      FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80)
+      q73, q74, q75, q76, q79, q80, q81)
 }
