@@ -930,8 +930,33 @@ object RelationalQueries {
       CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) AS roundtrip
       FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
+  /** Explicit null ordering: Spark sorts nulls FIRST on ASC by default
+    * while DuckDB sorts them LAST, so portable plans always spell the
+    * placement out (asc_nulls_last / desc_nulls_first here, explicit
+    * NULLS clauses in the mirror). Rank windows use the same explicit
+    * ordering so null rows rank identically. */
+  private val q82 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q82_null_ordering",
+      (s, dir) => {
+        val nullable = nullif(col("o_orderstatus"), lit("O"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(nullable.asc_nulls_last, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), nullable.as("st"),
+            rank().over(w).cast("long").as("r"))
+          .orderBy(col("st").asc_nulls_last, col("o_orderkey").asc)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, nullif(o_orderstatus, 'O') AS st,
+        CAST(rank() OVER (PARTITION BY o_orderpriority
+          ORDER BY nullif(o_orderstatus, 'O') ASC NULLS LAST, o_orderkey ASC) AS BIGINT) AS r
+        FROM orders
+        ORDER BY st ASC NULLS LAST, o_orderkey ASC""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81)
+      q73, q74, q75, q76, q79, q80, q81, q82)
 }
