@@ -45,6 +45,47 @@ class JobsSpec extends SparkSpec {
     InMemoryKvStore.data("2024-03-05_11")("weather")("mode_cond") shouldBe "snow"
   }
 
+  test("day cycle: live ingest → batch KV → archive rotation → next day lands clean") {
+    // The reference's operational loop (SURVEY §3.1 + §3.2) chained
+    // over one directory tree: aggregate the live folder to the KV
+    // store, rotate live → date-partitioned historical, verify live is
+    // empty for the next day's appends, and prune a day query on the
+    // archive.
+    InMemoryKvStore.clear()
+    val root = tmpDir("daycycle")
+    val live = s"$root/live"
+    val hist = s"$root/historical"
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("temp", DoubleType)))
+
+    // day 1 lands as files in live/ (the reference's append layout)
+    Seq((ts("2024-03-05 10:05:00"), 10.0), (ts("2024-03-05 10:35:00"), 20.0))
+      .toDF("ts", "temp").write.parquet(live)
+
+    // batch job reads live, writes KV
+    BatchAggJob.run(spark, Seq(live),
+      BatchAggJob.Config(schema, "ts", Seq("temp")),
+      InMemoryKvStore, family = "stock") shouldBe 1
+    InMemoryKvStore.data("2024-03-05_10")("stock")("avg_temp") shouldBe "15.0"
+
+    // rotation archives live into hive date partitions and empties it
+    graft.sinks.ArchiveJob.runPartitioned(spark, live, hist, "ts", "ts") shouldBe 2
+    graft.sources.SchemaReader.glob(spark, s"$live/*") shouldBe empty
+
+    // day 2 lands in the now-empty live/, rotates alongside day 1
+    Seq((ts("2024-03-06 09:00:00"), 30.0)).toDF("ts", "temp")
+      .write.mode("append").parquet(live)
+    graft.sinks.ArchiveJob.runPartitioned(spark, live, hist, "ts", "ts") shouldBe 1
+
+    val archive = spark.read.parquet(hist)
+    archive.count() shouldBe 3
+    // a day query prunes at the partition level, not a data filter
+    val day1 = archive.filter(col("date_key") === "2024-03-05")
+    day1.count() shouldBe 2
+    day1.queryExecution.executedPlan.collectLeaves().head.toString should
+      include("PartitionFilters")
+  }
+
   test("batch aggregate job applies timezone shift and clock-skew interval") {
     val live = tmpDir("batch_tz")
     // 14:50 UTC = 09:50 New York; minus 20 minutes skew → 09:30 → hour 9
