@@ -153,6 +153,69 @@ object Similarity {
       .drop("_r")
   }
 
+  /** Persist an IVF index: train the coarse quantizer, assign cells,
+    * and write the corpus PARTITIONED BY CELL — `cell=<i>/` hive
+    * directories under `dir/data`, centroids under `dir/centers`. At
+    * 100 TB this is the stored-index layout [[ivfTopK]] describes: a
+    * probe becomes directory-level partition pruning plus a scan of
+    * nProbe/nCentroids of the corpus. Deterministic for a fixed seed. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, seed: Long = 42L,
+      quantizerIter: Int = 5, trainFraction: Double = 0.25): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
+    val train = Sampling.deterministic(featured, idCol, trainFraction)
+      .select("_feat").persist()
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
+      .setInitMode("random")
+      .setFeaturesCol("_feat").setPredictionCol("cell")
+      .fit(train)
+    train.unpersist(blocking = false)
+    model.transform(featured).drop("_feat")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  /** Probe a persisted IVF index: nearest `nProbe` cells per query are
+    * computed from the (tiny) stored centroids on the driver, and the
+    * data scan filters on the PARTITION column — only the probed cell
+    * directories are read (`PartitionFilters`, asserted in
+    * SimilaritySpec). nProbe = nCentroids degenerates to exact
+    * brute force over the whole index. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = spark.read.parquet(s"$dir/centers")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val qs = queries.select(col(qIdCol), col(qVecCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Any](1).map(_.toString.toDouble).toArray))
+    val probed = qs.flatMap { case (_, qv) =>
+      centers.sortBy { case (_, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        d
+      }.take(nProbe).map(_._1)
+    }.distinct.toSeq
+    val hitRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probed: _*))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qvec"))))
+      .select(col("query_id"), col(idCol),
+        PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(hitRank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   /** IVF/LSH-bucketed ANN: probe only the query's sign bucket. Recall is
     * partial (that's the ANN trade) but cost is corpus/2^nBits per
     * query. */

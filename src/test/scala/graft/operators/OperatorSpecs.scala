@@ -366,4 +366,36 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     again shouldBe ivf
   }
+
+  test("persisted IVF index probes via partition pruning; full probe = brute force") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val corpus = (0 until 60).map(i => (i.toLong, jitter(axes(i % 2))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, axes(0))).toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf_index")
+
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dir, nCentroids = 2)
+    // cell=<i>/ hive layout on disk
+    graft.sources.SchemaReader.glob(spark, s"$dir/data/cell=*")
+      .length shouldBe 2
+
+    val probe = Similarity.probeIvfIndex(spark, dir, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nProbe = 1)
+    // the scan must prune to PartitionFilters on the cell column
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("cell")).get
+    scan should include("PartitionFilters")
+    // nProbe=1 on well-separated clusters == brute force; so does full probe
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .select("vec_id").as[Long].collect().toSet
+    probe.select("vec_id").as[Long].collect().toSet shouldBe brute
+    Similarity.probeIvfIndex(spark, dir, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet shouldBe brute
+  }
 }
