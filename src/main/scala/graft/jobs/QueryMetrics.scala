@@ -48,3 +48,34 @@ class QueryMetrics extends QueryExecutionListener {
   def unregister(spark: SparkSession): Unit =
     spark.listenerManager.unregister(this)
 }
+
+/** Streaming-side observability: per-micro-batch progress snapshots —
+  * input rows, processing rate, and the event-time watermark (the
+  * stream-SLO signal: a stalled watermark means state is accumulating
+  * and downstream emission has stopped). Register via
+  * `spark.streams.addListener(new StreamMetrics)`. */
+class StreamMetrics extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  final case class Progress(
+      queryName: String,
+      batchId: Long,
+      numInputRows: Long,
+      watermark: Option[String])
+
+  private val log = new ConcurrentLinkedQueue[Progress]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    log.add(Progress(
+      Option(p.name).getOrElse(p.id.toString),
+      p.batchId,
+      p.numInputRows,
+      Option(p.eventTime.get("watermark"))))
+  }
+
+  def progresses: Seq[Progress] = log.iterator().asScala.toSeq
+}

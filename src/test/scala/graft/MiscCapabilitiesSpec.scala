@@ -41,6 +41,32 @@ class MiscCapabilitiesSpec extends SparkSpec {
     } finally m.unregister(spark)
   }
 
+  test("StreamMetrics listener captures batch progress and the event-time watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = new graft.jobs.StreamMetrics
+    spark.streams.addListener(m)
+    try {
+      val in = MemoryStream[(Timestamp, Int)]
+      val agg = in.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "1 minute")).count()
+      val q = agg.writeStream.format("memory").queryName("sm_probe")
+        .outputMode(OutputMode.Update()).start()
+      in.addData((ts("2024-01-01 00:10:00"), 1))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:11:00"), 2)) // advances the watermark
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!m.progresses.exists(_.numInputRows > 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val got = m.progresses.filter(_.queryName == "sm_probe")
+      got.map(_.numInputRows).sum shouldBe 2
+      // the second batch's watermark reflects the first batch's max event time
+      got.flatMap(_.watermark).exists(_.startsWith("2024-01-01T00:09:50")) shouldBe true
+    } finally spark.streams.removeListener(m)
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates on its own") {
     val dir = tmpDir("availnow")
     val src = s"$dir/src"
