@@ -8,6 +8,36 @@ import java.nio.file.{Files, Paths}
   * scale smells (no-pushdown scans, cartesian products, single-partition
   * windows, missing broadcasts). Not part of the engine surface. */
 object PlanAudit {
+  /** Standing per-query audit notes, emitted under the plan heading —
+    * the place where intentionally-non-scale-shaped queries declare
+    * themselves so a plan reader doesn't re-flag them each round. */
+  private val notes: Map[String, String] = Map(
+    "q24_jaccard_pairs" ->
+      ("VERIFIER-ONLY at scale: complete quadratic enumeration within " +
+        "small lang blocks pins the exact-Jaccard verifier semantics; " +
+        "the at-scale generator is LSH banding — q30 declares that " +
+        "composition (LSH candidates -> this verifier)."),
+    "q29_embedding_neardup" ->
+      ("VERIFIER-ONLY at scale: all ordered pairs, exact recall — the " +
+        "correctness baseline. The declared 100x shape is " +
+        "q83_embedding_neardup_bucketed (sign-bucket candidates -> this " +
+        "exact cosine verifier); its no-nested-loop plan is asserted in " +
+        "PlanContractsSpec."),
+    "q83_embedding_neardup_bucketed" ->
+      ("q29's scale shape: candidates from an equi-join on the sign " +
+        "bucket (hash join, bucket-local pairs), exact cosine verify. " +
+        "At 100 TB the bucket key becomes the shuffle/bucketing column."),
+    "q07_rolling_window" ->
+      ("Global no-partition range window reproduces the reference's " +
+        "exact semantic (single ordered frame). The partitioned variant " +
+        "RollingWindow.forwardPartitioned is the scale path."),
+    "q43_ann_ivf" ->
+      ("Deterministic-quantizer IVF (oracle-checkable). The trained " +
+        "k-means variant (Similarity.ivfTopK) and the persisted " +
+        "cell-partitioned index (writeIvfIndex/probeIvfIndex, partition " +
+        "pruning asserted in SimilaritySpec) are the production scale " +
+        "path."))
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -40,6 +70,7 @@ object PlanAudit {
         "sort-merge-join" -> plan.contains("SortMergeJoin")
       ).collect { case (s, true) => s }
       sb.append(s"\n## $name${if (smells.nonEmpty) smells.mkString("  [", ", ", "]") else ""}\n\n")
+      notes.get(name).foreach(n => sb.append(s"> $n\n\n"))
       sb.append("```\n").append(plan.trim.take(6000)).append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))

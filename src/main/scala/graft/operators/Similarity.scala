@@ -153,6 +153,97 @@ object Similarity {
       .drop("_r")
   }
 
+  /** Embedding near-dup pairs at corpus scale: sign-bucket candidate
+    * generation + exact cosine verify — the composition
+    * [[cosineNearDupPairs]]'s scaladoc promises. Pairs are enumerated
+    * ONLY within a shared sign bucket (an equi-join on the bucket key —
+    * hash join, never a nested loop over the corpus), then verified with
+    * the exact rounded cosine. Recall is governed by `nBits` (two
+    * near-identical vectors disagree on a leading sign with probability
+    * ∝ their angle — the SimHash bound), cost by corpus²/2^nBits.
+    *
+    * At 100 TB: bucket count (2^nBits) is chosen ≫ executor count, the
+    * stream side repartitions explicitly (AQE would coalesce the
+    * tiny-bytes/heavy-CPU verify stage), and the build side broadcasts
+    * while it fits — `broadcastBuild = false` degrades to a shuffled
+    * hash join on the bucket key, still never all-pairs. */
+  def bucketedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8,
+      broadcastBuild: Boolean = true): DataFrame = {
+    val nPart = graft.functions.Plans.shufflePartitions(df)
+    val a = df.select(
+      signBucket(col(vecCol), nBits).as("_bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a")).repartition(nPart)
+    val b = df.select(
+      signBucket(col(vecCol), nBits).as("_bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // Same guard shape as cosineNearDupPairs: the threshold sits inside
+    // the join condition behind a `when` on the cheap id ordering, so
+    // the cosine runs once per ordered bucket-colocated pair and only
+    // survivors are recomputed in the projection.
+    val sim = PortableRound.round4(cosine(col("vec_a"), col("vec_b")))
+    a.join(
+        graft.functions.Plans.maybeBroadcast(b, broadcastBuild),
+        a("_bucket") === b("_bucket") &&
+          (when(col("id_a") < col("id_b"), sim).otherwise(lit(null)) >= threshold))
+      .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
+  }
+
+  /** IVF ANN with a DETERMINISTIC coarse quantizer: centroids are the
+    * `nCentroids` lowest-id corpus vectors, and routing is by (rounded)
+    * cosine affinity — spherical IVF, the standard layout for a cosine
+    * metric. Same probe semantics as [[ivfTopK]] (assign every corpus
+    * vector to its best cell, probe the query's `nProbe` best cells,
+    * exact top-k within the probed cells), but every step is closed-form
+    * — no iterative training — so the whole query is SQL-expressible and
+    * oracle-checkable. [[ivfTopK]] (trained quantizer) stays the
+    * production variant; this one pins down the probe/rank semantics.
+    *
+    * Plan shape: centroid list is nCentroids rows (broadcast); cell
+    * assignment is a broadcast cross product partial-aggregated to ONE
+    * row per corpus vector via max_by — only corpus-sized data ever
+    * shuffles. Tie-breaks everywhere (affinity ties → lowest cell, score
+    * ties → lowest id) keep it deterministic on both engines. */
+  def ivfTopKDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_center"))
+      .withColumn("_cell", row_number().over(Window.orderBy(col("_cid"))) - 1)
+      .select("_cell", "_center")
+    val aff = PortableRound.round4(cosine(col("_v"), col("_center")))
+    // argmax affinity per vector: max over (affinity, -cell) — partial
+    // aggregation collapses the broadcast cross product map-side.
+    val assigned = corpus
+      .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(centers))
+      .select(col("_id"), col("_v"), col("_cell"), aff.as("_aff"))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cell"), col("_v")),
+        struct(col("_aff"), -col("_cell"))).as("_m"))
+      .select(col("_id"), col("_m._cell").as("_cell"), col("_m._v").as("_v"))
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("_v"))
+      .crossJoin(broadcast(centers))
+      .withColumn("_aff", aff)
+      .withColumn("_pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("_aff").desc, col("_cell").asc)))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_v").as("_qvec"), col("_cell"))
+    val hitRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    assigned.join(broadcast(probes), Seq("_cell"))
+      .select(
+        col("query_id"),
+        col("_id").as(idCol),
+        PortableRound.round4(cosine(col("_v"), col("_qvec"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(hitRank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   /** Persist an IVF index: train the coarse quantizer, assign cells,
     * and write the corpus PARTITIONED BY CELL — `cell=<i>/` hive
     * directories under `dir/data`, centroids under `dir/centers`. At

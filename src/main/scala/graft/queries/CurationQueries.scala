@@ -164,10 +164,18 @@ object CurationQueries {
       SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 1000 AS shard_id
       FROM c ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
-  /** Per-label embedding centroids: exact component-wise means. */
+  /** Per-label embedding centroids: exact component-wise means. The
+    * centroid array is emitted as a comma-joined DECIMAL(18,4) string —
+    * the harness's comparator sorts rows in pandas, which cannot order
+    * raw array cells, so complex outputs serialize to strings on BOTH
+    * engines (values bit-identical before the cast, so the fixed-scale
+    * decimal rendering agrees). */
   private val q52 = Q(
     "q52_cluster_centroids",
     (s, dir) => graft.operators.Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
+      .withColumn("centroid",
+        array_join(transform(col("centroid"),
+          x => x.cast("decimal(18,4)").cast("string")), ","))
       .orderBy("label"),
     Some(s"""WITH e AS (SELECT label, r.i AS pos,
         CAST(embedding[r.i + 1] AS DOUBLE) AS c
@@ -175,7 +183,7 @@ object CurationQueries {
       s AS (SELECT label, pos, ${PortableRound.sql4(ExactAgg.avgExactSql("c"))} AS m,
         count(*) AS n_pos FROM e GROUP BY 1, 2)
       SELECT label, CAST(max(n_pos) AS BIGINT) AS n,
-        list(m ORDER BY pos) AS centroid
+        string_agg(CAST(CAST(m AS DECIMAL(18,4)) AS VARCHAR), ',' ORDER BY pos) AS centroid
       FROM s GROUP BY label ORDER BY label""".replaceAll("\\s+", " ")))
 
   /** Corpus report card per source: doc/token/language/length stats in

@@ -82,7 +82,13 @@ object PipelineQueries {
         .replaceAll("\\s+", " ")))
   }
 
-  /** Exact n-gram (token-set) Jaccard pairs within a language block. */
+  /** Exact n-gram (token-set) Jaccard pairs within a language block.
+    * VERIFIER-ONLY at corpus scale: the lang-block generator is
+    * quadratic within each block by design (n²/|blocks| pairs no matter
+    * how the corpus grows), so this query pins down the exact-Jaccard
+    * verifier semantics on a complete small-block enumeration. The
+    * at-scale GENERATOR is MinHash-LSH banding — q30 declares exactly
+    * that composition (LSH candidates → this verifier); see PLANS.md. */
   private val q24 = Q(
     "q24_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5)
@@ -200,7 +206,10 @@ object PipelineQueries {
       md5(text) AS content_hash
       FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
-  /** Embedding-cosine near-dup pairs — the 5th dedup modality. */
+  /** Embedding-cosine near-dup pairs — the 5th dedup modality.
+    * VERIFIER-ONLY at corpus scale (all ordered pairs, exact recall —
+    * the correctness baseline); the declared 100× shape is q83, which
+    * feeds sign-bucket candidates into this exact cosine verifier. */
   private val q29 = Q(
     "q29_embedding_neardup",
     (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -308,6 +317,31 @@ object PipelineQueries {
         ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** q29's 100×-scale face: sign-bucket candidate generation + exact
+    * cosine verify. q29 (all ordered pairs) is the exact-recall
+    * verifier baseline; this is the declared shape for corpus scale —
+    * candidates come from an equi-join on the bucket key (hash join;
+    * PlanContractsSpec asserts no nested-loop/cartesian node), so
+    * compute grows with bucket occupancy, not corpus². */
+  private val q83 = {
+    val (nBits, thr) = (8, 0.4)
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q83_embedding_neardup_bucketed",
+      (s, dir) => Similarity
+        .bucketedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", thr, nBits)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosineSql("a.v", "b.v")} AS cos_sim
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${cosineSql("a.v", "b.v")} >= $thr
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
-    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q83)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
@@ -228,23 +229,52 @@ object RelationalQueries {
       SELECT digest, doc_id AS keep_id, n_tok AS best_score, dup_count
       FROM r WHERE rn = 1 ORDER BY digest""".replaceAll("\\s+", " ")))
 
-  /** IVF ANN with a trained k-means coarse quantizer — the scale path
-    * for similarity search (cell id = partition column at 100 TB; a
-    * probe is partition pruning). Not SQL-expressible (iterative
-    * k-means training) — the driver records the rows-only check;
-    * exactness vs brute force is covered by SimilaritySpec's
-    * well-separated-clusters recall test. */
-  private val q43 = Q(
-    "q43_ann_ivf",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.operators.Similarity.ivfTopK(
-        emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 2)
-        .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
-    },
-    None)
+  /** IVF ANN — the scale path for similarity search (cell id =
+    * partition column at 100 TB; a probe is partition pruning). The
+    * declared query runs the DETERMINISTIC-quantizer variant (centroids
+    * = the nCentroids lowest-id vectors, spherical cosine routing):
+    * every step is closed-form, so the full assign→probe→rank pipeline
+    * hash-checks against DuckDB. The TRAINED-quantizer variant
+    * ([[graft.operators.Similarity.ivfTopK]], iterative k-means — not
+    * SQL-expressible) shares this exact probe/rank shape and is covered
+    * by SimilaritySpec's well-separated-clusters recall test. */
+  private val q43 = {
+    val (kTop, nC, nP) = (10, 16, 2)
+    def cosSql(v: String, q: String): String =
+      PortableRound.sql4(
+        s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+    Q(
+      "q43_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Similarity.ivfTopKDeterministic(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nCentroids = nC, nProbe = nP)
+          .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS center
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nC)),
+        asg AS (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.v", "c.center")} DESC, c.cell) AS rn
+          FROM e CROSS JOIN c) WHERE rn = 1),
+        p AS (SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.v", "c.center")} DESC, c.cell) AS pr
+          FROM e q CROSS JOIN c WHERE q.vec_id < 3) WHERE pr <= $nP)
+        SELECT query_id, vec_id, cos_sim FROM (
+          SELECT p.query_id, a.vec_id,
+            ${cosSql("a.v", "p.qv")} AS cos_sim,
+            row_number() OVER (PARTITION BY p.query_id
+              ORDER BY ${cosSql("a.v", "p.qv")} DESC, a.vec_id) AS r
+          FROM asg a JOIN p USING (cell))
+        WHERE r <= $kTop
+        ORDER BY query_id, cos_sim DESC, vec_id""".replaceAll("\\s+", " ")))
+  }
 
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
@@ -341,7 +371,10 @@ object RelationalQueries {
 
   /** MapType construction and use: per-user event_type → count map
     * built from sorted entries (deterministic entry order on both
-    * engines), plus its cardinality. */
+    * engines), plus its cardinality. The map itself is built as a real
+    * MapType column; for output it round-trips map_entries → a
+    * "key:value,..." string because the harness comparator sorts rows
+    * in pandas, which cannot order raw map cells. */
   private val q57 = Q(
     "q57_event_type_map",
     (s, dir) => t(s, dir, "events")
@@ -350,13 +383,19 @@ object RelationalQueries {
       .groupBy(col("user_id"))
       .agg(
         map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n")))))
-          .as("type_counts"),
+          .as("m"),
         count(lit(1)).as("n_types"))
+      .select(
+        col("user_id"),
+        array_join(transform(map_entries(col("m")),
+          e => concat_ws(":", e.getField("key"), e.getField("value"))), ",")
+          .as("type_counts"),
+        col("n_types"))
       .orderBy("user_id"),
     Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2)
       SELECT user_id,
-        map(list(event_type ORDER BY event_type), list(n ORDER BY event_type)) AS type_counts,
+        string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts,
         count(*) AS n_types
       FROM c GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
@@ -741,7 +780,7 @@ object RelationalQueries {
             count_if(col("o_orderstatus") === "O").as("n_open"),
             max_by(col("o_orderkey"), keySpark).as("priciest_order"),
             min_by(col("o_orderkey"), keySpark).as("cheapest_order"),
-            array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+            array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
             any_value(col("o_custkey") % 7).as("ck_mod7"))
           .orderBy("o_custkey"),
       Some(s"""SELECT o_custkey, count(*) AS n,
@@ -750,7 +789,7 @@ object RelationalQueries {
         count_if(o_orderstatus = 'O') AS n_open,
         arg_max(o_orderkey, $keySql) AS priciest_order,
         arg_min(o_orderkey, $keySql) AS cheapest_order,
-        list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+        coalesce(array_to_string(list_sort(list_distinct(list(o_orderstatus))), ','), '') AS statuses,
         any_value(o_custkey % 7) AS ck_mod7
         FROM orders GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
   }
@@ -768,26 +807,28 @@ object RelationalQueries {
       "q74_array_ops",
       (s, dir) => {
         val toks = array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+        // List results serialize to comma-joined strings: the harness
+        // comparator sorts rows in pandas, which cannot order array cells.
         t(s, dir, "documents")
           .select(
             col("doc_id"),
-            array_sort(array_intersect(toks, refSpark)).as("hits"),
-            array_sort(array_except(toks, refSpark)).as("rest"),
-            array_sort(array_union(slice(toks, 1, 3), refSpark)).as("uni"),
+            array_join(array_sort(array_intersect(toks, refSpark)), ",").as("hits"),
+            array_join(array_sort(array_except(toks, refSpark)), ",").as("rest"),
+            array_join(array_sort(array_union(slice(toks, 1, 3), refSpark)), ",").as("uni"),
             array_position(toks, "table").cast("long").as("table_at"),
-            array_repeat(col("lang"), 3).as("lang3"),
-            flatten(array(slice(toks, 1, 2), slice(toks, 1, 2))).as("dup2"))
+            array_join(array_repeat(col("lang"), 3), ",").as("lang3"),
+            array_join(flatten(array(slice(toks, 1, 2), slice(toks, 1, 2))), ",").as("dup2"))
           .orderBy("doc_id")
       },
       Some(s"""WITH d AS (SELECT doc_id, lang,
           list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents)
         SELECT doc_id,
-          list_sort(list_intersect(toks, $refSql)) AS hits,
-          list_sort(list_filter(toks, t -> NOT list_contains($refSql, t))) AS rest,
-          list_sort(list_distinct(list_concat(toks[1:3], $refSql))) AS uni,
+          coalesce(array_to_string(list_sort(list_intersect(toks, $refSql)), ','), '') AS hits,
+          coalesce(array_to_string(list_sort(list_filter(toks, t -> NOT list_contains($refSql, t))), ','), '') AS rest,
+          coalesce(array_to_string(list_sort(list_distinct(list_concat(toks[1:3], $refSql))), ','), '') AS uni,
           CAST(coalesce(list_position(toks, 'table'), 0) AS BIGINT) AS table_at,
-          [lang, lang, lang] AS lang3,
-          flatten([toks[1:2], toks[1:2]]) AS dup2
+          coalesce(array_to_string([lang, lang, lang], ','), '') AS lang3,
+          coalesce(array_to_string(flatten([toks[1:2], toks[1:2]]), ','), '') AS dup2
         FROM d ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
@@ -801,6 +842,12 @@ object RelationalQueries {
     "q75_map_ops",
     (s, dir) => {
       val m = map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n")))))
+      // Map/list results serialize to "key:value,..." strings: the
+      // harness comparator sorts rows in pandas, which cannot order
+      // raw map/array cells. The map HOFs still run on real MapType.
+      def entriesStr(m: Column): Column =
+        array_join(transform(map_entries(m),
+          e => concat_ws(":", e.getField("key"), e.getField("value"))), ",")
       t(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -808,10 +855,10 @@ object RelationalQueries {
         .agg(m.as("m"))
         .select(
           col("user_id"),
-          map_keys(col("m")).as("types"),
+          array_join(map_keys(col("m")), ",").as("types"),
           aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("n_events"),
-          map_filter(col("m"), (_, v) => v > lit(20L)).as("frequent"),
-          transform_values(col("m"), (_, v) => v * 10).as("scaled"),
+          entriesStr(map_filter(col("m"), (_, v) => v > lit(20L))).as("frequent"),
+          entriesStr(transform_values(col("m"), (_, v) => v * 10)).as("scaled"),
           element_at(col("m"), "click").as("n_click"))
         .orderBy("user_id")
     },
@@ -821,11 +868,12 @@ object RelationalQueries {
         map(list(event_type ORDER BY event_type), list(n ORDER BY event_type)) AS m
         FROM c GROUP BY 1)
       SELECT user_id,
-        map_keys(m) AS types,
+        coalesce(array_to_string(map_keys(m), ','), '') AS types,
         CAST(list_sum(map_values(m)) AS BIGINT) AS n_events,
-        map_from_entries(list_filter(map_entries(m), e -> e.value > 20)) AS frequent,
-        map_from_entries(list_transform(map_entries(m),
-          e -> {'key': e.key, 'value': e.value * 10})) AS scaled,
+        coalesce(array_to_string(list_transform(list_filter(map_entries(m), e -> e.value > 20),
+          e -> e.key || ':' || CAST(e.value AS VARCHAR)), ','), '') AS frequent,
+        coalesce(array_to_string(list_transform(map_entries(m),
+          e -> e.key || ':' || CAST(e.value * 10 AS VARCHAR)), ','), '') AS scaled,
         map_extract(m, 'click')[1] AS n_click
       FROM g ORDER BY user_id""".replaceAll("\\s+", " ")))
 

@@ -57,6 +57,19 @@ class PlanContractsSpec extends SparkSpec {
     plan should include("HashAggregate")
   }
 
+  test("bucketed embedding near-dup pairs never plan a nested loop over the corpus") {
+    // q83's contract: candidates come from an equi-join on the sign
+    // bucket (hash join), so pair enumeration is bucket-local — the
+    // all-pairs BroadcastNestedLoopJoin shape is confined to the
+    // verifier-only q29.
+    val pairs = graft.operators.Similarity.bucketedNearDupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", 0.4, nBits = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("the pair operators' explicit repartition survives into the physical plan") {
     // AQE would coalesce the byte-tiny CPU-heavy stage; explicit-N
     // round-robin repartition is exempt (SURVEY §8.1)

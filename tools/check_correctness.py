@@ -9,6 +9,7 @@ Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
 import sys, json, math, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -49,6 +50,20 @@ def main(sf_dir, out_dir):
             continue
         eng = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+
+        # Emulate the driver's comparator, which loads both frames into
+        # pandas and sort_values() over every column: raw array/map cells
+        # are unhashable there and fail with a harness error even when
+        # values are right. Catch that class locally.
+        try:
+            for tbl in (ora, eng):
+                pdf = tbl.to_pandas()
+                pdf.sort_values(by=sorted(pdf.columns), ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: driver-style pandas sort would break: "
+                  f"{type(e).__name__}: {str(e)[:120]}")
+            n_fail += 1
+            continue
 
         ocols, ecols = sorted(ora.column_names), sorted(eng.column_names)
         if ocols != ecols:
