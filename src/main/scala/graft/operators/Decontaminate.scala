@@ -76,12 +76,19 @@ object Decontaminate {
   def cleanBloomExact(corpus: DataFrame, idCol: String, textCol: String,
       test: DataFrame, testTextCol: String, n: Int,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.BloomBridge
     val grams = testGramSet(test, testTextCol, n)
     val expected = math.max(1L, grams.count())
-    val bloom = grams.stat.bloomFilter("gram_hash", expected, fpp)
-    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+    // Native bloom pair (BloomFilterAggregate / BloomFilterMightContain
+    // via BloomBridge): the filter builds in ONE distributed aggregation
+    // and the pre-screen is a codegen'd predicate — no per-row boxing,
+    // no UDF. The serialized filter ships as a constant (at cluster
+    // scale: a few MB in the task binary vs a hash frame of hundreds).
+    val filterBytes = grams
+      .agg(BloomBridge.bloomAgg(col("gram_hash"), expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val candidates = ngramHashes(corpus, idCol, textCol, n)
-      .filter(mightContain(col("gram_hash")))
+      .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
       .join(broadcast(grams), Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(broadcast(candidates), Seq(idCol), "left_anti")

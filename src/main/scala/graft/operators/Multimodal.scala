@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,22 +61,24 @@ object Multimodal {
     }
   }
 
-  /** Partition-wise decode → feature column. Batch shape: one partition
-    * streams through the codec without materializing all payloads. */
+  /** Partition-wise decode → feature column. Dataset-typed
+    * `mapPartitions` carrying the FULL input row through: no re-join on
+    * id, no extra shuffle, one narrow stage — each partition streams
+    * through the codec and appends the feature vector in place. The
+    * result schema is the input schema plus `features`; `idCol` is kept
+    * for signature stability (real codecs often key side outputs) but
+    * the plumbing no longer needs it. */
   def fakeDecodeFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
-    val spark: SparkSession = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("_mm_id", LongType),
-      StructField("features", ArrayType(FloatType))))
-    val decoded = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
       it.map { row =>
-        val id = row.getLong(0)
-        val bytes = if (row.isNullAt(1)) Array.emptyByteArray else row.getAs[Array[Byte]](1)
-        Row(id, stubDecode(bytes, dim).toSeq)
+        val bytes =
+          if (row.isNullAt(binIdx)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq :+ stubDecode(bytes, dim).toSeq)
       }
-    }
-    val featDf = spark.createDataFrame(decoded, outSchema)
-    df.join(featDf, col(idCol) === col("_mm_id")).drop("_mm_id")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

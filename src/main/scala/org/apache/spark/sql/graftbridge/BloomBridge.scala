@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Exposes Spark's NATIVE bloom-filter expressions — the codegen'd pair
+  * Catalyst itself injects for runtime row-level filtering
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`, both
+  * `private[sql]`-adjacent internals with no public Column wrapper) — so
+  * the engine's Bloom pre-screens run as vectorizable native predicates
+  * instead of boxed Scala UDFs. Same shim technique as [[ColumnBridge]].
+  */
+object BloomBridge {
+
+  /** Aggregate a `LongType` column into a serialized bloom filter
+    * (`BinaryType`) sized for `expectedItems` at false-positive rate
+    * `fpp`. Mergeable: partials combine across partitions like any
+    * TypedImperativeAggregate. */
+  def bloomAgg(child: Column, expectedItems: Long, fpp: Double): Column = {
+    val bits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(child),
+      Literal(expectedItems), Literal(bits)).toAggregateExpression())
+  }
+
+  /** Native `might_contain(filterBytes, value)` predicate over a
+    * serialized filter: the constant deserializes once per task and the
+    * probe is a codegen'd hash — no per-row boxing. */
+  def mightContain(filterBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filterBytes, BinaryType),
+      ColumnBridge.expression(value)))
+}

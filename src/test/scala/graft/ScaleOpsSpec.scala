@@ -62,6 +62,12 @@ class MultimodalSpec extends SparkSpec {
     rows(2L) shouldBe Seq(0f, 0f, 0f, 0f) // empty payload → zero vector
     // deterministic stub: same payload, same features
     Multimodal.stubDecode("hello world".getBytes("UTF-8"), 4).toSeq shouldBe rows(1L)
+    // decode is one narrow typed mapPartitions stage: the full row rides
+    // through — no join-back on id, no shuffle
+    val plan = decoded.queryExecution.executedPlan.toString
+    plan should include("MapPartitions")
+    plan should not include "Join"
+    plan should not include "Exchange"
   }
 
   test("sampleChunks keeps every stride-th fixed-size chunk (frame sampling shape)") {
