@@ -61,7 +61,8 @@ class StreamMetrics extends org.apache.spark.sql.streaming.StreamingQueryListene
       queryName: String,
       batchId: Long,
       numInputRows: Long,
-      watermark: Option[String])
+      watermark: Option[String],
+      droppedByWatermark: Long)
 
   private val log = new ConcurrentLinkedQueue[Progress]()
 
@@ -74,8 +75,26 @@ class StreamMetrics extends org.apache.spark.sql.streaming.StreamingQueryListene
       Option(p.name).getOrElse(p.id.toString),
       p.batchId,
       p.numInputRows,
-      Option(p.eventTime.get("watermark"))))
+      Option(p.eventTime.get("watermark")),
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum))
   }
 
   def progresses: Seq[Progress] = log.iterator().asScala.toSeq
+
+  /** Stream-SLO checks over the recorded progresses of `queryName`:
+    * the event-time watermark must only move forward (a regressing or
+    * stalled watermark means state growth and stopped emission), and —
+    * for pipelines sized so late data fits the lateness bound — no rows
+    * may be dropped at the watermark. Returns the violations (empty =
+    * healthy), so callers can alert or assert. */
+  def sloViolations(queryName: String): Seq[String] = {
+    val ps = progresses.filter(_.queryName == queryName).sortBy(_.batchId)
+    val wms = ps.flatMap(_.watermark)
+    val regressions = wms.zip(wms.drop(1)).collect {
+      case (a, b) if b < a => s"watermark regressed: $a -> $b" // ISO-8601 sorts
+    }
+    val dropped = ps.filter(_.droppedByWatermark > 0).map(p =>
+      s"batch ${p.batchId} dropped ${p.droppedByWatermark} late rows")
+    regressions ++ dropped
+  }
 }

@@ -113,6 +113,8 @@ class JobsSpec extends SparkSpec {
       StructField("close", DoubleType)))
 
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val metrics = new StreamMetrics
+    spark.streams.addListener(metrics)
     val weather = MemoryStream[String]
     val stock = MemoryStream[String]
 
@@ -146,5 +148,18 @@ class JobsSpec extends SparkSpec {
     row.get("stock")("close") shouldBe "101.5"
     // the model scored inside the streaming plan
     row.get("weather")("prediction_weather") should not be null
+
+    // stream SLO over the job's recorded progress: the watermark only
+    // moved forward and advanced past epoch once batch 2 landed, and no
+    // rows were dropped late (the test data fits the lateness bound)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!metrics.progresses.exists(_.watermark.exists(_ > "2024")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val names = metrics.progresses.map(_.queryName).distinct
+      names should have size 1
+      metrics.sloViolations(names.head) shouldBe empty
+      metrics.progresses.flatMap(_.watermark).max should startWith("2024-03-05")
+    } finally spark.streams.removeListener(metrics)
   }
 }
