@@ -36,7 +36,14 @@ object PlanAudit {
         "k-means variant (Similarity.ivfTopK) and the persisted " +
         "cell-partitioned index (writeIvfIndex/probeIvfIndex, partition " +
         "pruning asserted in SimilaritySpec) are the production scale " +
-        "path."))
+        "path; q84 declares the stored-index probe as an oracled query."),
+    "q84_ivf_index_probe" ->
+      ("The STORED-index half of the ANN story: writes the " +
+        "deterministic-quantizer index cell-PARTITIONED to scratch, then " +
+        "probes through the stored centroids. The data scan prunes to " +
+        "the probed cell= directories (PartitionFilters asserted in " +
+        "PlanContractsSpec) — at 100 TB a probe reads " +
+        "nProbe/nCentroids of the corpus."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

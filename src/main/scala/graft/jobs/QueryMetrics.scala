@@ -89,12 +89,22 @@ class StreamMetrics extends org.apache.spark.sql.streaming.StreamingQueryListene
     * healthy), so callers can alert or assert. */
   def sloViolations(queryName: String): Seq[String] = {
     val ps = progresses.filter(_.queryName == queryName).sortBy(_.batchId)
-    val wms = ps.flatMap(_.watermark)
-    val regressions = wms.zip(wms.drop(1)).collect {
-      case (a, b) if b < a => s"watermark regressed: $a -> $b" // ISO-8601 sorts
+    // Compare as Instants, not strings: lexicographic order is only safe
+    // while Spark emits uniform fixed-width ISO-8601 (mixed precision,
+    // e.g. with/without millis, would misorder). Keep the string for the
+    // message; an unparseable watermark is itself a violation.
+    val wms = ps.flatMap(_.watermark).map { s =>
+      s -> scala.util.Try(java.time.Instant.parse(s)).toOption
+    }
+    val unparseable = wms.collect {
+      case (s, None) => s"unparseable watermark: $s"
+    }
+    val instants = wms.collect { case (s, Some(i)) => (s, i) }
+    val regressions = instants.zip(instants.drop(1)).collect {
+      case ((sa, a), (sb, b)) if b.isBefore(a) => s"watermark regressed: $sa -> $sb"
     }
     val dropped = ps.filter(_.droppedByWatermark > 0).map(p =>
       s"batch ${p.batchId} dropped ${p.droppedByWatermark} late rows")
-    regressions ++ dropped
+    unparseable ++ regressions ++ dropped
   }
 }

@@ -69,6 +69,7 @@ object Multimodal {
     * for signature stability (real codecs often key side outputs) but
     * the plumbing no longer needs it. */
   def fakeDecodeFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
+    df.schema.fieldIndex(idCol) // fail fast on a bad id column, like binCol below
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { it =>

@@ -208,30 +208,9 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centers = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_center"))
-      .withColumn("_cell", row_number().over(Window.orderBy(col("_cid"))) - 1)
-      .select("_cell", "_center")
-    val aff = PortableRound.round4(cosine(col("_v"), col("_center")))
-    // argmax affinity per vector: max over (affinity, -cell) — partial
-    // aggregation collapses the broadcast cross product map-side.
-    val assigned = corpus
-      .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
-      .crossJoin(broadcast(centers))
-      .select(col("_id"), col("_v"), col("_cell"), aff.as("_aff"))
-      .groupBy(col("_id"))
-      .agg(max_by(struct(col("_cell"), col("_v")),
-        struct(col("_aff"), -col("_cell"))).as("_m"))
-      .select(col("_id"), col("_m._cell").as("_cell"), col("_m._v").as("_v"))
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("_v"))
-      .crossJoin(broadcast(centers))
-      .withColumn("_aff", aff)
-      .withColumn("_pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("_aff").desc, col("_cell").asc)))
-      .filter(col("_pr") <= nProbe)
-      .select(col("query_id"), col("_v").as("_qvec"), col("_cell"))
+    val centers = detCenters(corpus, idCol, vecCol, nCentroids)
+    val assigned = detAssign(corpus, idCol, vecCol, centers)
+    val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
     val hitRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     assigned.join(broadcast(probes), Seq("_cell"))
@@ -239,6 +218,103 @@ object Similarity {
         col("query_id"),
         col("_id").as(idCol),
         PortableRound.round4(cosine(col("_v"), col("_qvec"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(hitRank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
+  /** Deterministic coarse-quantizer centroids: the `nCentroids`
+    * lowest-id corpus vectors, numbered 0..n-1 by id order. Tiny frame —
+    * always broadcast by callers. */
+  private def detCenters(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("_cid"), asDouble(col(vecCol)).as("_center"))
+      .withColumn("_cell", row_number().over(Window.orderBy(col("_cid"))) - 1)
+      .select("_cell", "_center")
+  }
+
+  /** Rounded spherical (cosine) affinity between a `_v` vector and a
+    * `_center` centroid — the routing metric all deterministic-IVF
+    * steps share, rounded so both engines rank identically. */
+  private def detAff: Column = PortableRound.round4(cosine(col("_v"), col("_center")))
+
+  /** Cell assignment: argmax affinity per corpus vector (ties → lowest
+    * cell) — max over (affinity, -cell). The broadcast cross product
+    * partial-aggregates map-side, so only corpus-sized data shuffles. */
+  private def detAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centers: DataFrame): DataFrame =
+    corpus
+      .select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(centers))
+      .select(col("_id"), col("_v"), col("_cell"), detAff.as("_aff"))
+      .groupBy(col("_id"))
+      .agg(max_by(struct(col("_cell"), col("_v")),
+        struct(col("_aff"), -col("_cell"))).as("_m"))
+      .select(col("_id"), col("_m._cell").as("_cell"), col("_m._v").as("_v"))
+
+  /** Per-query probe list: the `nProbe` best cells by affinity (ties →
+    * lowest cell), carrying the query vector along. */
+  private def detProbes(queries: DataFrame, qIdCol: String, qVecCol: String,
+      centers: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    queries
+      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("_v"))
+      .crossJoin(broadcast(centers))
+      .withColumn("_aff", detAff)
+      .withColumn("_pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("_aff").desc, col("_cell").asc)))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_v").as("_qvec"), col("_cell"))
+  }
+
+  /** Persist a DETERMINISTIC-quantizer IVF index: cell assignment as in
+    * [[ivfTopKDeterministic]], corpus written PARTITIONED BY CELL
+    * (`cell=<i>/` hive directories under `dir/data`), centroids under
+    * `dir/centers`. The closed-form twin of [[writeIvfIndex]]: identical
+    * stored layout, but every step is SQL-expressible, so a probe of the
+    * stored index hash-checks against DuckDB (q84) instead of only a
+    * recall test. */
+  def writeIvfIndexDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int): Unit = {
+    val centers = detCenters(corpus, idCol, vecCol, nCentroids)
+    detAssign(corpus, idCol, vecCol, centers)
+      .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    centers.select(col("_cell").as("cell"), col("_center").as("center"))
+      .write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  /** Probe a deterministic IVF index written by
+    * [[writeIvfIndexDeterministic]]: per-query probe cells come from the
+    * stored centroids (same affinity ranking as the in-memory variant),
+    * and the data scan filters on the PARTITION column, so only the
+    * probed `cell=` directories are read — at 100 TB a probe costs
+    * nProbe/nCentroids of the corpus in I/O (`PartitionFilters`
+    * asserted in PlanContractsSpec). Semantics identical to
+    * [[ivfTopKDeterministic]] over the same corpus. */
+  def probeIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select(col("cell").as("_cell"), col("center").as("_center"))
+    val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
+    // The probed cell set is tiny (≤ |queries| × nProbe); materializing
+    // it as literals is what turns the probe into directory-level
+    // partition pruning on the data scan — the stored-index payoff.
+    val probedCells = probes.select("_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val hitRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), col("cell") === col("_cell"))
+      .select(col("query_id"), col(idCol),
+        PortableRound.round4(cosine(col("v"), col("_qvec"))).as("cos_sim"))
       .withColumn("_r", row_number().over(hitRank))
       .filter(col("_r") <= k)
       .drop("_r")

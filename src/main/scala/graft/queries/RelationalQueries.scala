@@ -238,11 +238,39 @@ object RelationalQueries {
     * ([[graft.operators.Similarity.ivfTopK]], iterative k-means — not
     * SQL-expressible) shares this exact probe/rank shape and is covered
     * by SimilaritySpec's well-separated-clusters recall test. */
-  private val q43 = {
-    val (kTop, nC, nP) = (10, 16, 2)
+  /** DuckDB oracle for the deterministic-quantizer IVF pipeline
+    * (assign → probe → rank) — shared by q43 (in-memory) and q84
+    * (persisted cell-partitioned index), which compute the same ANN by
+    * construction. */
+  private def ivfOracleSql(kTop: Int, nC: Int, nP: Int): String = {
     def cosSql(v: String, q: String): String =
       PortableRound.sql4(
         s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS center
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nC)),
+      asg AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.v", "c.center")} DESC, c.cell) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+      p AS (SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosSql("q.v", "c.center")} DESC, c.cell) AS pr
+        FROM e q CROSS JOIN c WHERE q.vec_id < 3) WHERE pr <= $nP)
+      SELECT query_id, vec_id, cos_sim FROM (
+        SELECT p.query_id, a.vec_id,
+          ${cosSql("a.v", "p.qv")} AS cos_sim,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${cosSql("a.v", "p.qv")} DESC, a.vec_id) AS r
+        FROM asg a JOIN p USING (cell))
+      WHERE r <= $kTop
+      ORDER BY query_id, cos_sim DESC, vec_id""".replaceAll("\\s+", " ")
+  }
+
+  private val q43 = {
+    val (kTop, nC, nP) = (10, 16, 2)
     Q(
       "q43_ann_ivf",
       (s, dir) => {
@@ -253,27 +281,34 @@ object RelationalQueries {
           k = kTop, nCentroids = nC, nProbe = nP)
           .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS center
-          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nC)),
-        asg AS (SELECT vec_id, v, cell FROM (
-          SELECT e.vec_id, e.v, c.cell,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("e.v", "c.center")} DESC, c.cell) AS rn
-          FROM e CROSS JOIN c) WHERE rn = 1),
-        p AS (SELECT query_id, qv, cell FROM (
-          SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosSql("q.v", "c.center")} DESC, c.cell) AS pr
-          FROM e q CROSS JOIN c WHERE q.vec_id < 3) WHERE pr <= $nP)
-        SELECT query_id, vec_id, cos_sim FROM (
-          SELECT p.query_id, a.vec_id,
-            ${cosSql("a.v", "p.qv")} AS cos_sim,
-            row_number() OVER (PARTITION BY p.query_id
-              ORDER BY ${cosSql("a.v", "p.qv")} DESC, a.vec_id) AS r
-          FROM asg a JOIN p USING (cell))
-        WHERE r <= $kTop
-        ORDER BY query_id, cos_sim DESC, vec_id""".replaceAll("\\s+", " ")))
+      Some(ivfOracleSql(kTop, nC, nP)))
+  }
+
+  /** Persisted IVF index probe — the STORED-index half of the 100 TB
+    * ANN story as a declared query: write the deterministic-quantizer
+    * index cell-PARTITIONED to a scratch dir, then probe it through the
+    * stored centroids; the probe's data scan prunes to the probed
+    * `cell=` directories (PartitionFilters asserted in
+    * PlanContractsSpec). Same closed-form semantics as q43 (different
+    * k/nProbe so the result set is distinct), so the full write→probe
+    * round trip hash-checks against DuckDB computing the ANN directly
+    * from the base table. */
+  private val q84 = {
+    val (kTop, nC, nP) = (8, 16, 3)
+    Q(
+      "q84_ivf_index_probe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q84_ivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.operators.Similarity.writeIvfIndexDeterministic(
+          emb, "vec_id", "embedding", idxDir, nCentroids = nC)
+        graft.operators.Similarity.probeIvfIndexDeterministic(
+          s, idxDir, "vec_id",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nProbe = nP)
+          .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      },
+      Some(ivfOracleSql(kTop, nC, nP)))
   }
 
   /** Set operations with SQL DISTINCT semantics: customers ordering in
@@ -786,7 +821,7 @@ object RelationalQueries {
       Some(s"""SELECT o_custkey, count(*) AS n,
         bool_and(o_totalprice > 0) AS all_positive,
         bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-        count_if(o_orderstatus = 'O') AS n_open,
+        CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
         arg_max(o_orderkey, $keySql) AS priciest_order,
         arg_min(o_orderkey, $keySql) AS cheapest_order,
         coalesce(array_to_string(list_sort(list_distinct(list(o_orderstatus))), ','), '') AS statuses,
@@ -1006,5 +1041,5 @@ object RelationalQueries {
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84)
 }

@@ -70,6 +70,26 @@ class PlanContractsSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("persisted IVF index probe prunes to the probed cell= partitions") {
+    // q84's contract: the stored-index probe must reach the data scan as
+    // PARTITION pruning (directory-level skip), not a post-scan filter —
+    // that's what makes a probe cost nProbe/nCentroids of the corpus in
+    // I/O at 100 TB.
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_contract").toString
+    val emb = t(spark, dir, "embeddings")
+    graft.operators.Similarity.writeIvfIndexDeterministic(
+      emb, "vec_id", "embedding", idx, nCentroids = 8)
+    val probe = graft.operators.Similarity.probeIvfIndexDeterministic(
+      spark, idx, "vec_id",
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 5, nProbe = 2)
+    val scan = scanString(probe)
+    scan should include("PartitionFilters: [")
+    // the data scan's partition filter carries the probed cell IN-list
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains(" IN ")),
+      s"expected a cell IN (...) partition filter in:\n$scan")
+  }
+
   test("the pair operators' explicit repartition survives into the physical plan") {
     // AQE would coalesce the byte-tiny CPU-heavy stage; explicit-N
     // round-robin repartition is exempt (SURVEY §8.1)

@@ -84,6 +84,45 @@ class JobsSpec extends SparkSpec {
     day1.count() shouldBe 2
     day1.queryExecution.executedPlan.collectLeaves().head.toString should
       include("PartitionFilters")
+
+    // the day's STREAM leg: the combined interval join runs over day-2
+    // events under a StreamMetrics listener — the composed pipeline must
+    // end the day with a healthy SLO: watermark monotone and ZERO rows
+    // dropped at the watermark across the whole combined-join run.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val metrics = new StreamMetrics
+    spark.streams.addListener(metrics)
+    try {
+      val wSchema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("temp", DoubleType)))
+      val sSchema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("close", DoubleType)))
+      val weather = MemoryStream[String]
+      val stock = MemoryStream[String]
+      val joined = StreamCombinedJob.joined(
+        StreamCombinedJob.Side(
+          weather.toDF().withColumnRenamed("value", "payload"), wSchema, "ts", "weather"),
+        StreamCombinedJob.Side(
+          stock.toDF().withColumnRenamed("value", "payload"), sSchema, "ts", "stock"))
+      val q = StreamCombinedJob.writer(
+        joined.select("timestamp_weather", "timestamp_stock", "temp", "close"),
+        Seq("timestamp_weather", "timestamp_stock"),
+        Map("weather" -> Seq("temp"), "stock" -> Seq("close")),
+        InMemoryKvStore, tmpDir("daycycle_chk")).start()
+      weather.addData("""{"ts":"2024-03-06 09:00:00","temp":"30.0"}""")
+      stock.addData("""{"ts":"2024-03-06 09:00:05","close":"105.0"}""")
+      q.processAllAvailable()
+      // advance both watermarks so the matched pair flushes from state
+      weather.addData("""{"ts":"2024-03-06 09:30:00","temp":"31.0"}""")
+      stock.addData("""{"ts":"2024-03-06 09:30:00","close":"106.0"}""")
+      q.processAllAvailable()
+      q.stop()
+      // zero late drops across the combined-join day run, per batch
+      metrics.progresses.map(_.droppedByWatermark).sum shouldBe 0L
+      metrics.progresses.map(_.queryName).distinct.foreach { n =>
+        metrics.sloViolations(n) shouldBe empty
+      }
+    } finally spark.streams.removeListener(metrics)
   }
 
   test("batch aggregate job applies timezone shift and clock-skew interval") {

@@ -9,7 +9,6 @@ Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
 import sys, json, math, glob, os
 import duckdb
-import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,12 +53,16 @@ def main(sf_dir, out_dir):
         # Emulate the driver's comparator, which loads both frames into
         # pandas and sort_values() over every column: raw array/map cells
         # are unhashable there and fail with a harness error even when
-        # values are right. Catch that class locally.
+        # values are right. Catch that class locally (only the sort/hash
+        # error classes — anything else is a genuine checker bug and
+        # should propagate).
+        pdfs = {}
         try:
-            for tbl in (ora, eng):
+            for side, tbl in (("oracle", ora), ("engine", eng)):
                 pdf = tbl.to_pandas()
                 pdf.sort_values(by=sorted(pdf.columns), ignore_index=True)
-        except Exception as e:
+                pdfs[side] = pdf
+        except (TypeError, ValueError) as e:
             print(f"FAIL {name}: driver-style pandas sort would break: "
                   f"{type(e).__name__}: {str(e)[:120]}")
             n_fail += 1
@@ -68,6 +71,34 @@ def main(sf_dir, out_dir):
         ocols, ecols = sorted(ora.column_names), sorted(eng.column_names)
         if ocols != ecols:
             print(f"FAIL {name}: columns differ\n  oracle={ocols}\n  engine={ecols}")
+            n_fail += 1
+            continue
+
+        # The driver's hash is dtype-sensitive: a DuckDB HUGEINT arrives
+        # as decimal128 -> pandas object(Decimal) while the engine emits
+        # int64, and the hashes differ even when values are equal
+        # (round-4 q73). Compare pandas dtype KINDS per column (int32 vs
+        # int64 hash identically for equal values — r4's q08 proved the
+        # driver tolerates width drift — but object-vs-numeric or
+        # float-vs-int does break the hash), and for object-dtype columns
+        # the python type of the first non-null element, so that class
+        # fails locally before the driver sees it.
+        dtype_diffs = []
+        for c in ocols:
+            od, ed = pdfs["oracle"][c], pdfs["engine"][c]
+            if od.dtype.kind != ed.dtype.kind:
+                dtype_diffs.append(f"{c}: oracle={od.dtype} engine={ed.dtype}")
+            elif str(od.dtype) == "object":
+                onn, enn = od.dropna(), ed.dropna()
+                if len(onn) and len(enn):
+                    ot, et = type(onn.iloc[0]).__name__, type(enn.iloc[0]).__name__
+                    if ot != et:
+                        dtype_diffs.append(
+                            f"{c}: oracle elem {ot} vs engine elem {et}")
+        if dtype_diffs:
+            print(f"FAIL {name}: DTYPE drift (driver hash is dtype-sensitive):")
+            for d in dtype_diffs:
+                print(f"  {d}")
             n_fail += 1
             continue
         o_rows = [tuple(norm(v) for v in row)
