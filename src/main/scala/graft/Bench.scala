@@ -26,12 +26,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val first = once()
+      (name, math.min(first, once()), first)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def obj(f: ((String, Double, Double)) => Double): String = results
+      .map { case t @ (k, _, _) => s"\"" + k + "\":" + f(t) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // queries = min-of-2 (steady state); queries_cold = first pass,
+    // which carries that plan's Janino+JIT — the delta is the compile
+    // share, free observability with the driver contract unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"queries_cold":${obj(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -398,4 +398,25 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", k = 5, nProbe = 2)
       .select("vec_id").as[Long].collect().toSet shouldBe brute
   }
+
+  test("deterministic IVF index round trip equals the in-memory deterministic IVF") {
+    // q84's core claim: write index → parquet → probe produces EXACTLY
+    // the rows ivfTopKDeterministic computes in memory (same quantizer,
+    // same tie-breaks), so the parquet round trip (float→double cast,
+    // partition-column encode/decode) loses nothing.
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val dir = tmpDir("ivf_det_roundtrip")
+    Similarity.writeIvfIndexDeterministic(corpus, "vec_id", "embedding", dir, nCentroids = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    rows(Similarity.probeIvfIndexDeterministic(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", k = 7, nProbe = 3)) shouldBe
+      rows(Similarity.ivfTopKDeterministic(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 7, nCentroids = 8, nProbe = 3))
+  }
 }
