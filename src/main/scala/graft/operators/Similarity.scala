@@ -402,4 +402,117 @@ object Similarity {
       .orderBy(col("query_id").asc, col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ----------------------------------------------------------------
+  // Product quantization (PQ): the memory face of the ANN scale story.
+  // IVF (above) prunes WHICH vectors a probe reads; PQ shrinks WHAT is
+  // stored per vector — m sub-quantizer codes (one small int each)
+  // instead of dim floats, a ~(4*dim)/m compression. At 100 TB the
+  // codes column is what an executor can actually hold per partition,
+  // and search runs over codes alone via asymmetric distance
+  // computation (ADC): per query, a m×k table of exact
+  // subvector→centroid distances is precomputed once, and every corpus
+  // row is scored with m table lookups — no float vectors are read at
+  // query time. Classic IVF-ADC layout (Jégou et al., TPAMI 2011).
+  // ----------------------------------------------------------------
+
+  /** A trained product quantizer: `centroids(j)(c)` is the k-means
+    * centroid `c` of subspace `j` (`m` subspaces × `k` centroids ×
+    * `dim/m` components). Small by construction (m*k*dim/m = k*dim
+    * doubles) — ships to executors as an expression literal. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    require(centroids.length == m && centroids.forall(_.length == k))
+    /** Nested literal for codegen'd encode/score expressions. */
+    private[operators] def lit3: Column =
+      typedLit(centroids.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** Squared L2 between two array<double> columns. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Train a product quantizer: an independent small k-means per
+    * subspace, each over a deterministic hash-sample of the corpus
+    * (same training economics as [[ivfTopK]]'s coarse quantizer — a few
+    * Lloyd rounds over a sample saturate CODE quality). The m trainings
+    * are driver-sequenced but each runs distributed; m is small (8–16)
+    * by design. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, seed: Long = 42L, quantizerIter: Int = 5,
+      trainFraction: Double = 0.25): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    val train = Sampling.deterministic(corpus, idCol, trainFraction)
+      .select((0 until m).map(j =>
+        array_to_vector(slice(asDouble(col(vecCol)), j * subDim + 1, subDim))
+          .as(s"_s$j")): _*)
+      .persist()
+    val centroids = Array.tabulate(m) { j =>
+      val model = new KMeans()
+        .setK(k).setSeed(seed + j).setMaxIter(quantizerIter)
+        .setInitMode("random")
+        .setFeaturesCol(s"_s$j").setPredictionCol("_c")
+        .fit(train)
+      model.clusterCenters.map(_.toArray)
+    }
+    train.unpersist(blocking = false)
+    PqModel(m, k, subDim, centroids)
+  }
+
+  /** Corpus → PQ codes: `codesCol` is an m-entry array<int>, code j the
+    * nearest subspace-j centroid (ties → lowest code). One narrow
+    * codegen'd projection — the float vector can be dropped afterwards,
+    * which is the point: stored size per row falls from dim floats to m
+    * small ints. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+      codesCol: String = "codes"): DataFrame = {
+    val cents = model.lit3
+    val v = asDouble(col(vecCol))
+    val codes = transform(sequence(lit(0), lit(model.m - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(model.k - 1)), c =>
+        l2sq(slice(v, j * lit(model.subDim) + 1, lit(model.subDim)),
+          element_at(element_at(cents, j + 1), c + 1)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    df.withColumn(codesCol, codes)
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: per query, the m×k lookup
+    * table of exact subvector→centroid squared distances is built in
+    * one narrow pass over the (tiny) query frame, broadcast, and every
+    * corpus row is scored with m table lookups over its codes — the
+    * stored vectors are never touched. Returns `(query_id, idCol,
+    * d2_approx)`, `topK` rows per query, ranked ascending (PQ is an L2
+    * structure; ties → lowest id). Recall is approximate by
+    * construction — the quantization error bounds it, not the search. */
+  def pqTopK(encoded: DataFrame, idCol: String, codesCol: String,
+      model: PqModel, queries: DataFrame, qIdCol: String, qVecCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = model.lit3
+    val qv = asDouble(col(qVecCol))
+    // flat m*k table: entry j*k + c = ||q_sub_j - centroid[j][c]||^2
+    val tab = flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
+      transform(sequence(lit(0), lit(model.k - 1)), c =>
+        l2sq(slice(qv, j * lit(model.subDim) + 1, lit(model.subDim)),
+          element_at(element_at(cents, j + 1), c + 1)))))
+    val tables = queries.select(col(qIdCol).as("query_id"), tab.as("_tab"))
+    val score = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(model.m - 1)),
+        (c, j) => element_at(col("_tab"), (j * lit(model.k) + c + 1).cast("int"))),
+      lit(0.0), (acc, d) => acc + d)
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_approx").asc, col(idCol).asc)
+    encoded.crossJoin(broadcast(tables))
+      .select(col("query_id"), col(idCol),
+        PortableRound.round4(score).as("d2_approx"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= topK)
+      .drop("_r")
+  }
 }

@@ -266,6 +266,71 @@ object TextAnalysis {
       .select(col(orderCol), col(partCol), col("n_tokens"), col("shard_id"))
   }
 
+  /** Corpus-level boilerplate removal: any word n-gram occurring in at
+    * least `minDocs` DISTINCT documents is treated as boilerplate
+    * (header/footer/template debris in a crawl), and every token
+    * position covered by an occurrence of a boilerplate gram is masked
+    * out of the document. Returns one row per input document:
+    * `(idCol, n_kept, n_masked, clean_digest)` where `clean_digest` is
+    * the md5 of the cleaned text (the digest-not-text trick of q39 —
+    * hash-exact without megabytes in the result; a fully-masked doc
+    * digests the empty string).
+    *
+    * Scale shape — every stage is a keyed shuffle, nothing quadratic:
+    *  1. gram build is a narrow `transform`+`explode` projection;
+    *  2. the boilerplate set is a gram-keyed distinct-doc count
+    *     (map-side partials);
+    *  3. occurrence marking is a gram-keyed equi-join (the boilerplate
+    *     side is corpus-dependent but far smaller than the gram stream;
+    *     AQE picks broadcast when stats allow);
+    *  4. covered positions are a (doc, pos)-keyed distinct, the mask an
+    *     anti-join, the rebuild a doc-keyed aggregate.
+    * At 100 TB nothing funnels through the driver and no stage's width
+    * exceeds the corpus's gram stream. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val arr = tokens(col(textCol))
+    // (start, gram) pairs built array-side so the wide text column is
+    // exploded exactly once
+    val gramStructs = when(size(arr) >= n,
+      transform(sequence(lit(0), size(arr) - n),
+        i => struct(i.cast("long").as("start"),
+          concat_ws(" ", slice(arr, i + 1, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<start:bigint,gram:string>>"))
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(gramStructs).as("sg"))
+      .select(col("doc_id"), col("sg.start").as("start"), col("sg.gram").as("gram"))
+    val boilerplate = grams
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val covered = grams
+      .join(boilerplate, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("clean_digest"))
+    df.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_masked"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

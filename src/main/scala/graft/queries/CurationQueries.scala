@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Decontaminate, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Redact, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -309,6 +309,66 @@ object CurationQueries {
         ${PortableRound.sql4("(CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE))")} AS weight
       FROM w ORDER BY source""".replaceAll("\\s+", " ")))
 
+  /** PII scrub: pseudonymize the user key (one-way md5) and redact
+    * numeric literals inside the free-form JSON props — chained rules,
+    * the narrow pattern first so the broad one can't re-match inside
+    * its replacement. Map-only narrow stage; the only exchange is the
+    * deterministic ORDER BY. Patterns stay in the Java-regex ∩ RE2
+    * portable subset (Redact.scala scaladoc). */
+  private val q85 = {
+    val rules = Seq(
+      Redact.Rule("[0-9]{3,}", "[NUM]"),
+      Redact.Rule("[0-9]+", "#"))
+    Q(
+      "q85_pii_scrub",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            Redact.pseudonym(col("user_id")).as("pseudonym"),
+            Redact.scrub(col("props"), rules).as("scrubbed"),
+            Redact.hitCount(col("props"), rules).as("n_hits"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS pseudonym,
+        regexp_replace(regexp_replace(props, '[0-9]{3,}', '[NUM]', 'g'), '[0-9]+', '#', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(props, '[0-9]{3,}'))
+           + len(regexp_extract_all(regexp_replace(props, '[0-9]{3,}', '[NUM]', 'g'), '[0-9]+')) AS BIGINT) AS n_hits
+        FROM events ORDER BY event_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Corpus boilerplate stripping: 3-grams present in ≥5 distinct docs
+    * are template debris; every covered token position is masked and the
+    * doc rebuilt (digest-not-text, q39's trick). The threshold is
+    * absolute — the synthetic corpus is dup-heavy at every SF, so the
+    * boilerplate set is non-trivial at sf0.001/0.01/0.1 alike. */
+  private val q86 = {
+    val (n, minDocs) = (3, 5)
+    Q(
+      "q86_boilerplate_strip",
+      (s, dir) => TextAnalysis
+        .stripBoilerplate(t(s, dir, "documents"), "doc_id", "text", n, minDocs)
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        toks AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos, unnest(toks) AS tok FROM base),
+        gr AS (SELECT doc_id, CAST(unnest(range(len(toks) - ${n - 1})) AS BIGINT) AS start,
+               unnest(list_transform(range(1, len(toks) - ${n - 2}),
+                 i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))) AS gram
+               FROM base WHERE len(toks) >= $n),
+        bp AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= $minDocs),
+        cov AS (SELECT DISTINCT g.doc_id, g.start + o.off AS pos
+                FROM gr g JOIN bp USING (gram)
+                CROSS JOIN (SELECT CAST(unnest(range($n)) AS BIGINT) AS off) o),
+        kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+                 WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_masked,
+          COALESCE(a.clean_digest, md5('')) AS clean_digest
+        FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78)
+    q77, q78, q85, q86)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Redact, Sampling, TextAnalysis}
 
 /** Round-3 curation operators: decontamination, quota capping,
   * vocabulary, chunking, exact-sum moments. */
@@ -164,5 +164,51 @@ class CurationSpec extends SparkSpec {
     got.values.sum shouldBe 1.0 +- 1e-9
     // temperature flattens: big's share (0.5) < its proportional share (16/26)
     got("big") should be < 16.0 / 26.0
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("Redact.scrub applies rules in order; hitCount counts chained matches") {
+    val rules = Seq(Redact.Rule("[0-9]{3,}", "[NUM]"), Redact.Rule("[0-9]+", "#"))
+    val df = Seq("id 12345 and 67", "no digits", "99 1234 5").toDF("text")
+    val got = df.select(
+      Redact.scrub(col("text"), rules).as("s"),
+      Redact.hitCount(col("text"), rules).as("n")).as[(String, Long)].collect()
+    got(0) shouldBe ("id [NUM] and #", 2L)
+    got(1) shouldBe ("no digits", 0L)
+    got(2) shouldBe ("# [NUM] #", 3L)
+    // order matters: the broad rule first would eat the long runs too
+    val broadFirst = df.select(Redact.scrub(col("text"), rules.reverse).as("s"))
+      .as[String].collect()
+    broadFirst(0) shouldBe "id # and #"
+  }
+
+  test("Redact.pseudonym is a deterministic one-way md5 of the decimal id") {
+    val got = Seq(42L, 42L, 7L).toDF("id")
+      .select(Redact.pseudonym(col("id"))).as[String].collect()
+    got(0) shouldBe md5hex("42")
+    got(0) shouldBe got(1)
+    got(2) should not be got(0)
+  }
+
+  test("stripBoilerplate masks exactly the positions covered by frequent grams") {
+    val docs = Seq(
+      (1L, "a b c X Y"),
+      (2L, "d e f X Y"),
+      (3L, "g h X Y z"),
+      (4L, "unique tokens only"),
+      (5L, "X Y X Y")
+    ).toDF("doc_id", "text")
+    // n=2, minDocs=3: only "X Y" (docs 1,2,3,5) is boilerplate
+    val got = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", 2, 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    got(0) shouldBe ((1L, 3L, 2L, md5hex("a b c")))
+    got(1) shouldBe ((2L, 3L, 2L, md5hex("d e f")))
+    got(2) shouldBe ((3L, 3L, 2L, md5hex("g h z")))
+    got(3) shouldBe ((4L, 3L, 0L, md5hex("unique tokens only")))
+    // overlapping occurrences (pos 0-1 and 2-3) mask the whole doc
+    got(4) shouldBe ((5L, 0L, 4L, md5hex("")))
   }
 }

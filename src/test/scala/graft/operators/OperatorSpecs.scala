@@ -419,4 +419,49 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.ivfTopKDeterministic(corpus, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 7, nCentroids = 8, nProbe = 3))
   }
+
+  test("PQ compresses to m codes and ADC recovers cluster membership") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    // 3 tight, well-separated clusters in 8-dim space
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    val corpus = (0 until 90).map(i => (i.toLong, jitter(axes(i % 3))))
+      .toDF("vec_id", "embedding")
+
+    val model = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, k = 4, trainFraction = 1.0)
+    model.subDim shouldBe 4
+
+    val encoded = Similarity.pqEncode(corpus, "embedding", model)
+    val codes = encoded.select("codes").as[Seq[Int]].collect()
+    codes.foreach { c =>
+      c.length shouldBe 2 // 8 floats (32 bytes) → 2 small ints
+      c.foreach(code => code should (be >= 0 and be < 4))
+    }
+
+    // quantization error ≪ cluster separation, so per query the ADC
+    // top-30 must be exactly the query's 30-member cluster — the same
+    // set an exact L2 scan returns
+    val queries = Seq((100L, axes(0)), (101L, axes(2))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(encoded, "vec_id", "codes", model,
+      queries, "vec_id", "embedding", topK = 30)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val raw = corpus.as[(Long, Array[Float])].collect()
+    def bruteL2(q: Array[Float]): Set[Long] = raw
+      .map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b).toDouble * (a - b) }.sum) }
+      .sortBy { case (id, d) => (d, id) }.take(30).map(_._1).toSet
+    got(100L) shouldBe bruteL2(axes(0))
+    got(101L) shouldBe bruteL2(axes(2))
+
+    // same seed → identical quantizer → identical codes
+    val model2 = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, k = 4, trainFraction = 1.0)
+    model2.centroids.flatten.flatten.toSeq shouldBe model.centroids.flatten.flatten.toSeq
+  }
 }
