@@ -43,7 +43,15 @@ object PlanAudit {
         "probes through the stored centroids. The data scan prunes to " +
         "the probed cell= directories (PartitionFilters asserted in " +
         "PlanContractsSpec) — at 100 TB a probe reads " +
-        "nProbe/nCentroids of the corpus."))
+        "nProbe/nCentroids of the corpus."),
+    "q87_pq_adc" ->
+      ("PQ/ADC — the MEMORY half of the ANN story: corpus rows are " +
+        "scored from m-byte codes + a broadcast per-query lookup table; " +
+        "the stored vectors are never read at query time. The broadcast " +
+        "NLJ is the bounded-queries-side class of q25/q43 (tables frame " +
+        "= queries x m*k doubles). Deterministic codebook for the " +
+        "oracle; trained per-subspace k-means (Similarity.pqTrain) is " +
+        "the production variant, recall-tested in SimilaritySpec."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -433,6 +433,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 
+  /** [[l2sq]] scaled to an exact 4-dp integer (`floor(d*1e4+0.5)`), the
+    * oracle-portable form: per-subspace distances become longs, so ADC
+    * sums are INTEGER sums — order-independent, hence bitwise-equal
+    * between Spark's fold and DuckDB's aggregation (the engine-wide
+    * ExactAgg discipline, integer flavor). */
+  private def l2sqScaled(a: Column, b: Column): Column =
+    floor(l2sq(a, b) * 10000.0 + 0.5).cast("long")
+
   /** Train a product quantizer: an independent small k-means per
     * subspace, each over a deterministic hash-sample of the corpus
     * (same training economics as [[ivfTopK]]'s coarse quantizer — a few
@@ -464,19 +472,44 @@ object Similarity {
     PqModel(m, k, subDim, centroids)
   }
 
+  /** DETERMINISTIC PQ codebook (q87's oracle face of [[pqTrain]], the
+    * same closed-form move [[ivfTopKDeterministic]] makes for IVF):
+    * centroid `c` of subspace `j` is the `j`-th subvector of the
+    * (c+1)-th lowest-id corpus vector — no training, so a SQL oracle
+    * rebuilds the exact codebook. The driver pull is `k` rows (bounded,
+    * the same class as the IVF centroid pull). */
+  def pqModelDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): PqModel = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    val rows = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), asDouble(col(vecCol)))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.length == k, s"corpus has fewer than $k vectors")
+    val centroids = Array.tabulate(m)(j =>
+      rows.map(_.slice(j * subDim, (j + 1) * subDim)))
+    PqModel(m, k, subDim, centroids)
+  }
+
   /** Corpus → PQ codes: `codesCol` is an m-entry array<int>, code j the
     * nearest subspace-j centroid (ties → lowest code). One narrow
     * codegen'd projection — the float vector can be dropped afterwards,
     * which is the point: stored size per row falls from dim floats to m
     * small ints. */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
-      codesCol: String = "codes"): DataFrame = {
+      codesCol: String = "codes", rounded: Boolean = false): DataFrame = {
     val cents = model.lit3
     val v = asDouble(col(vecCol))
+    val dist: (Column, Column) => Column =
+      if (rounded) l2sqScaled else l2sq
     val codes = transform(sequence(lit(0), lit(model.m - 1)), j => {
       val dists = transform(sequence(lit(0), lit(model.k - 1)), c =>
-        l2sq(slice(v, j * lit(model.subDim) + 1, lit(model.subDim)),
+        dist(slice(v, j * lit(model.subDim) + 1, lit(model.subDim)),
           element_at(element_at(cents, j + 1), c + 1)))
+      // first minimum = lowest code on ties (deterministic)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
     df.withColumn(codesCol, codes)
@@ -492,25 +525,33 @@ object Similarity {
     * construction — the quantization error bounds it, not the search. */
   def pqTopK(encoded: DataFrame, idCol: String, codesCol: String,
       model: PqModel, queries: DataFrame, qIdCol: String, qVecCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, rounded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = model.lit3
     val qv = asDouble(col(qVecCol))
+    val dist: (Column, Column) => Column =
+      if (rounded) l2sqScaled else l2sq
     // flat m*k table: entry j*k + c = ||q_sub_j - centroid[j][c]||^2
+    // (rounded mode: 4-dp-scaled longs, so the ADC sum below is an
+    // exact integer sum — order-independent, oracle-portable)
     val tab = flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
       transform(sequence(lit(0), lit(model.k - 1)), c =>
-        l2sq(slice(qv, j * lit(model.subDim) + 1, lit(model.subDim)),
+        dist(slice(qv, j * lit(model.subDim) + 1, lit(model.subDim)),
           element_at(element_at(cents, j + 1), c + 1)))))
     val tables = queries.select(col(qIdCol).as("query_id"), tab.as("_tab"))
-    val score = aggregate(
-      zip_with(col(codesCol), sequence(lit(0), lit(model.m - 1)),
-        (c, j) => element_at(col("_tab"), (j * lit(model.k) + c + 1).cast("int"))),
-      lit(0.0), (acc, d) => acc + d)
+    val lookups = zip_with(col(codesCol), sequence(lit(0), lit(model.m - 1)),
+      (c, j) => element_at(col("_tab"), (j * lit(model.k) + c + 1).cast("int")))
+    val score =
+      if (rounded)
+        aggregate(lookups, lit(0L), (acc, d) => acc + d)
+          .cast("double") / 10000.0
+      else
+        PortableRound.round4(
+          aggregate(lookups, lit(0.0), (acc, d) => acc + d))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_approx").asc, col(idCol).asc)
     encoded.crossJoin(broadcast(tables))
-      .select(col("query_id"), col(idCol),
-        PortableRound.round4(score).as("d2_approx"))
+      .select(col("query_id"), col(idCol), score.as("d2_approx"))
       .withColumn("_r", row_number().over(rank))
       .filter(col("_r") <= topK)
       .drop("_r")

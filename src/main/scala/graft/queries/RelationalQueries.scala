@@ -1038,8 +1038,61 @@ object RelationalQueries {
         ORDER BY st ASC NULLS LAST, o_orderkey ASC""".replaceAll("\\s+", " ")))
   }
 
+  /** Product-quantization ADC search as a declared query — the MEMORY
+    * half of the ANN scale story (q43/q84 are the pruning half). Runs
+    * the DETERMINISTIC codebook (centroid c of subspace j = subvector j
+    * of the (c+1)-th lowest-id vector) with 4-dp-scaled integer
+    * distances, so codebook build → encode → ADC table → top-k all
+    * hash-check against DuckDB. The TRAINED variant
+    * ([[graft.operators.Similarity.pqTrain]], per-subspace k-means —
+    * not SQL-expressible) shares the exact encode/score shape and is
+    * covered by SimilaritySpec's cluster-membership recall test. */
+  private val q87 = {
+    val (m, kc, subDim, kTop) = (4, 8, 16, 10)
+    def d2Sql(x: String, cen: String): String =
+      s"""CAST(floor(list_sum(list_transform(range(1, ${subDim + 1}),
+         i -> ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i]) * ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i])))
+         * 10000.0 + 0.5) AS BIGINT)"""
+    Q(
+      "q87_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = graft.operators.Similarity.pqModelDeterministic(
+          emb, "vec_id", "embedding", m, kc)
+        val encoded = graft.operators.Similarity.pqEncode(
+          emb, "embedding", model, rounded = true)
+        graft.operators.Similarity.pqTopK(
+          encoded, "vec_id", "codes", model,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          kTop, rounded = true)
+          .orderBy(col("query_id").asc, col("d2_approx").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS center
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kc)),
+        js AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS j),
+        enc AS (SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, js.j, c.code,
+              row_number() OVER (PARTITION BY e.vec_id, js.j
+                ORDER BY ${d2Sql("e.v", "c.center")} ASC, c.code) AS rn
+            FROM e CROSS JOIN js CROSS JOIN c) WHERE rn = 1),
+        tab AS (SELECT q.vec_id AS query_id, js.j, c.code,
+                ${d2Sql("q.v", "c.center")} AS dt
+                FROM e q CROSS JOIN js CROSS JOIN c WHERE q.vec_id < 3),
+        sc AS (SELECT t.query_id, en.vec_id,
+                 CAST(SUM(t.dt) AS DOUBLE) / 10000.0 AS d2_approx
+               FROM enc en JOIN tab t ON en.j = t.j AND en.code = t.code
+               GROUP BY 1, 2)
+        SELECT query_id, vec_id, d2_approx FROM (
+          SELECT query_id, vec_id, d2_approx,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY d2_approx ASC, vec_id ASC) AS r
+          FROM sc) WHERE r <= $kTop
+        ORDER BY query_id, d2_approx, vec_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82, q84)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87)
 }

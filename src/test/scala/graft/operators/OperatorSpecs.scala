@@ -464,4 +464,31 @@ class SimilaritySpec extends SparkSpec {
       m = 2, k = 4, trainFraction = 1.0)
     model2.centroids.flatten.flatten.toSeq shouldBe model.centroids.flatten.flatten.toSeq
   }
+
+  test("deterministic PQ codebook = lowest-id subvectors; rounded ADC is stable") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqModelDeterministic(corpus, "vec_id", "embedding",
+      m = 2, k = 4)
+    // codebook is exactly the subvectors of the 4 lowest-id vectors
+    val first4 = corpus.filter(col("vec_id") < 4).orderBy("vec_id")
+      .as[(Long, Array[Float])].collect().map(_._2.map(_.toDouble))
+    model.centroids(0).map(_.toSeq).toSeq shouldBe first4.map(_.slice(0, 4).toSeq).toSeq
+    model.centroids(1).map(_.toSeq).toSeq shouldBe first4.map(_.slice(4, 8).toSeq).toSeq
+    // a codebook vector encodes to its own code (distance 0 is unique min)
+    val encoded = Similarity.pqEncode(corpus, "embedding", model, rounded = true)
+    encoded.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("codes").as[Seq[Int]].collect()
+      .zipWithIndex.foreach { case (codes, i) => codes shouldBe Seq(i, i) }
+    // rounded ADC is deterministic run to run
+    def run(): Seq[(Long, Long, Double)] =
+      Similarity.pqTopK(encoded, "vec_id", "codes", model,
+        corpus.filter(col("vec_id") < 2), "vec_id", "embedding",
+        topK = 5, rounded = true)
+        .select("query_id", "vec_id", "d2_approx")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    run() shouldBe run()
+  }
 }
