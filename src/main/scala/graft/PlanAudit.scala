@@ -51,7 +51,15 @@ object PlanAudit {
         "NLJ is the bounded-queries-side class of q25/q43 (tables frame " +
         "= queries x m*k doubles). Deterministic codebook for the " +
         "oracle; trained per-subspace k-means (Similarity.pqTrain) is " +
-        "the production variant, recall-tested in SimilaritySpec."))
+        "the production variant, recall-tested in SimilaritySpec."),
+    "q88_ivfpq_probe" ->
+      ("IVFADC — the COMPOSED stored index: data files hold (id, codes) " +
+        "partitioned by cell, no vectors in the search path. The probe " +
+        "prunes to the probed cell= directories (PartitionFilters " +
+        "asserted in SimilaritySpec) and ADC-scores codes against " +
+        "broadcast per-(query, cell) tables. At 100 TB a probe reads " +
+        "nProbe/nCentroids of a codes-only corpus — both halves of the " +
+        "ANN scale story in one layout."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

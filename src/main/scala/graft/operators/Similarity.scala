@@ -523,35 +523,122 @@ object Similarity {
     * d2_approx)`, `topK` rows per query, ranked ascending (PQ is an L2
     * structure; ties → lowest id). Recall is approximate by
     * construction — the quantization error bounds it, not the search. */
+  /** ADC score of a codes column against a per-query `_tab` lookup
+    * column (flat m*k array, entry j*k+c). Rounded mode: `_tab` holds
+    * 4-dp-scaled longs, so the sum is an exact integer sum. */
+  private def adcScore(codesCol: String, m: Int, k: Int,
+      rounded: Boolean): Column = {
+    val lookups = zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
+      (c, j) => element_at(col("_tab"), (j * lit(k) + c + 1).cast("int")))
+    if (rounded)
+      aggregate(lookups, lit(0L), (acc, d) => acc + d).cast("double") / 10000.0
+    else
+      PortableRound.round4(aggregate(lookups, lit(0.0), (acc, d) => acc + d))
+  }
+
+  /** The flat m*k ADC lookup table for a query vector column: entry
+    * j*k + c = ||q_sub_j − centroid[j][c]||², 4-dp-scaled longs in
+    * rounded mode. */
+  private def adcTable(qVec: Column, model: PqModel, rounded: Boolean): Column = {
+    val cents = model.lit3
+    val dist: (Column, Column) => Column = if (rounded) l2sqScaled else l2sq
+    flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
+      transform(sequence(lit(0), lit(model.k - 1)), c =>
+        dist(slice(qVec, j * lit(model.subDim) + 1, lit(model.subDim)),
+          element_at(element_at(cents, j + 1), c + 1)))))
+  }
+
   def pqTopK(encoded: DataFrame, idCol: String, codesCol: String,
       model: PqModel, queries: DataFrame, qIdCol: String, qVecCol: String,
       topK: Int, rounded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = model.lit3
-    val qv = asDouble(col(qVecCol))
-    val dist: (Column, Column) => Column =
-      if (rounded) l2sqScaled else l2sq
-    // flat m*k table: entry j*k + c = ||q_sub_j - centroid[j][c]||^2
-    // (rounded mode: 4-dp-scaled longs, so the ADC sum below is an
-    // exact integer sum — order-independent, oracle-portable)
-    val tab = flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
-      transform(sequence(lit(0), lit(model.k - 1)), c =>
-        dist(slice(qv, j * lit(model.subDim) + 1, lit(model.subDim)),
-          element_at(element_at(cents, j + 1), c + 1)))))
-    val tables = queries.select(col(qIdCol).as("query_id"), tab.as("_tab"))
-    val lookups = zip_with(col(codesCol), sequence(lit(0), lit(model.m - 1)),
-      (c, j) => element_at(col("_tab"), (j * lit(model.k) + c + 1).cast("int")))
-    val score =
-      if (rounded)
-        aggregate(lookups, lit(0L), (acc, d) => acc + d)
-          .cast("double") / 10000.0
-      else
-        PortableRound.round4(
-          aggregate(lookups, lit(0.0), (acc, d) => acc + d))
+    val tables = queries.select(col(qIdCol).as("query_id"),
+      adcTable(asDouble(col(qVecCol)), model, rounded).as("_tab"))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_approx").asc, col(idCol).asc)
     encoded.crossJoin(broadcast(tables))
-      .select(col("query_id"), col(idCol), score.as("d2_approx"))
+      .select(col("query_id"), col(idCol),
+        adcScore(codesCol, model.m, model.k, rounded).as("d2_approx"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= topK)
+      .drop("_r")
+  }
+
+  // ----------------------------------------------------------------
+  // IVFADC: the COMPOSED stored index — IVF prunes which partitions a
+  // probe reads, PQ shrinks what each row stores. Data files hold
+  // (id, codes) only, partitioned by cell: no float vectors anywhere
+  // in the search path. At 100 TB a probe costs
+  // nProbe/nCentroids × (m small ints per row) of I/O — both halves
+  // of the ANN scale story at once.
+  // ----------------------------------------------------------------
+
+  /** Persist the composed deterministic IVF+PQ index: coarse routing
+    * cells from [[detCenters]] (cosine affinity, like q43/q84), PQ
+    * codes from [[pqModelDeterministic]] (rounded, like q87). Layout:
+    * `dir/data` = (idCol, codes) PARTITIONED BY cell — the vectors are
+    * dropped, codes are the entire stored payload; `dir/centers` = the
+    * coarse routing centroids; `dir/codebook` = (j, code, center) PQ
+    * centroid rows. Fully closed-form, so the complete
+    * write→probe round trip is oracle-checkable (q88). */
+  def writeIvfPqIndexDeterministic(corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, nCentroids: Int, m: Int, k: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = detCenters(corpus, idCol, vecCol, nCentroids)
+    val model = pqModelDeterministic(corpus, idCol, vecCol, m, k)
+    val assigned = detAssign(corpus, idCol, vecCol, centers)
+      .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
+    pqEncode(assigned, "_vec", model, rounded = true)
+      .select(col(idCol), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    centers.select(col("_cell").as("cell"), col("_center").as("center"))
+      .write.mode("overwrite").parquet(s"$dir/centers")
+    val cb = for { j <- 0 until m; c <- 0 until k }
+      yield (j, c, model.centroids(j)(c).toSeq)
+    cb.toDF("j", "code", "center")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Probe a composed IVF+PQ index: queries route to their `nProbe`
+    * best cells through the stored coarse centroids (directory-level
+    * partition pruning on the data scan, the q84 contract), and the
+    * pruned code rows are ADC-scored against per-(query, cell)
+    * broadcast lookup tables rebuilt from the stored codebook — the
+    * scan reads only (id, codes, cell). Returns `(query_id, idCol,
+    * d2_approx)`, `topK` ascending per query, ties → lowest id;
+    * identical to in-memory [[pqTopK]] restricted to the probed
+    * cells. */
+  def probeIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      topK: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // codebook is m*k rows — a bounded driver pull, same class as the
+    // stored-centroid pulls in probeIvfIndex
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select(col("j"), col("code"), col("center").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).max + 1
+    val byJ = cbRows.groupBy(_._1)
+    val model = PqModel(m, k, cbRows.head._3.length,
+      Array.tabulate(m)(j => byJ(j).sortBy(_._2).map(_._3)))
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select(col("cell").as("_cell"), col("center").as("_center"))
+    val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
+    val tables = probes.select(col("query_id"), col("_cell"),
+      adcTable(col("_qvec"), model, rounded = true).as("_tab"))
+    val probedCells = tables.select("_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_approx").asc, col(idCol).asc)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(tables), col("cell") === col("_cell"))
+      .select(col("query_id"), col(idCol),
+        adcScore("codes", m, k, rounded = true).as("d2_approx"))
       .withColumn("_r", row_number().over(rank))
       .filter(col("_r") <= topK)
       .drop("_r")

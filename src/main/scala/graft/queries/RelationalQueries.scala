@@ -1091,8 +1091,76 @@ object RelationalQueries {
         ORDER BY query_id, d2_approx, vec_id""".replaceAll("\\s+", " ")))
   }
 
+  /** The COMPOSED stored-index ANN — IVFADC as one declared query:
+    * coarse cells prune WHICH partitions the probe reads (q84's
+    * contract), PQ codes shrink WHAT each row stores (q87's contract);
+    * the data files hold (id, codes) only, no vectors anywhere in the
+    * search path. Deterministic coarse routing + deterministic codebook
+    * + integer-scaled ADC, so the full write→probe round trip
+    * hash-checks against DuckDB computing IVF-restricted ADC from the
+    * base table. */
+  private val q88 = {
+    val (nC, nP, m, kc, subDim, kTop) = (8, 3, 4, 8, 16, 12)
+    def cosSql(v: String, q: String): String =
+      PortableRound.sql4(
+        s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+    def d2Sql(x: String, cen: String): String =
+      s"""CAST(floor(list_sum(list_transform(range(1, ${subDim + 1}),
+         i -> ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i]) * ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i])))
+         * 10000.0 + 0.5) AS BIGINT)"""
+    Q(
+      "q88_ivfpq_probe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q88_ivfpq_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.operators.Similarity.writeIvfPqIndexDeterministic(
+          emb, "vec_id", "embedding", idxDir, nC, m, kc)
+        graft.operators.Similarity.probeIvfPqIndexDeterministic(
+          s, idxDir, "vec_id",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          kTop, nP)
+          .orderBy(col("query_id").asc, col("d2_approx").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS center
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nC)),
+        asg AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cc.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.v", "cc.center")} DESC, cc.cell) AS rn
+            FROM e CROSS JOIN cc) WHERE rn = 1),
+        p AS (SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, cc.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.v", "cc.center")} DESC, cc.cell) AS pr
+            FROM e q CROSS JOIN cc WHERE q.vec_id < 3) WHERE pr <= $nP),
+        cq AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS center
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kc)),
+        js AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS j),
+        enc AS (SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, js.j, cq.code,
+              row_number() OVER (PARTITION BY e.vec_id, js.j
+                ORDER BY ${d2Sql("e.v", "cq.center")} ASC, cq.code) AS rn
+            FROM e CROSS JOIN js CROSS JOIN cq) WHERE rn = 1),
+        tab AS (SELECT q.vec_id AS query_id, js.j, cq.code,
+                ${d2Sql("q.v", "cq.center")} AS dt
+                FROM e q CROSS JOIN js CROSS JOIN cq WHERE q.vec_id < 3),
+        pairs AS (SELECT p.query_id, a.vec_id FROM asg a JOIN p USING (cell)),
+        sc AS (SELECT pr.query_id, pr.vec_id,
+                 CAST(SUM(t.dt) AS DOUBLE) / 10000.0 AS d2_approx
+               FROM pairs pr JOIN enc en ON en.vec_id = pr.vec_id
+               JOIN tab t ON t.query_id = pr.query_id AND t.j = en.j AND t.code = en.code
+               GROUP BY 1, 2)
+        SELECT query_id, vec_id, d2_approx FROM (
+          SELECT query_id, vec_id, d2_approx,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY d2_approx ASC, vec_id ASC) AS r
+          FROM sc) WHERE r <= $kTop
+        ORDER BY query_id, d2_approx, vec_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88)
 }

@@ -491,4 +491,37 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().sorted.toSeq
     run() shouldBe run()
   }
+
+  test("IVFPQ stored index: codes-only files, pruned probe, full probe = ADC") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+    val dir = tmpDir("ivfpq_index")
+    Similarity.writeIvfPqIndexDeterministic(corpus, "vec_id", "embedding",
+      dir, nCentroids = 4, m = 2, k = 4)
+    // the stored rows are (id, codes, cell) — no vector column at all
+    spark.read.parquet(s"$dir/data").columns.toSet shouldBe
+      Set("vec_id", "codes", "cell")
+    // probing 1 of 4 cells prunes at the partition level
+    val probe = Similarity.probeIvfPqIndexDeterministic(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", topK = 5, nProbe = 1)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("cell")).get
+    scan should include("PartitionFilters")
+    probe.count() should be > 0L
+    // probing ALL cells equals the in-memory rounded ADC over the corpus
+    val model = Similarity.pqModelDeterministic(corpus, "vec_id", "embedding",
+      m = 2, k = 4)
+    val mem = Similarity.pqTopK(
+      Similarity.pqEncode(corpus, "embedding", model, rounded = true),
+      "vec_id", "codes", model, queries, "vec_id", "embedding",
+      topK = 5, rounded = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "d2_approx")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    rows(Similarity.probeIvfPqIndexDeterministic(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", 5, nProbe = 4)) shouldBe rows(mem)
+  }
 }
