@@ -600,6 +600,27 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebook")
   }
 
+  /** Incremental ingest into a stored deterministic IVF index: assign a
+    * NEW batch of vectors to cells through the STORED coarse centroids
+    * (no retraining, no rebuild — the routing function is frozen at
+    * write time, the standard inverted-file maintenance move) and
+    * append the rows into the existing `cell=` partition directories.
+    * At 100 TB this is how the index keeps up with ingest: the append
+    * touches only the new batch, dynamic partition append leaves
+    * existing files untouched, and probes see old + new rows with
+    * unchanged semantics. If the batch's ids are all larger than the
+    * indexed corpus's (the append-only id discipline), the result is
+    * bit-identical to having indexed the union up front — asserted in
+    * SimilaritySpec. */
+  def appendToIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select(col("cell").as("_cell"), col("center").as("_center"))
+    detAssign(batch, idCol, vecCol, centers)
+      .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+  }
+
   /** Probe a composed IVF+PQ index: queries route to their `nProbe`
     * best cells through the stored coarse centroids (directory-level
     * partition pruning on the data scan, the q84 contract), and the

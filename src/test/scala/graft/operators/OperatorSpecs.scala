@@ -524,4 +524,37 @@ class SimilaritySpec extends SparkSpec {
     rows(Similarity.probeIvfPqIndexDeterministic(spark, dir, "vec_id",
       queries, "vec_id", "embedding", 5, nProbe = 4)) shouldBe rows(mem)
   }
+
+  test("incremental append to a stored IVF index equals indexing the union") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    // append-only id discipline: the batch's ids are all larger, so the
+    // deterministic centroids (lowest-id vectors) are unchanged and the
+    // incremental result must be bit-identical to a full rebuild
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val batch = (50 until 80).map(i => (i.toLong, vec()))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val unionDf = (base ++ batch).toDF("vec_id", "embedding")
+    val queries = baseDf.filter(col("vec_id") < 3)
+
+    val incDir = tmpDir("ivf_inc")
+    Similarity.writeIvfIndexDeterministic(baseDf, "vec_id", "embedding",
+      incDir, nCentroids = 6)
+    Similarity.appendToIvfIndexDeterministic(spark, incDir, batchDf,
+      "vec_id", "embedding")
+    val fullDir = tmpDir("ivf_full")
+    Similarity.writeIvfIndexDeterministic(unionDf, "vec_id", "embedding",
+      fullDir, nCentroids = 6)
+
+    def rows(dir: String) =
+      Similarity.probeIvfIndexDeterministic(spark, dir, "vec_id",
+        queries, "vec_id", "embedding", k = 8, nProbe = 3)
+        .select("query_id", "vec_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val inc = rows(incDir)
+    inc shouldBe rows(fullDir)
+    // appended rows are reachable (some hit beyond the base id range)
+    inc.map(_._2).exists(_ >= 50L) shouldBe true
+  }
 }
