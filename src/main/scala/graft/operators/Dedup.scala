@@ -240,6 +240,25 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
+  /** ROW-LOCAL SimHash: the same fingerprint as [[simhash]] computed
+    * entirely inside one projection (array HOFs over the distinct
+    * tokens, no explode, no aggregation) — equality with the
+    * aggregation form is property-tested. This is the form a STREAMING
+    * pipeline needs: a per-row narrow expression imposes no stateful
+    * aggregation before the fingerprint exists, so the only stream
+    * state is whatever the consumer keeps (see StreamNearDup). Also the
+    * cheaper batch shape when each document is one row: no
+    * explode-shuffle-agg round trip at all. */
+  def simhashExpr(text: Column, bits: Int = 16): Column = {
+    val hs = transform(distinctTokens(text), t => PortableHash.md5Hash32(t))
+    val fp: Column = (0 until bits).map { j =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    fp
+  }
+
   /** Edit-distance near-duplicate pairs within a blocking key: all
     * (a, b), a < b, with levenshtein(s_a, s_b) ≤ `maxDist` — the fuzzy
     * title/short-string dedup family (token-set Jaccard is blind to

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** One banded fingerprint occurrence flowing into the stateful stage. */
+case class BandEvent(docId: Long, sim: Long, bandId: Int, bandVal: Long)
+
+/** A detected near-duplicate: `docId` collided with the earlier-seen
+  * `dupOf` in band `bandId` at the given hamming distance. A document
+  * within `maxHamming` of an earlier one emits one collision per
+  * agreeing band (pigeonhole: at least one) — consumers wanting one
+  * row per document take the min per docId downstream. */
+case class Collision(docId: Long, dupOf: Long, hamming: Long, bandId: Int)
+
+/** STREAMING near-duplicate suppression — the ingest-time face of the
+  * batch SimHash pipeline (`Dedup.simhashNearDupPairs`): detect
+  * documents within `maxHamming` bits of anything already seen on the
+  * stream, across micro-batch boundaries.
+  *
+  * Shape: the fingerprint is the ROW-LOCAL [[Dedup.simhashExpr]] (a
+  * narrow projection — no aggregation precedes the stateful stage),
+  * banded by the same pigeonhole split as the batch operator, then
+  * `flatMapGroupsWithState` keyed by (bandId, bandVal) keeps the
+  * first-seen fingerprints per bucket and emits a [[Collision]] for
+  * every arriving doc that matches one. State lives in the executor
+  * state stores, checkpointed with the query; per-bucket memory is
+  * bounded by `maxKeptPerBucket` (beyond it the bucket stops ADMITTING
+  * new fingerprints but still detects collisions against the kept
+  * ones — for a crawl stream, dup-heavy buckets are exactly where the
+  * early entries are the templates worth matching).
+  *
+  * Within one micro-batch, events are processed in docId order, so
+  * collisions are deterministic: `dupOf` is the (closest, lowest-id)
+  * earlier fingerprint, earlier = lower docId or an earlier batch.
+  */
+object StreamNearDup {
+
+  def collisions(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
+      maxKeptPerBucket: Int = 64): Dataset[Collision] = {
+    require(bits % bandBits == 0, "bits must be divisible by bandBits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mask = (1L << bandBits) - 1
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("bandId"),
+        shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
+    }: _*)
+    val events = df
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.simhashExpr(col(textCol), bits).as("sim"))
+      .select(col("docId"), col("sim"), explode(bandStructs).as("band"))
+      .select(col("docId"), col("sim"),
+        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
+      .as[BandEvent]
+    events
+      .groupByKey(e => (e.bandId, e.bandVal))
+      .flatMapGroupsWithState[List[(Long, Long)], Collision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[Collision]
+          // docId order makes within-batch matching deterministic
+          it.toSeq.sortBy(_.docId).foreach { e =>
+            val hit = seen.iterator
+              .map { case (id0, sim0) =>
+                (id0, java.lang.Long.bitCount(e.sim ^ sim0).toLong) }
+              .filter(_._2 <= maxHamming)
+              .reduceOption((a, b) =>
+                if (a._2 < b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b)
+            hit.foreach { case (id0, d) =>
+              out += Collision(e.docId, id0, d, e.bandId) }
+            if (seen.size < maxKeptPerBucket) seen = seen :+ ((e.docId, e.sim))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

@@ -252,6 +252,20 @@ class DedupSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("row-local simhashExpr equals the aggregation-form simhash") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val corpus = (1L to 80L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val viaAgg = Dedup.simhash(df, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = df.select(col("doc_id"), Dedup.simhashExpr(col("text"), 16))
+      .as[(Long, Long)].collect().toMap
+    viaExpr shouldBe viaAgg
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted random arrays") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(200) {

@@ -364,4 +364,34 @@ class StreamingSpec extends SparkSpec {
     // y = 2x+1 is monotone; a depth-3 GBT on 200 points should at least preserve order
     preds(150.0) should be > preds(50.0)
   }
+
+  test("streaming near-dup suppression detects collisions across micro-batches") {
+    val in = MemoryStream[(Long, String)]
+    val out = StreamNearDup.collisions(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bits = 16, bandBits = 4, maxHamming = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("t_neardup")
+      .outputMode(OutputMode.Append()).start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData((1L, base), (2L, "completely different tokens about spark shuffles"))
+    q.processAllAvailable()
+    // batch 2: an exact dup of doc 1 (state crossed the batch boundary),
+    // a near-dup of doc 1, and a fresh unrelated doc
+    in.addData(
+      (3L, base),
+      (4L, base + " postfix"),
+      (5L, "unrelated corpus of entirely novel words here"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_neardup")
+      .as[(Long, Long, Long, Int)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // exactly the two near-dups collided, both against doc 1
+    byDoc.keySet shouldBe Set(3L, 4L)
+    byDoc(3L).map(_._2).toSet shouldBe Set(1L)
+    byDoc(3L).map(_._3).toSet shouldBe Set(0L)        // identical fingerprint
+    byDoc(3L).length shouldBe 4                        // collides in all 16/4 bands
+    byDoc(4L).map(_._2).toSet shouldBe Set(1L)
+    all(byDoc(4L).map(_._3)) should be <= 3L           // within maxHamming
+  }
 }
