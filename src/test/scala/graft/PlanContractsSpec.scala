@@ -98,4 +98,34 @@ class PlanContractsSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     plan should include("RoundRobinPartitioning")
   }
+
+  test("the PII scrub is a joinless narrow projection over a pruned scan") {
+    // q85's contract: at 100 TB the scrub is map-only — regex work
+    // rides the scan projection; only referenced columns are read.
+    val rules = Seq(
+      graft.operators.Redact.Rule("[0-9]{3,}", "[NUM]"),
+      graft.operators.Redact.Rule("[0-9]+", "#"))
+    val df = t(spark, dir, "events").select(
+      col("event_id"),
+      graft.operators.Redact.pseudonym(col("user_id")).as("pseudonym"),
+      graft.operators.Redact.scrub(col("props"), rules).as("scrubbed"),
+      graft.operators.Redact.hitCount(col("props"), rules).as("n_hits"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Exchange"
+    val readSchema = scanString(df).split("ReadSchema:").last
+    readSchema should include("props")
+    readSchema should not include "event_type"
+    readSchema should not include "value"
+  }
+
+  test("boilerplate stripping plans keyed joins only — no nested loop") {
+    // q86's contract: gram candidates come from an equi-join on the
+    // gram, positions from keyed distinct/anti-join — nothing quadratic.
+    val df = graft.operators.TextAnalysis.stripBoilerplate(
+      t(spark, dir, "documents"), "doc_id", "text", 3, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
