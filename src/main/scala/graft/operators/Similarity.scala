@@ -621,6 +621,97 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
   }
 
+  /** Load a stored PQ codebook back into a [[PqModel]] — m*k rows, a
+    * bounded driver pull (the stored-centroid class). */
+  private def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqModel = {
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select(col("j"), col("code"), col("center").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).max + 1
+    val byJ = cbRows.groupBy(_._1)
+    PqModel(m, k, cbRows.head._3.length,
+      Array.tabulate(m)(j => byJ(j).sortBy(_._2).map(_._3)))
+  }
+
+  /** TRAINED twin of [[writeIvfPqIndexDeterministic]]: k-means coarse
+    * cells ([[writeIvfIndex]]'s quantizer) + per-subspace k-means PQ
+    * codebooks ([[pqTrain]]) — the production IVFADC writer. Same
+    * layout: codes-only data partitioned by cell, stored centers and
+    * codebook. Deterministic for a fixed seed; recall-tested in
+    * SimilaritySpec (not SQL-expressible — the deterministic twin is
+    * the oracled one, q88). */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, m: Int, k: Int, seed: Long = 42L,
+      quantizerIter: Int = 5, trainFraction: Double = 0.25): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
+    val train = Sampling.deterministic(featured, idCol, trainFraction)
+      .select("_feat").persist()
+    val coarse = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
+      .setInitMode("random")
+      .setFeaturesCol("_feat").setPredictionCol("cell")
+      .fit(train)
+    train.unpersist(blocking = false)
+    val pq = pqTrain(corpus, idCol, vecCol, m, k, seed, quantizerIter,
+      trainFraction)
+    pqEncode(coarse.transform(featured).drop("_feat"), vecCol, pq)
+      .select(col(idCol), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    coarse.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$dir/centers")
+    val cb = for { j <- 0 until m; c <- 0 until k }
+      yield (j, c, pq.centroids(j)(c).toSeq)
+    cb.toDF("j", "code", "center")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Probe a TRAINED composed index: L2 routing to the `nProbe` nearest
+    * stored coarse centers (k-means' own metric, like [[probeIvfIndex]])
+    * — computed distributed against the broadcast centers frame — then
+    * the partition-pruned codes scan is ADC-scored per (query, cell).
+    * Returns `(query_id, idCol, d2_approx)` ascending, ties → lowest
+    * id. */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      topK: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = loadPqCodebook(spark, dir)
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select(col("cell").as("_cell"), col("center").as("_center"))
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("_d2").asc, col("_cell").asc)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("_qvec"))
+      .crossJoin(broadcast(centers))
+      .withColumn("_d2", l2sq(col("_qvec"), col("_center")))
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qvec"), col("_cell"))
+    val tables = probes.select(col("query_id"), col("_cell"),
+      adcTable(col("_qvec"), model, rounded = false).as("_tab"))
+    val probedCells = tables.select("_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_approx").asc, col(idCol).asc)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(tables), col("cell") === col("_cell"))
+      .select(col("query_id"), col(idCol),
+        adcScore("codes", model.m, model.k, rounded = false).as("d2_approx"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= topK)
+      .drop("_r")
+  }
+
   /** Probe a composed IVF+PQ index: queries route to their `nProbe`
     * best cells through the stored coarse centroids (directory-level
     * partition pruning on the data scan, the q84 contract), and the
@@ -635,17 +726,7 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       topK: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // codebook is m*k rows — a bounded driver pull, same class as the
-    // stored-centroid pulls in probeIvfIndex
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .select(col("j"), col("code"), col("center").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = cbRows.map(_._1).max + 1
-    val k = cbRows.map(_._2).max + 1
-    val byJ = cbRows.groupBy(_._1)
-    val model = PqModel(m, k, cbRows.head._3.length,
-      Array.tabulate(m)(j => byJ(j).sortBy(_._2).map(_._3)))
+    val model = loadPqCodebook(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers")
       .select(col("cell").as("_cell"), col("center").as("_center"))
     val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
@@ -659,7 +740,7 @@ object Similarity {
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(tables), col("cell") === col("_cell"))
       .select(col("query_id"), col(idCol),
-        adcScore("codes", m, k, rounded = true).as("d2_approx"))
+        adcScore("codes", model.m, model.k, rounded = true).as("d2_approx"))
       .withColumn("_r", row_number().over(rank))
       .filter(col("_r") <= topK)
       .drop("_r")

@@ -539,6 +539,32 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", 5, nProbe = 4)) shouldBe rows(mem)
   }
 
+  test("trained IVFADC index recovers cluster members through one pruned cell") {
+    val rnd = new scala.util.Random(19)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    val corpus = (0 until 90).map(i => (i.toLong, jitter(axes(i % 3))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, axes(1))).toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfpq_trained")
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      nCentroids = 3, m = 2, k = 4, trainFraction = 1.0)
+    val probe = Similarity.probeIvfPqIndex(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", topK = 30, nProbe = 1)
+    // the pruned scan reads only the probed cell= directories
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("cell")).get
+    scan should include("PartitionFilters")
+    // one probed cell of a 3-cell quantizer on separated clusters holds
+    // exactly the query's 30-member cluster
+    probe.select("vec_id").as[Long].collect().toSet shouldBe
+      (0 until 90).filter(_ % 3 == 1).map(_.toLong).toSet
+  }
+
   test("incremental append to a stored IVF index equals indexing the union") {
     val rnd = new scala.util.Random(17)
     def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
