@@ -59,7 +59,13 @@ object PlanAudit {
         "asserted in SimilaritySpec) and ADC-scores codes against " +
         "broadcast per-(query, cell) tables. At 100 TB a probe reads " +
         "nProbe/nCentroids of a codes-only corpus — both halves of the " +
-        "ANN scale story in one layout."))
+        "ANN scale story in one layout."),
+    "q89_semantic_dedup" ->
+      ("The whole SemDeDup pipeline as one query: q83's sign-bucket " +
+        "candidate generator -> q32's connected components -> one " +
+        "survivor per cluster. Candidates never leave their bucket, the " +
+        "fixpoint shuffles edges by key, survivor selection is one " +
+        "aggregate — no stage is corpus-quadratic."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -342,6 +342,51 @@ object PipelineQueries {
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 
+  /** End-to-end SEMANTIC dedup (the SemDeDup shape): sign-bucketed
+    * cosine candidates (q83's scale-safe generator) → connected
+    * components (q32's clustering) → ONE survivor per cluster (lowest
+    * id) with the member count. This is the whole embedding-dedup
+    * pipeline a curation run executes, declared as one query: every
+    * stage is bucket-local or keyed — candidates never leave their
+    * sign bucket, the fixpoint shuffles edges by key, survivor
+    * selection is one aggregate. */
+  private val q89 = {
+    val (nBits, thr) = (8, 0.4)
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q89_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pairs = Similarity
+          .bucketedNearDupPairs(emb, "vec_id", "embedding", thr, nBits)
+        graft.operators.Clustering
+          .assignClusters(emb, "vec_id", pairs, "id_a", "id_b")
+          .groupBy("cluster_id")
+          .agg(min(col("vec_id")).as("vec_id"),
+            count(lit(1)).as("n_members"))
+          .select(col("vec_id"), col("n_members"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        reach AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+        cl AS (SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
+          FROM c LEFT JOIN m ON c.vec_id = m.src)
+        SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+          CAST(count(*) AS BIGINT) AS n_members
+        FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
-    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q83)
+    Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
+      q83, q89)
 }
