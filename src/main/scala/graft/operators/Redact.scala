@@ -38,7 +38,7 @@ object Redact {
       val staged = scrub(text, rules.take(i))
       size(regexp_extract_all(staged, lit(rules(i).pattern), lit(0)))
     }
-    counts.reduce(_ + _).cast("long")
+    counts.reduceOption(_ + _).getOrElse(lit(0)).cast("long")
   }
 
   /** Pseudonymous stable key for an id column: md5 of its decimal string.
