@@ -282,6 +282,9 @@ object Similarity {
     val centers = detCenters(corpus, idCol, vecCol, nCentroids)
     detAssign(corpus, idCol, vecCol, centers)
       .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+      .repartition(col("cell"))  // cluster rows by the partition column first:
+      // without it every task opens a file per cell it sees (tasks x
+      // cells small files — the classic partitioned-write fanout)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     centers.select(col("_cell").as("cell"), col("_center").as("center"))
       .write.mode("overwrite").parquet(s"$dir/centers")
@@ -343,6 +346,9 @@ object Similarity {
       .fit(train)
     train.unpersist(blocking = false)
     model.transform(featured).drop("_feat")
+      .repartition(col("cell"))  // cluster rows by the partition column first:
+      // without it every task opens a file per cell it sees (tasks x
+      // cells small files — the classic partitioned-write fanout)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
@@ -591,6 +597,9 @@ object Similarity {
       .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
     pqEncode(assigned, "_vec", model, rounded = true)
       .select(col(idCol), col("codes"), col("cell"))
+      .repartition(col("cell"))  // cluster rows by the partition column first:
+      // without it every task opens a file per cell it sees (tasks x
+      // cells small files — the classic partitioned-write fanout)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     centers.select(col("_cell").as("cell"), col("_center").as("center"))
       .write.mode("overwrite").parquet(s"$dir/centers")
@@ -618,6 +627,7 @@ object Similarity {
       .select(col("cell").as("_cell"), col("center").as("_center"))
     detAssign(batch, idCol, vecCol, centers)
       .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
   }
 
@@ -663,6 +673,9 @@ object Similarity {
       trainFraction)
     pqEncode(coarse.transform(featured).drop("_feat"), vecCol, pq)
       .select(col(idCol), col("codes"), col("cell"))
+      .repartition(col("cell"))  // cluster rows by the partition column first:
+      // without it every task opens a file per cell it sees (tasks x
+      // cells small files — the classic partitioned-write fanout)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     coarse.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
