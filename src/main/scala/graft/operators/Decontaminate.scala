@@ -78,19 +78,46 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.BloomBridge
     val grams = testGramSet(test, testTextCol, n)
-    val expected = math.max(1L, grams.count())
     // Native bloom pair (BloomFilterAggregate / BloomFilterMightContain
     // via BloomBridge): the filter builds in ONE distributed aggregation
     // and the pre-screen is a codegen'd predicate — no per-row boxing,
     // no UDF. The serialized filter ships as a constant (at cluster
     // scale: a few MB in the task binary vs a hash frame of hundreds).
-    val filterBytes = grams
-      .agg(BloomBridge.bloomAgg(col("gram_hash"), expected, fpp).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val filterBytes = buildTestBloom(test, testTextCol, n, fpp)
     val candidates = ngramHashes(corpus, idCol, textCol, n)
       .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
       .join(broadcast(grams), Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(broadcast(candidates), Seq(idCol), "left_anti")
+  }
+
+  /** The bloom filter over a test set's gram hashes, serialized — build
+    * once (one distributed aggregation), reuse across batch runs or
+    * ship to a stream (see [[streamCleanBloom]]). */
+  def buildTestBloom(test: DataFrame, testTextCol: String, n: Int,
+      fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val grams = testGramSet(test, testTextCol, n)
+    val expected = math.max(1L, grams.count())
+    grams.agg(BloomBridge.bloomAgg(col("gram_hash"), expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** STREAMING decontamination pre-screen: drop stream documents whose
+    * n-grams hit the (pre-built, task-constant) test bloom. Entirely
+    * row-local — the gram array and the `exists` probe are one narrow
+    * codegen'd projection, so the stream needs NO state, no join, no
+    * watermark for this stage. Semantics are the bloom's: zero false
+    * negatives (everything truly contaminated is dropped), `fpp`-rate
+    * false positives (clean docs over-dropped) — the ingest-side trade;
+    * batch exactness, when needed, reruns [[cleanBloomExact]]'s exact
+    * semi-join over the retained corpus. */
+  def streamCleanBloom(stream: DataFrame, textCol: String,
+      filterBytes: Array[Byte], n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val gramHashes = transform(Dedup.distinctShingles(col(textCol), n),
+      g => PortableHash.md5Hash32(g))
+    stream.filter(
+      !exists(gramHashes, h => BloomBridge.mightContain(filterBytes, h)))
   }
 }

@@ -365,6 +365,27 @@ class StreamingSpec extends SparkSpec {
     preds(150.0) should be > preds(50.0)
   }
 
+  test("streaming bloom decontamination drops contaminated docs statelessly") {
+    val testSet = Seq("held out eval question about spark joins",
+      "another benchmark prompt entirely for eval").toDF("text")
+    val bloom = graft.operators.Decontaminate.buildTestBloom(testSet, "text", 5)
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.Decontaminate.streamCleanBloom(
+      in.toDF().toDF("doc_id", "text"), "text", bloom, 5)
+    val q = out.writeStream.format("memory").queryName("t_decon")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, "fresh corpus doc with no overlap whatsoever right here"),
+      (2L, "contains held out eval question about spark joins verbatim"),
+      (3L, "short doc"))                      // < n tokens: never flagged
+    q.processAllAvailable()
+    in.addData((4L, "prefix another benchmark prompt entirely for eval suffix"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t_decon").select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L) // 2 and 4 share a 5-gram with the test set
+  }
+
   test("streaming near-dup suppression detects collisions across micro-batches") {
     val in = MemoryStream[(Long, String)]
     val out = StreamNearDup.collisions(
