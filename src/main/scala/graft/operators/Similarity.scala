@@ -725,6 +725,25 @@ object Similarity {
       .drop("_r")
   }
 
+  /** Incremental ingest into a stored IVFADC index: the new batch
+    * routes through the STORED coarse centroids and encodes against the
+    * STORED codebook (both frozen at write time — the [[appendToIvfIndexDeterministic]]
+    * maintenance move, applied to codes), then appends into the
+    * existing `cell=` directories. Under the append-only id discipline
+    * the result is bit-identical to indexing the union up front. */
+  def appendToIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val model = loadPqCodebook(spark, dir)
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select(col("cell").as("_cell"), col("center").as("_center"))
+    val assigned = detAssign(batch, idCol, vecCol, centers)
+      .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
+    pqEncode(assigned, "_vec", model, rounded = true)
+      .select(col(idCol), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+  }
+
   /** Probe a composed IVF+PQ index: queries route to their `nProbe`
     * best cells through the stored coarse centroids (directory-level
     * partition pruning on the data scan, the q84 contract), and the

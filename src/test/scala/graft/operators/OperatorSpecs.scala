@@ -565,6 +565,33 @@ class SimilaritySpec extends SparkSpec {
       (0 until 90).filter(_ % 3 == 1).map(_.toLong).toSet
   }
 
+  test("incremental append to a stored IVFADC index equals indexing the union") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val batch = (50 until 80).map(i => (i.toLong, vec()))
+    val queries = base.take(2).toDF("vec_id", "embedding")
+
+    val incDir = tmpDir("ivfpq_inc")
+    Similarity.writeIvfPqIndexDeterministic(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", incDir, nCentroids = 4, m = 2, k = 4)
+    Similarity.appendToIvfPqIndexDeterministic(spark, incDir,
+      batch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val fullDir = tmpDir("ivfpq_full")
+    Similarity.writeIvfPqIndexDeterministic((base ++ batch).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", fullDir, nCentroids = 4, m = 2, k = 4)
+
+    def rows(dir: String) =
+      Similarity.probeIvfPqIndexDeterministic(spark, dir, "vec_id",
+        queries, "vec_id", "embedding", topK = 8, nProbe = 2)
+        .select("query_id", "vec_id", "d2_approx")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    rows(incDir) shouldBe rows(fullDir)
+    // all 80 rows are in the appended index's data files
+    spark.read.parquet(s"$incDir/data").select("vec_id")
+      .as[Long].collect().sorted shouldBe (0L until 80L).toArray
+  }
+
   test("incremental append to a stored IVF index equals indexing the union") {
     val rnd = new scala.util.Random(17)
     def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
