@@ -256,7 +256,13 @@ object Dedup {
         acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    fp
+    // Null text propagates to a NULL fingerprint rather than silently
+    // collapsing to 0 (the naive evaluation: aggregate over a null
+    // array → null bitSum → otherwise(0) for every bit), which would
+    // make all null-text docs mutually "identical" and collide with any
+    // doc whose true fingerprint is 0. Matches the aggregation form,
+    // where a null-text row produces no fingerprint at all.
+    when(text.isNotNull, fp)
   }
 
   /** Edit-distance near-duplicate pairs within a blocking key: all

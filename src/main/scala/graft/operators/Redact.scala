@@ -32,17 +32,33 @@ object Redact {
     rules.foldLeft(text)((c, r) => regexp_replace(c, r.pattern, r.replacement))
 
   /** Total number of redactions `scrub` performs: rule i is counted on
-    * the text as rules 0..i-1 left it (chained, like the scrub itself). */
+    * the text as rules 0..i-1 left it (chained, like the scrub itself).
+    * Folded in ONE pass carrying (staged text, running count): each
+    * staged prefix appears once and is shared between its own count and
+    * the next stage's replace input, so whole-stage codegen's
+    * subexpression elimination evaluates every regex stage once —
+    * O(rules) regex work per row, not O(rules^2) as a naive
+    * re-derive-the-prefix-per-rule formulation would cost on the
+    * 100 TB map-only scrub pass. */
   def hitCount(text: Column, rules: Seq[Rule]): Column = {
-    val counts = rules.indices.map { i =>
-      val staged = scrub(text, rules.take(i))
-      size(regexp_extract_all(staged, lit(rules(i).pattern), lit(0)))
+    val (_, total) = rules.foldLeft((text, lit(0L))) {
+      case ((staged, count), r) =>
+        (regexp_replace(staged, r.pattern, r.replacement),
+          count + size(regexp_extract_all(staged, lit(r.pattern), lit(0))))
     }
-    counts.reduceOption(_ + _).getOrElse(lit(0)).cast("long")
+    total.cast("long")
   }
 
-  /** Pseudonymous stable key for an id column: md5 of its decimal string.
-    * One-way at pipeline scope (no salt table to join back), deterministic
-    * across runs so downstream grouping/joins on the pseudonym still work. */
-  def pseudonym(id: Column): Column = md5(id.cast("string"))
+  /** Pseudonymous stable key for an id column: keyed sha-256 over the
+    * pipeline salt and the id's decimal string. Deterministic across
+    * runs (same salt), so downstream grouping/joins on the pseudonym
+    * still work, but — unlike an unsalted digest of a low-entropy
+    * sequential id space — not reversible by precomputing hashes of
+    * '1','2',…: recovery requires the salt, which in production comes
+    * from a secret store, never from the output. The salt is required
+    * (no default) so callers can't silently fall back to unkeyed. */
+  def pseudonym(id: Column, salt: String): Column = {
+    require(salt.nonEmpty, "pseudonym salt must be non-empty (keyed hash)")
+    sha2(concat(lit(salt), lit(":"), id.cast("string")), 256)
+  }
 }

@@ -288,6 +288,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     centers.select(col("_cell").as("cell"), col("_center").as("center"))
       .write.mode("overwrite").parquet(s"$dir/centers")
+    writeMaxIdMeta(corpus.sparkSession, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
   }
 
   /** Probe a deterministic IVF index written by
@@ -353,6 +355,8 @@ object Similarity {
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
       .write.mode("overwrite").parquet(s"$dir/centers")
+    writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
   }
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query are
@@ -607,6 +611,53 @@ object Similarity {
       yield (j, c, model.centroids(j)(c).toSeq)
     cb.toDF("j", "code", "center")
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+  }
+
+  /** Record the indexed corpus's max id as a one-row parquet under
+    * `dir/meta` — the cheap stored handle the append-only id discipline
+    * is validated against (reading it back is a footer-sized pull, not
+    * a corpus scan). */
+  private def writeMaxIdMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxId: Long): Unit =
+    spark.range(1).select(lit(maxId).as("max_id"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+
+  /** Max id already in the stored index: from `dir/meta` when present,
+    * else (indexes written before meta existed) one column-pruned agg
+    * over the data files. */
+  private def storedMaxId(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String): Long =
+    scala.util.Try(spark.read.parquet(s"$dir/meta").head.getLong(0))
+      .getOrElse(spark.read.parquet(s"$dir/data")
+        .agg(max(col(idCol).cast("long"))).head.getLong(0))
+
+  /** Enforce the append-only id discipline every incremental-ingest
+    * entry point relies on for its rebuild-equivalence guarantee: all
+    * batch ids must exceed every indexed id (else the stored
+    * deterministic centers/codebook would have differed from a
+    * rebuild's, silently diverging probe results), and the batch must
+    * not carry duplicate ids. One tiny agg over the batch + a one-row
+    * meta read — cheap at any scale. Returns the batch's max id (the
+    * new meta value), or None for an empty batch (a no-op append). */
+  private def validateAppendBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String): Option[Long] = {
+    val r = batch.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long")),
+      count(lit(1)), count_distinct(col(idCol))).head
+    if (r.getLong(2) == 0L) None
+    else {
+      val (mn, mx, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(nd == n,
+        s"append batch has ${n - nd} duplicate id(s) in '$idCol' — refusing to append")
+      val maxIndexed = storedMaxId(spark, dir, idCol)
+      require(mn > maxIndexed,
+        s"append-only id discipline violated: batch min id $mn <= max indexed id " +
+          s"$maxIndexed; appending would diverge from a full rebuild " +
+          "(stored centers/codebook were derived from the lowest-id vectors)")
+      Some(mx)
+    }
   }
 
   /** Incremental ingest into a stored deterministic IVF index: assign a
@@ -617,19 +668,48 @@ object Similarity {
     * At 100 TB this is how the index keeps up with ingest: the append
     * touches only the new batch, dynamic partition append leaves
     * existing files untouched, and probes see old + new rows with
-    * unchanged semantics. If the batch's ids are all larger than the
-    * indexed corpus's (the append-only id discipline), the result is
-    * bit-identical to having indexed the union up front — asserted in
-    * SimilaritySpec. */
+    * unchanged semantics. The batch's ids must all be larger than the
+    * indexed corpus's (the append-only id discipline, which makes the
+    * result bit-identical to having indexed the union up front —
+    * asserted in SimilaritySpec); the precondition is VALIDATED against
+    * the stored max-id meta, so a violating or duplicate-id batch fails
+    * fast instead of silently corrupting probe results. */
   def appendToIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val centers = spark.read.parquet(s"$dir/centers")
-      .select(col("cell").as("_cell"), col("center").as("_center"))
-    detAssign(batch, idCol, vecCol, centers)
-      .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-  }
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val centers = spark.read.parquet(s"$dir/centers")
+        .select(col("cell").as("_cell"), col("center").as("_center"))
+      detAssign(batch, idCol, vecCol, centers)
+        .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+      writeMaxIdMeta(spark, dir, newMax)
+    }
+
+  /** TRAINED twin of [[appendToIvfIndexDeterministic]]: the new batch
+    * routes through the STORED k-means centroids by squared L2 —
+    * k-means' own assignment metric, ties → lowest cell — so appended
+    * rows land exactly where a fresh `KMeansModel.transform` would put
+    * them; the frozen model needs no retraining. Same id-discipline
+    * validation. The appended rows carry the batch's full column set
+    * (the trained writer stores whole corpus rows, not id+vector
+    * projections). */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val centers = spark.read.parquet(s"$dir/centers")
+        .select(col("cell").as("_cell"), col("center").as("_center"))
+      val carried = batch.columns.map(col) :+ col("_cell").as("cell")
+      batch.withColumn("_v", asDouble(col(vecCol)))
+        .crossJoin(broadcast(centers))
+        .withColumn("_d2", l2sq(col("_v"), col("_center")))
+        .groupBy(col(idCol))
+        .agg(min_by(struct(carried: _*), struct(col("_d2"), col("_cell"))).as("_m"))
+        .select(col("_m.*"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+      writeMaxIdMeta(spark, dir, newMax)
+    }
 
   /** Load a stored PQ codebook back into a [[PqModel]] — m*k rows, a
     * bounded driver pull (the stored-centroid class). */
@@ -684,6 +764,8 @@ object Similarity {
       yield (j, c, pq.centroids(j)(c).toSeq)
     cb.toDF("j", "code", "center")
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
   }
 
   /** Probe a TRAINED composed index: L2 routing to the `nProbe` nearest
@@ -730,19 +812,48 @@ object Similarity {
     * STORED codebook (both frozen at write time — the [[appendToIvfIndexDeterministic]]
     * maintenance move, applied to codes), then appends into the
     * existing `cell=` directories. Under the append-only id discipline
-    * the result is bit-identical to indexing the union up front. */
+    * (validated, like every append here) the result is bit-identical to
+    * indexing the union up front. */
   def appendToIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val model = loadPqCodebook(spark, dir)
-    val centers = spark.read.parquet(s"$dir/centers")
-      .select(col("cell").as("_cell"), col("center").as("_center"))
-    val assigned = detAssign(batch, idCol, vecCol, centers)
-      .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
-    pqEncode(assigned, "_vec", model, rounded = true)
-      .select(col(idCol), col("codes"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-  }
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val model = loadPqCodebook(spark, dir)
+      val centers = spark.read.parquet(s"$dir/centers")
+        .select(col("cell").as("_cell"), col("center").as("_center"))
+      val assigned = detAssign(batch, idCol, vecCol, centers)
+        .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
+      pqEncode(assigned, "_vec", model, rounded = true)
+        .select(col(idCol), col("codes"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+      writeMaxIdMeta(spark, dir, newMax)
+    }
+
+  /** TRAINED twin of [[appendToIvfPqIndexDeterministic]]: squared-L2
+    * routing through the stored k-means coarse centroids
+    * ([[appendToIvfIndex]]'s move) + encoding against the stored
+    * trained codebook — the frozen-model maintenance path for the
+    * production IVFADC index. Same id-discipline validation. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val model = loadPqCodebook(spark, dir)
+      val centers = spark.read.parquet(s"$dir/centers")
+        .select(col("cell").as("_cell"), col("center").as("_center"))
+      val assigned = batch
+        .select(col(idCol), asDouble(col(vecCol)).as("_vec"))
+        .crossJoin(broadcast(centers))
+        .withColumn("_d2", l2sq(col("_vec"), col("_center")))
+        .groupBy(col(idCol))
+        .agg(min_by(struct(col("_vec"), col("_cell").as("cell")),
+          struct(col("_d2"), col("_cell"))).as("_m"))
+        .select(col(idCol), col("_m._vec").as("_vec"), col("_m.cell").as("cell"))
+      pqEncode(assigned, "_vec", model)
+        .select(col(idCol), col("codes"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+      writeMaxIdMeta(spark, dir, newMax)
+    }
 
   /** Probe a composed IVF+PQ index: queries route to their `nProbe`
     * best cells through the stored coarse centroids (directory-level

@@ -309,13 +309,17 @@ object CurationQueries {
         ${PortableRound.sql4("(CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE))")} AS weight
       FROM w ORDER BY source""".replaceAll("\\s+", " ")))
 
-  /** PII scrub: pseudonymize the user key (one-way md5) and redact
-    * numeric literals inside the free-form JSON props — chained rules,
-    * the narrow pattern first so the broad one can't re-match inside
-    * its replacement. Map-only narrow stage; the only exchange is the
-    * deterministic ORDER BY. Patterns stay in the Java-regex ∩ RE2
-    * portable subset (Redact.scala scaladoc). */
+  /** PII scrub: pseudonymize the user key (keyed sha-256 — salted, so
+    * the sequential id space can't be recovered by precomputing digests
+    * of '1','2',…) and redact numeric literals inside the free-form
+    * JSON props — chained rules, the narrow pattern first so the broad
+    * one can't re-match inside its replacement. Map-only narrow stage;
+    * the only exchange is the deterministic ORDER BY. Patterns stay in
+    * the Java-regex ∩ RE2 portable subset (Redact.scala scaladoc). The
+    * salt is a fixed literal HERE so the oracle can mirror it; a real
+    * deployment injects it from a secret store. */
   private val q85 = {
+    val salt = "graft-pipeline-salt"
     val rules = Seq(
       Redact.Rule("[0-9]{3,}", "[NUM]"),
       Redact.Rule("[0-9]+", "#"))
@@ -325,11 +329,11 @@ object CurationQueries {
         t(s, dir, "events")
           .select(
             col("event_id"),
-            Redact.pseudonym(col("user_id")).as("pseudonym"),
+            Redact.pseudonym(col("user_id"), salt).as("pseudonym"),
             Redact.scrub(col("props"), rules).as("scrubbed"),
             Redact.hitCount(col("props"), rules).as("n_hits"))
           .orderBy("event_id"),
-      Some("""SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS pseudonym,
+      Some(s"""SELECT event_id, sha256('$salt:' || CAST(user_id AS VARCHAR)) AS pseudonym,
         regexp_replace(regexp_replace(props, '[0-9]{3,}', '[NUM]', 'g'), '[0-9]+', '#', 'g') AS scrubbed,
         CAST(len(regexp_extract_all(props, '[0-9]{3,}'))
            + len(regexp_extract_all(regexp_replace(props, '[0-9]{3,}', '[NUM]', 'g'), '[0-9]+')) AS BIGINT) AS n_hits

@@ -9,6 +9,11 @@ import graft.operators.Dedup
 /** One banded fingerprint occurrence flowing into the stateful stage. */
 case class BandEvent(docId: Long, sim: Long, bandId: Int, bandVal: Long)
 
+/** [[BandEvent]] with the document's event time — the evicting variant
+  * keys retention off it. */
+case class BandEventT(docId: Long, sim: Long, bandId: Int, bandVal: Long,
+    ts: java.sql.Timestamp)
+
 /** A detected near-duplicate: `docId` collided with the earlier-seen
   * `dupOf` in band `bandId` at the given hamming distance. A document
   * within `maxHamming` of an earlier one emits one collision per
@@ -54,6 +59,10 @@ object StreamNearDup {
         shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
     }: _*)
     val events = df
+      // null text has no fingerprint (simhashExpr propagates null):
+      // such docs can't be near-duplicates of anything, and letting
+      // them through would NPE the non-nullable BandEvent encoding
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("docId"),
         Dedup.simhashExpr(col(textCol), bits).as("sim"))
       .select(col("docId"), col("sim"), explode(bandStructs).as("band"))
@@ -80,6 +89,86 @@ object StreamNearDup {
             if (seen.size < maxKeptPerBucket) seen = seen :+ ((e.docId, e.sim))
           }
           state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** EVICTING variant of [[collisions]] for unbounded-key streams: kept
+    * fingerprints expire once the event-time watermark passes their
+    * timestamp + `retention`, so bucket state is bounded by the stream's
+    * RATE over the retention window instead of its lifetime key space —
+    * the difference between a crawl that runs for a day and one that
+    * runs forever. Dup detection becomes windowed ("within `retention`
+    * of the template"), which is the semantic an unbounded stream wants
+    * anyway: year-old templates shouldn't suppress today's documents.
+    *
+    * Mechanics: the input is watermarked on `tsCol` by `watermarkDelay`;
+    * expired entries are dropped on every bucket invocation (data-driven
+    * pass), and an [[GroupStateTimeout.EventTimeTimeout]] re-armed at
+    * the earliest pending expiry clears IDLE buckets too — state for a
+    * bucket that never sees another event still gets removed, which
+    * NoTimeout state never would. `maxKeptPerBucket` still applies
+    * within the window. */
+  def collisionsEvicting(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, retention: java.time.Duration,
+      watermarkDelay: java.time.Duration,
+      bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
+      maxKeptPerBucket: Int = 64): Dataset[Collision] = {
+    require(bits % bandBits == 0, "bits must be divisible by bandBits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    val mask = (1L << bandBits) - 1
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("bandId"),
+        shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
+    }: _*)
+    val events = df
+      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.simhashExpr(col(textCol), bits).as("sim"),
+        col(tsCol).cast("timestamp").as("ts"))
+      // watermark AFTER the cast/rename: casting a watermarked column
+      // strips its event-time metadata and the stateful op would reject
+      // the EventTimeTimeout ("not supported without watermark")
+      .withWatermark("ts", s"${watermarkDelay.toMillis} milliseconds")
+      .select(col("docId"), col("sim"), col("ts"), explode(bandStructs).as("band"))
+      .select(col("docId"), col("sim"),
+        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"),
+        col("ts"))
+      .as[BandEventT]
+    events
+      .groupByKey(e => (e.bandId, e.bandVal))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], Collision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          // expire first: a kept fingerprint is live while wm <= ts+retention
+          var seen = state.getOption.getOrElse(Nil)
+            .filter { case (_, _, ts) => ts + retMs >= wm }
+          val out = List.newBuilder[Collision]
+          it.toSeq.sortBy(_.docId).foreach { e =>
+            val hit = seen.iterator
+              .map { case (id0, sim0, _) =>
+                (id0, java.lang.Long.bitCount(e.sim ^ sim0).toLong) }
+              .filter(_._2 <= maxHamming)
+              .reduceOption((a, b) =>
+                if (a._2 < b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b)
+            hit.foreach { case (id0, d) =>
+              out += Collision(e.docId, id0, d, e.bandId) }
+            if (seen.size < maxKeptPerBucket)
+              seen = seen :+ ((e.docId, e.sim, e.ts.getTime))
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(seen)
+            // idle-bucket cleanup: fire when the earliest entry expires
+            val next = seen.map(_._3).min + retMs + 1
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
           out.result().iterator
       }
   }

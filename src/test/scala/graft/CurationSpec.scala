@@ -170,6 +170,10 @@ class CurationSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("Redact.scrub applies rules in order; hitCount counts chained matches") {
     val rules = Seq(Redact.Rule("[0-9]{3,}", "[NUM]"), Redact.Rule("[0-9]+", "#"))
     val df = Seq("id 12345 and 67", "no digits", "99 1234 5").toDF("text")
@@ -185,12 +189,18 @@ class CurationSpec extends SparkSpec {
     broadFirst(0) shouldBe "id # and #"
   }
 
-  test("Redact.pseudonym is a deterministic one-way md5 of the decimal id") {
+  test("Redact.pseudonym is a deterministic keyed sha-256 of the decimal id") {
     val got = Seq(42L, 42L, 7L).toDF("id")
-      .select(Redact.pseudonym(col("id"))).as[String].collect()
-    got(0) shouldBe md5hex("42")
+      .select(Redact.pseudonym(col("id"), "s3cret")).as[String].collect()
+    got(0) shouldBe sha256hex("s3cret:42")
     got(0) shouldBe got(1)
     got(2) should not be got(0)
+    // the key participates: a different salt yields unrelated pseudonyms,
+    // so an unsalted rainbow table over the sequential id space is useless
+    val other = Seq(42L).toDF("id")
+      .select(Redact.pseudonym(col("id"), "other")).as[String].collect()
+    other(0) should not be got(0)
+    an[IllegalArgumentException] should be thrownBy Redact.pseudonym(col("id"), "")
   }
 
   test("stripBoilerplate masks exactly the positions covered by frequent grams") {

@@ -107,7 +107,7 @@ class PlanContractsSpec extends SparkSpec {
       graft.operators.Redact.Rule("[0-9]+", "#"))
     val df = t(spark, dir, "events").select(
       col("event_id"),
-      graft.operators.Redact.pseudonym(col("user_id")).as("pseudonym"),
+      graft.operators.Redact.pseudonym(col("user_id"), "graft-pipeline-salt").as("pseudonym"),
       graft.operators.Redact.scrub(col("props"), rules).as("scrubbed"),
       graft.operators.Redact.hitCount(col("props"), rules).as("n_hits"))
     val plan = df.queryExecution.executedPlan.toString

@@ -624,4 +624,86 @@ class SimilaritySpec extends SparkSpec {
     // appended rows are reachable (some hit beyond the base id range)
     inc.map(_._2).exists(_ >= 50L) shouldBe true
   }
+
+  test("index append validates the append-only id discipline") {
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    val dir = tmpDir("ivf_guard")
+    Similarity.writeIvfIndexDeterministic(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, nCentroids = 3)
+    // overlapping ids: the stored deterministic centers would have
+    // differed from a rebuild's — must fail fast, not corrupt the index
+    val overlapping = Seq((10L, vec()), (25L, vec())).toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfIndexDeterministic(spark, dir, overlapping,
+        "vec_id", "embedding")
+    // duplicate ids within the batch are rejected too
+    val dup = Seq((30L, vec()), (30L, vec())).toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfIndexDeterministic(spark, dir, dup,
+        "vec_id", "embedding")
+    // an empty batch is a no-op, not an error
+    Similarity.appendToIvfIndexDeterministic(spark, dir,
+      base.toDF("vec_id", "embedding").filter(col("vec_id") < 0),
+      "vec_id", "embedding")
+    // nothing leaked into the data files; a valid batch still appends,
+    // and the meta watermark advances so a replay of the same batch is
+    // then rejected (no double-ingest)
+    spark.read.parquet(s"$dir/data").count() shouldBe 20L
+    val ok = Seq((25L, vec())).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndexDeterministic(spark, dir, ok, "vec_id", "embedding")
+    spark.read.parquet(s"$dir/data").count() shouldBe 21L
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfIndexDeterministic(spark, dir, ok, "vec_id", "embedding")
+  }
+
+  test("trained index append routes through the stored k-means centroids") {
+    val rnd = new scala.util.Random(41)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val base = (0 until 60).map(i => (i.toLong, jitter(axes(i % 3))))
+    val batch = (60 until 90).map(i => (i.toLong, jitter(axes(i % 3))))
+
+    val ivfDir = tmpDir("ivf_trained_inc")
+    Similarity.writeIvfIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivfDir, nCentroids = 3, trainFraction = 1.0)
+    Similarity.appendToIvfIndex(spark, ivfDir,
+      batch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // every appended row landed in the cell whose STORED centroid is
+    // L2-nearest — exactly where KMeansModel.transform would route it
+    val centers = spark.read.parquet(s"$ivfDir/centers")
+      .as[(Int, Seq[Double])].collect().toMap
+    val landed = spark.read.parquet(s"$ivfDir/data")
+      .filter(col("vec_id") >= 60)
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]],
+        col("cell").as[Int])
+      .collect()
+    landed.length shouldBe 30
+    landed.foreach { case (_, v, cell) =>
+      val best = centers.minBy { case (c, cen) =>
+        (v.zip(cen).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      cell shouldBe best
+    }
+    // probes see the appended rows
+    val q = Seq((200L, axes(0))).toDF("vec_id", "embedding")
+    val got = Similarity.probeIvfIndex(spark, ivfDir, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 40, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    got.exists(_ >= 60L) shouldBe true
+
+    val pqDir = tmpDir("ivfpq_trained_inc")
+    Similarity.writeIvfPqIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", pqDir, nCentroids = 3, m = 2, k = 4,
+      trainFraction = 1.0)
+    Similarity.appendToIvfPqIndex(spark, pqDir,
+      batch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    spark.read.parquet(s"$pqDir/data").count() shouldBe 90L
+    val pqGot = Similarity.probeIvfPqIndex(spark, pqDir, "vec_id",
+      q, "vec_id", "embedding", topK = 40, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    pqGot.exists(_ >= 60L) shouldBe true
+  }
 }
