@@ -65,7 +65,28 @@ object PlanAudit {
         "candidate generator -> q32's connected components -> one " +
         "survivor per cluster. Candidates never leave their bucket, the " +
         "fixpoint shuffles edges by key, survivor selection is one " +
-        "aggregate — no stage is corpus-quadratic."))
+        "aggregate — no stage is corpus-quadratic."),
+    "q90_ann_rerank" ->
+      ("Two-stage ANN: q87's ADC shortlist (codes-only corpus pass) -> " +
+        "exact-cosine re-rank of the |queries| x R shortlist. The " +
+        "re-rank vector fetch is a BROADCAST equi-join on id — at " +
+        "100 TB it reads R rows per query, never shuffles corpus data, " +
+        "and the final ordering carries no quantization error."),
+    "q91_incremental_neardup" ->
+      ("Dedup-against-the-ingested-corpus, the per-batch screening move " +
+        "of a growing training set: banded simhash signatures equi-join " +
+        "batch vs corpus (pigeonhole-complete for the hamming bound, " +
+        "never batch x corpus), one xor+popcount per candidate, " +
+        "first-agreeing-band dedup, then a keyed min-struct picks each " +
+        "batch doc's best match. At 100 TB the corpus's banded " +
+        "signatures are a stored append-only artifact; only batch-sized " +
+        "data shuffles."),
+    "q92_hash_split" ->
+      ("Deterministic train/val/test assignment: one narrow projection, " +
+        "no shuffle, no RNG state — the append-stable, recomputable " +
+        "form of randomSplit (which reshuffles rows whenever the input " +
+        "grows). Split boundaries are integer hash cutoffs shared with " +
+        "the oracle."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

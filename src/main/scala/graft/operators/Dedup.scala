@@ -224,6 +224,62 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** INCREMENTAL near-dup: screen a NEW batch of documents against an
+    * already-ingested corpus — the dedup move an ever-growing training
+    * set actually runs (dedup-against-what-we-already-have, not
+    * all-pairs over the union; within-batch duplicates are the separate
+    * [[simhashNearDupPairs]] pass). Returns one row per batch doc:
+    * `(idCol, dup_of, hamming)` where `dup_of` is the corpus doc it
+    * duplicates — the (lowest-hamming, lowest-id) one — or NULL for a
+    * genuinely new document.
+    *
+    * Shape mirrors [[simhashNearDupPairs]]: pigeonhole banding makes
+    * candidate generation an equi-join on (band, value) — complete for
+    * the hamming bound, never batch×corpus — and each candidate pair is
+    * verified with one xor+popcount, emitted from its FIRST agreeing
+    * band only. At 100 TB the corpus side's banded signatures are a
+    * stored artifact (append-only, like the IVF indexes): screening a
+    * daily batch shuffles only batch-sized data against them. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, bits: Int = 32, maxHamming: Int = 3,
+      bandBits: Int = 8): DataFrame = {
+    require(bits % bandBits == 0, "bits must be divisible by bandBits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, sim: String) = {
+      val bands = (0 until nBands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col(sim), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+      }
+      df.select(col(id), col(sim), explode(array(bands: _*)).as("band"))
+        .select(col(id), col(sim), col("band.band_id"), col("band.band_val"))
+    }
+    val cs = simhash(corpus, idCol, textCol, bits)
+      .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
+    val bs = simhash(batch, idCol, textCol, bits)
+      .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
+    // first-agreeing-band filter (same trick as simhashNearDupPairs):
+    // earlier bands are recomputable from the two fingerprints, so a
+    // pair is verified exactly once with no pair-keyed distinct
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(j => lit(j) >= col("band_id") ||
+        shiftright(col("_bsim"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("_csim"), j * bandBits).bitwiseAND(lit(mask)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val best = banded(bs, idCol, "_bsim")
+      .join(banded(cs, "_cid", "_csim"), Seq("band_id", "band_val"))
+      .filter(noEarlierAgreement)
+      .withColumn("_h", bit_count(col("_bsim").bitwiseXOR(col("_csim"))).cast("long"))
+      .filter(col("_h") <= maxHamming)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_h"), col("_cid"))).as("_b"))
+      .select(col(idCol), col("_b._cid").as("dup_of"), col("_b._h").as("hamming"))
+    bs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"), col("hamming"))
+  }
+
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

@@ -28,6 +28,34 @@ object Sampling {
     df.filter(bucket < lit((fraction * (1L << 32)).toLong))
   }
 
+  /** Cumulative 32-bit cutoffs for [[hashSplit]] — public so an oracle
+    * can embed the EXACT same integer boundaries (recomputing them from
+    * the weights risks double-arithmetic drift). */
+  def hashSplitCutoffs(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * (1L << 32)).toLong)
+
+  /** Deterministic named splits (train/val/test and friends): each row's
+    * md5-derived id hash picks its split by cumulative weight cutoff.
+    * The hash-based assignment is the scalable form of `randomSplit` —
+    * narrow, shuffle-free, and STABLE: the same row lands in the same
+    * split regardless of partitioning, executor count, or run, so a
+    * 100 TB corpus's eval split is exactly recomputable, and adding new
+    * rows never moves old rows between splits (`randomSplit` reshuffles
+    * everything when the input changes). Weights must sum to 1. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val assigned = splits.zip(hashSplitCutoffs(splits)).dropRight(1)
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), cut), els) => when(bucket < lit(cut), lit(name)).otherwise(els)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Per-group quota: keep at most `maxPerGroup` rows per `groupCol`
     * (the domain/source-capping pass of corpus curation). Which rows
     * survive is DETERMINISTIC — priority is the md5-derived id hash

@@ -574,6 +574,33 @@ object Similarity {
       .drop("_r")
   }
 
+  /** Exact-cosine RE-RANK of an ANN shortlist — the standard two-stage
+    * production recipe: a cheap approximate stage (ADC over PQ codes, a
+    * bucketed probe, …) proposes `(query_id, id)` candidates, and only
+    * those rows' true vectors are fetched and scored exactly. Fixes the
+    * quantization error in the final ordering while touching R rows per
+    * query instead of the corpus: the shortlist (tiny — |queries| × R)
+    * broadcasts into an equi-join against the corpus, so at 100 TB the
+    * vector fetch is a broadcast-semi-join-pruned scan, never a
+    * shuffle of corpus-sized data. Returns `(query_id, idCol, cos_sim)`
+    * re-ranked descending, `k` rows per query, ties → lowest id. */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("_cv"))
+      .join(broadcast(shortlist.select(col("query_id"), col(idCol))), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        asDouble(col(qVecCol)).as("_qv"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        PortableRound.round4(cosine(col("_cv"), col("_qv"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   // ----------------------------------------------------------------
   // IVFADC: the COMPOSED stored index — IVF prunes which partitions a
   // probe reads, PQ shrinks what each row stores. Data files hold

@@ -386,7 +386,32 @@ object PipelineQueries {
         FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Deterministic train/val/test split by id hash — the scalable,
+    * append-stable form of `randomSplit`: assignment is a pure function
+    * of the id, so the split is recomputable from a 100 TB corpus and
+    * new rows never move old rows between splits. Cutoff integers come
+    * from the SAME helper the operator uses
+    * ([[graft.operators.Sampling.hashSplitCutoffs]]) so engine and
+    * oracle share exact boundaries. */
+  private val q92 = {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val cuts = graft.operators.Sampling.hashSplitCutoffs(splits)
+    val caseSql = splits.zip(cuts).dropRight(1)
+      .map { case ((name, _), cut) => s"WHEN h < $cut THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
+    Q(
+      "q92_hash_split",
+      (s, dir) => graft.operators.Sampling
+        .hashSplit(t(s, dir, "documents"), "doc_id", splits)
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, $caseSql AS split FROM
+        (SELECT doc_id, ${PortableHash.md5Hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+         FROM documents)
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89)
+      q83, q89, q92)
 }

@@ -1159,8 +1159,121 @@ object RelationalQueries {
         ORDER BY query_id, d2_approx, vec_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Two-stage ANN — ADC shortlist, exact re-rank: the production
+    * recipe for using a PQ index without surfacing its quantization
+    * error. Stage 1 is q87's ADC scorer kept to `topR` candidates per
+    * query; stage 2 fetches ONLY those rows' true vectors (broadcast
+    * shortlist → semi-join-pruned fetch) and re-ranks by exact cosine.
+    * Final order comes from exact scores, so result quality is
+    * brute-force-grade wherever the shortlist contains the true
+    * neighbors — while the corpus-wide pass still touches codes only. */
+  private val q90 = {
+    val (m, kc, subDim, topR, kTop) = (4, 8, 16, 12, 6)
+    def cosSql(v: String, q: String): String =
+      PortableRound.sql4(
+        s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+    def d2Sql(x: String, cen: String): String =
+      s"""CAST(floor(list_sum(list_transform(range(1, ${subDim + 1}),
+         i -> ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i]) * ($x[js.j*$subDim+i] - $cen[js.j*$subDim+i])))
+         * 10000.0 + 0.5) AS BIGINT)"""
+    Q(
+      "q90_ann_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 3)
+        val model = graft.operators.Similarity.pqModelDeterministic(
+          emb, "vec_id", "embedding", m, kc)
+        val encoded = graft.operators.Similarity.pqEncode(
+          emb, "embedding", model, rounded = true)
+        val shortlist = graft.operators.Similarity.pqTopK(
+          encoded, "vec_id", "codes", model, qs, "vec_id", "embedding",
+          topR, rounded = true)
+        graft.operators.Similarity.rerankExact(
+          shortlist, emb, "vec_id", "embedding", qs, "vec_id", "embedding", kTop)
+          .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS center
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kc)),
+        js AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS j),
+        enc AS (SELECT vec_id, j, code FROM (
+            SELECT e.vec_id, js.j, c.code,
+              row_number() OVER (PARTITION BY e.vec_id, js.j
+                ORDER BY ${d2Sql("e.v", "c.center")} ASC, c.code) AS rn
+            FROM e CROSS JOIN js CROSS JOIN c) WHERE rn = 1),
+        tab AS (SELECT q.vec_id AS query_id, js.j, c.code,
+                ${d2Sql("q.v", "c.center")} AS dt
+                FROM e q CROSS JOIN js CROSS JOIN c WHERE q.vec_id < 3),
+        sc AS (SELECT t.query_id, en.vec_id,
+                 CAST(SUM(t.dt) AS DOUBLE) / 10000.0 AS d2_approx
+               FROM enc en JOIN tab t ON en.j = t.j AND en.code = t.code
+               GROUP BY 1, 2),
+        short AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY d2_approx ASC, vec_id ASC) AS r
+          FROM sc) WHERE r <= $topR),
+        rr AS (SELECT s.query_id, s.vec_id,
+                 ${cosSql("e.v", "q.v")} AS cos_sim
+               FROM short s JOIN e ON e.vec_id = s.vec_id
+               JOIN e q ON q.vec_id = s.query_id)
+        SELECT query_id, vec_id, cos_sim FROM (
+          SELECT query_id, vec_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, vec_id ASC) AS r
+          FROM rr) WHERE r <= $kTop
+        ORDER BY query_id, cos_sim DESC, vec_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Incremental near-dup screening — the dedup move a GROWING corpus
+    * runs per ingest batch: every batch doc gets its best already-
+    * ingested match (lowest hamming, then lowest id) or NULL if new.
+    * The 20% batch / 80% corpus split here is scale-invariant
+    * (`doc_id % 5`) so the query exercises the same shape at every SF.
+    * Engine side bands both fingerprint sets pigeonhole-style (an
+    * equi-join, complete for the bound, never batch×corpus); the oracle
+    * brute-forces the identical semantics. */
+  private val q91 = {
+    val (bits, maxHamming) = (32, 3)
+    val bitSumsSql = (0 until bits)
+      .map(j => s"sum(CASE WHEN ((hv >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val fpSql = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val hashCte =
+      s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks)"""
+    Q(
+      "q91_incremental_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", bits, maxHamming, bandBits = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $hashCte,
+        bsums AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS f FROM bsums),
+        corp AS (SELECT doc_id AS cid, f AS fc FROM sig WHERE doc_id % 5 <> 4),
+        b AS (SELECT doc_id, f AS fb FROM sig WHERE doc_id % 5 = 4),
+        m AS (SELECT b.doc_id, corp.cid,
+                CAST(bit_count(xor(fb, fc)) AS BIGINT) AS hamming
+              FROM b JOIN corp ON bit_count(xor(fb, fc)) <= $maxHamming),
+        best AS (SELECT doc_id, cid, hamming FROM (
+          SELECT doc_id, cid, hamming,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY hamming ASC, cid ASC) AS rn
+          FROM m) WHERE rn = 1)
+        SELECT b.doc_id, best.cid AS dup_of, best.hamming
+        FROM b LEFT JOIN best USING (doc_id)
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91)
 }

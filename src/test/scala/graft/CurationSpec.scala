@@ -47,6 +47,30 @@ class CurationSpec extends SparkSpec {
     a.groupBy("grp").count().select("count").as[Long].collect().foreach(_ shouldBe 10L)
   }
 
+  test("hashSplit is stable across partitionings and append-invariant") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSplit(df.repartition(7), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df.repartition(2), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    a shouldBe b
+    // proportions land near the weights (hash-uniform over 2000 ids)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    frac("train") shouldBe 0.8 +- 0.05
+    frac("val") shouldBe 0.1 +- 0.03
+    frac("test") shouldBe 0.1 +- 0.03
+    // append-invariance: growing the input never moves an old row
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), "id", splits)
+      .filter(col("id") <= 2000).select("id", "split")
+      .as[(Long, String)].collect().toMap
+    grown shouldBe a
+    // weights must sum to 1
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.4)))
+  }
+
   test("vocabulary ranks by document frequency with term tie-break") {
     val df = Seq(
       (1L, "cat dog cat"), (2L, "cat fish"), (3L, "dog ape")

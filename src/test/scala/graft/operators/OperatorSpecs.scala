@@ -252,6 +252,34 @@ class DedupSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("incrementalNearDup == brute-force best corpus match per batch doc") {
+    val rnd = new scala.util.Random(53)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val all = (1L to 80L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = all.toDF("doc_id", "text")
+    val (corpus, batch) = (df.filter(col("doc_id") <= 60), df.filter(col("doc_id") > 60))
+    val got = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+      bits = 16, maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val fp = Dedup.simhash(df, "doc_id", "text", 16).as[(Long, Long)].collect().toMap
+    val expected = (61L to 80L).map { b =>
+      val hits = (1L to 60L)
+        .map(c => (c, java.lang.Long.bitCount(fp(b) ^ fp(c)).toLong))
+        .filter(_._2 <= 3L)
+      if (hits.isEmpty) (b, None, None)
+      else {
+        val best = hits.minBy { case (c, h) => (h, c) }
+        (b, Some(best._1), Some(best._2))
+      }
+    }.toSet
+    got shouldBe expected
+    // batch docs never screen against each other (within-batch dups are
+    // a separate pass): a batch-only dup pair must both survive
+    got.size shouldBe 20
+  }
+
   test("row-local simhashExpr equals the aggregation-form simhash") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 40).map(i => s"w$i")
@@ -623,6 +651,44 @@ class SimilaritySpec extends SparkSpec {
     inc shouldBe rows(fullDir)
     // appended rows are reachable (some hit beyond the base id range)
     inc.map(_._2).exists(_ >= 50L) shouldBe true
+  }
+
+  test("rerankExact over a full-coverage shortlist equals brute-force top-k") {
+    val rnd = new scala.util.Random(61)
+    val corpus = (0 until 50).map(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 2)
+    val model = Similarity.pqModelDeterministic(df, "vec_id", "embedding", 4, 8)
+    val encoded = Similarity.pqEncode(df, "embedding", model, rounded = true)
+    // shortlist = the whole corpus → the approximate stage can't lose a
+    // true neighbor, so re-ranked output must equal exact brute force
+    val shortlist = Similarity.pqTopK(encoded, "vec_id", "codes", model,
+      qs, "vec_id", "embedding", topK = 50, rounded = true)
+    val got = Similarity.rerankExact(shortlist, df, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    // reference: per-query exact cosine top-5 computed directly
+    // (bruteForceTopK is the single-query global-limit shape)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byId = corpus.toMap
+    val exact = (0L until 2L).flatMap { q =>
+      corpus.map { case (id, v) => (q, id, round4(cos(byId(q), v))) }
+        .sortBy(r => (-r._3, r._2)).take(5)
+    }.toArray
+    got shouldBe exact
+    // and the final ordering really is exact-score order, not ADC order
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).toSeq shouldBe rows.map(_._3).toSeq.sorted.reverse
+    }
   }
 
   test("index append validates the append-only id discipline") {
