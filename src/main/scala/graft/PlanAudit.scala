@@ -81,6 +81,20 @@ object PlanAudit {
         "batch doc's best match. At 100 TB the corpus's banded " +
         "signatures are a stored append-only artifact; only batch-sized " +
         "data shuffles."),
+    "q93_contamination_frac" ->
+      ("Graded decontamination: per-doc gram totals are ROW-LOCAL " +
+        "(size of the shingle array — no shuffle); only grams hitting " +
+        "the broadcast test-gram set reach the doc-keyed count, so the " +
+        "one real shuffle is contamination-rate-sized and the hit " +
+        "counts broadcast back onto the row-local totals. The corpus " +
+        "is scanned, never shuffled."),
+    "q94_curation_funnel" ->
+      ("Composed curation report: ONE corpus pass computes the " +
+        "row-local lang/quality flags; dedup survivors join back " +
+        "id-keyed (survivor-sized — deliberately NOT broadcast) and " +
+        "contaminated ids broadcast (contamination-rate-sized). The " +
+        "final row is a single global aggregate of the flags — corpus " +
+        "text is scanned once and never shuffled."),
     "q92_hash_split" ->
       ("Deterministic train/val/test assignment: one narrow projection, " +
         "no shuffle, no RNG state — the append-stable, recomputable " +

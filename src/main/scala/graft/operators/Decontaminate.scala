@@ -91,6 +91,40 @@ object Decontaminate {
     corpus.join(broadcast(candidates), Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination FRACTION vs the test set — the graded
+    * form of [[contaminatedIds]]'s any-hit rule, and the judgment most
+    * curation pipelines actually apply: a document is dirty when at
+    * least `threshold` of its distinct n-grams appear in the eval set,
+    * so one incidentally-shared gram no longer nukes a long document.
+    * Returns `(idCol, n_grams, n_hit, hit_frac, contaminated)`; a
+    * document shorter than `n` tokens has no grams and cannot be judged
+    * (n_grams = 0, hit_frac = 0.0, contaminated = false).
+    *
+    * Scale shape: the per-doc gram TOTAL is row-local
+    * (`size(distinctShingles)` — no shuffle), and only grams surviving
+    * the broadcast semi-join against the tiny test gram set reach the
+    * doc-keyed count, so the one real shuffle is bounded by the
+    * corpus's contamination rate, and the hit counts broadcast back
+    * onto the row-local totals. The corpus is read twice (totals +
+    * gram stream) but never shuffled whole. */
+  def contaminationFraction(corpus: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String, n: Int, threshold: Double,
+      broadcastTest: Boolean = true): DataFrame = {
+    val totals = corpus.select(col(idCol),
+      size(Dedup.distinctShingles(col(textCol), n)).cast("long").as("n_grams"))
+    val hits = ngramHashes(corpus, idCol, textCol, n)
+      .join(Plans.maybeBroadcast(testGramSet(test, testTextCol, n), broadcastTest),
+        Seq("gram_hash"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    val frac = graft.functions.PortableRound.round4(
+      when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams"))
+        .otherwise(lit(0.0)))
+    totals.join(Plans.maybeBroadcast(hits, broadcastTest), Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("hit_frac", frac)
+      .withColumn("contaminated", col("hit_frac") >= threshold)
+  }
+
   /** The bloom filter over a test set's gram hashes, serialized — build
     * once (one distributed aggregation), reuse across batch runs or
     * ship to a stream (see [[streamCleanBloom]]). */

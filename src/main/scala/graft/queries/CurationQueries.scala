@@ -373,6 +373,125 @@ object CurationQueries {
         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Graded decontamination: q44's any-hit rule upgraded to the
+    * overlap-FRACTION judgment most pipelines actually ship (dirty =
+    * ≥ 10% of a doc's distinct 3-grams appear in the held-out split).
+    * Same corpus/test split as q44 so the two rules are directly
+    * comparable row-for-row; 3-grams (vs q44's 5) because the fraction
+    * rule tolerates — and should see — the incidental short overlaps
+    * the any-hit rule would over-trigger on. */
+  private val q93 = {
+    val n = 3
+    val threshold = 0.1
+    Q(
+      "q93_contamination_frac",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontaminate.contaminationFraction(
+          docs.filter(col("doc_id") % 53 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 53 === 0), "text", n, threshold)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+        ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        totals AS (SELECT doc_id, CAST(len(list_distinct(${shingleListSql("toks", n)})) AS BIGINT) AS n_grams FROM ct),
+        cg AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM ct),
+        tt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 53 = 0),
+        tg AS (SELECT DISTINCT ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM tt),
+        hits AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM cg WHERE EXISTS (SELECT 1 FROM tg WHERE tg.gram_hash = cg.gram_hash)
+                 GROUP BY cg.doc_id)
+        SELECT t.doc_id, t.n_grams, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+          ${PortableRound.sql4("CASE WHEN t.n_grams > 0 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams ELSE 0.0 END")} AS hit_frac,
+          ${PortableRound.sql4("CASE WHEN t.n_grams > 0 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams ELSE 0.0 END")} >= $threshold AS contaminated
+        FROM totals t LEFT JOIN hits h USING (doc_id)
+        ORDER BY t.doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** The composed curation FUNNEL — the end-to-end report every corpus
+    * build ships: survivors after each stage of
+    * raw → lang-ID (en) → quality ≥ 0.5 → exact dedup → decontamination,
+    * as one row of stage counts. One corpus pass computes the row-local
+    * stage flags (lang, quality); the dedup survivors and contaminated
+    * ids are bounded side frames joined back by id — the corpus text is
+    * never shuffled, so the funnel costs one scan plus id-keyed joins
+    * at any scale. Holdout split (doc_id % 53 = 0) matches q44/q93. */
+  private val q94 = {
+    val n = 5
+    val qmin = 0.5
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    def hitsSql(lang: String): String = {
+      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
+    }
+    def scoreSql(lang: String): String =
+      PortableRound.sql4(s"CAST(${hitsSql(lang)} AS DOUBLE) / len(string_split(text, ' '))")
+    val ordered = langs.sorted.reverse
+    val langCase = ordered.init.map { lang =>
+      val conds = langs.filter(_ != lang).map(m => s"score_$lang >= score_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    val qualitySql = PortableRound.sql4(
+      s"""0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+        + 0.3 * least(1.0, CAST(${hitsSql("en")} AS DOUBLE) / len(string_split(text, ' ')) * 5.0)""")
+    Q(
+      "q94_curation_funnel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val holdout = docs.filter(col("doc_id") % 53 === 0)
+        val flagged = docs.filter(col("doc_id") % 53 =!= 0)
+          .withColumn("_lang_ok", TextAnalysis.langId(col("text")) === "en")
+          .withColumn("_q_ok",
+            col("_lang_ok") && TextAnalysis.qualityScore(col("text")) >= qmin)
+        // dedup survivors among quality passers: min id per content
+        // digest — survivor-sized, so the join back is id-keyed (NOT
+        // broadcast; at scale this frame is corpus-sized)
+        val keepIds = flagged.filter(col("_q_ok"))
+          .groupBy(md5(col("text")).as("_digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("_kept"))
+        // contaminated ids among quality passers: contamination-rate-
+        // sized → broadcast back
+        val dirtyIds = Decontaminate.contaminatedIds(
+            flagged.filter(col("_q_ok")), "doc_id", "text", holdout, "text", n)
+          .select(col("doc_id"), lit(true).as("_dirty"))
+        flagged
+          .join(keepIds, Seq("doc_id"), "left")
+          .join(broadcast(dirtyIds), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+            sum(when(col("_q_ok"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("_kept").isNotNull, 1L).otherwise(0L)).as("n_dedup"),
+            sum(when(col("_kept").isNotNull && col("_dirty").isNull, 1L)
+              .otherwise(0L)).as("n_clean"))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+        sc AS (SELECT doc_id, text,
+                 ${langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(", ")},
+                 $qualitySql AS quality FROM corpus),
+        f AS (SELECT doc_id, text,
+                (CASE $langCase ELSE '${ordered.last}' END) = 'en' AS lang_ok,
+                ((CASE $langCase ELSE '${ordered.last}' END) = 'en')
+                  AND quality >= $qmin AS q_ok
+              FROM sc),
+        keep AS (SELECT min(doc_id) AS doc_id FROM f WHERE q_ok GROUP BY md5(text)),
+        qt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM f WHERE q_ok),
+        cg AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM qt),
+        tt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 53 = 0),
+        tg AS (SELECT DISTINCT ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM tt),
+        dirty AS (SELECT DISTINCT cg.doc_id FROM cg
+                  WHERE EXISTS (SELECT 1 FROM tg WHERE tg.gram_hash = cg.gram_hash))
+        SELECT CAST(count(*) AS BIGINT) AS n_raw,
+          CAST(count(*) FILTER (WHERE lang_ok) AS BIGINT) AS n_lang,
+          CAST(count(*) FILTER (WHERE q_ok) AS BIGINT) AS n_quality,
+          CAST(count(*) FILTER (WHERE f.doc_id IN (SELECT doc_id FROM keep)) AS BIGINT) AS n_dedup,
+          CAST(count(*) FILTER (WHERE f.doc_id IN (SELECT doc_id FROM keep)
+            AND f.doc_id NOT IN (SELECT doc_id FROM dirty)) AS BIGINT) AS n_clean
+        FROM f""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86)
+    q77, q78, q85, q86, q93, q94)
 }

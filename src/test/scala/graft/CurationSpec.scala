@@ -30,12 +30,40 @@ class CurationSpec extends SparkSpec {
     bad shouldBe Array(1L, 3L)
   }
 
+  test("contaminationFraction matches hand-computed per-doc overlap") {
+    val got = Decontaminate.contaminationFraction(
+        corpus, "doc_id", "text", testSet, "text", n = 5, threshold = 0.5)
+      .select("doc_id", "n_grams", "n_hit", "hit_frac", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // doc 1: 4 distinct 5-grams, hits "a b c d e" + "b c d e f" → 2/4
+    // doc 3: 5 grams, hits "b c d e f" → 1/5; doc 4: too short → 0 grams
+    got shouldBe Array(
+      (1L, 4L, 2L, 0.5, true),
+      (2L, 4L, 0L, 0.0, false),
+      (3L, 5L, 1L, 0.2, false),
+      (4L, 0L, 0L, 0.0, false),
+      (5L, 7L, 0L, 0.0, false))
+    // the any-hit rule is the threshold→0 limit of the fraction rule
+    val anyHit = Decontaminate.contaminatedIds(
+      corpus, "doc_id", "text", testSet, "text", 5).as[Long].collect().toSet
+    got.filter(_._3 > 0).map(_._1).toSet shouldBe anyHit
+  }
+
   test("bloom-prescreened decontamination equals the exact result") {
     val exact = Decontaminate.clean(corpus, "doc_id", "text", testSet, "text", 5)
       .select("doc_id").as[Long].collect().sorted
     val bloomed = Decontaminate.cleanBloomExact(corpus, "doc_id", "text", testSet, "text", 5)
       .select("doc_id").as[Long].collect().sorted
     bloomed shouldBe exact
+  }
+
+  test("curation funnel counts are monotone non-increasing stage to stage") {
+    val row = SparkEntry.queries("q94_curation_funnel")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val stages = List(row._1, row._2, row._3, row._4, row._5)
+    stages.sliding(2).foreach { case List(a, b) => b should be <= a }
+    row._1 should be > 0L   // raw corpus is non-empty
+    row._5 should be > 0L   // something survives the whole funnel
   }
 
   test("capPerGroup keeps at most the cap, deterministically across partitionings") {
