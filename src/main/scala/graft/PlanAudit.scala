@@ -95,6 +95,21 @@ object PlanAudit {
         "contaminated ids broadcast (contamination-rate-sized). The " +
         "final row is a single global aggregate of the flags — corpus " +
         "text is scanned once and never shuffled."),
+    "q97_incremental_neardup_stored" ->
+      ("q91 through the persisted signature artifact: the corpus side " +
+        "is the stored (id, simhash) shadow — ~0.01% of corpus bytes — " +
+        "so a daily batch screen reads signatures, not text, and " +
+        "appends maintain the artifact without rebuilds. Same banded " +
+        "equi-join shape as q91; identical oracle."),
+    "q95_corpus_diff" ->
+      ("Snapshot delta: digests are computed row-locally BEFORE the " +
+        "exchange, so the full-outer join shuffles (id, digest) pairs " +
+        "only — document text never moves. Output is delta-sized."),
+    "q96_upsert_apply" ->
+      ("Incremental apply: the change batch is ingest-sized and " +
+        "broadcasts into the anti-join, so the base corpus streams " +
+        "through map-side (no shuffle of base rows at any scale); the " +
+        "upserts union in as a batch-sized appendix."),
     "q92_hash_split" ->
       ("Deterministic train/val/test assignment: one narrow projection, " +
         "no shuffle, no RNG state — the append-stable, recomputable " +

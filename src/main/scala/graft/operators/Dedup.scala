@@ -243,6 +243,21 @@ object Dedup {
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, bits: Int = 32, maxHamming: Int = 3,
       bandBits: Int = 8): DataFrame = {
+    val cs = simhash(corpus, idCol, textCol, bits)
+      .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
+    val bs = simhash(batch, idCol, textCol, bits)
+      .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
+    bestBandedMatch(cs, bs, idCol, bits, maxHamming, bandBits)
+  }
+
+  /** Core of the incremental screen, shared by [[incrementalNearDup]]
+    * (signatures computed in-flight) and [[screenWithSimhashIndex]]
+    * (corpus signatures read from the stored artifact): pigeonhole-
+    * banded equi-join, first-agreeing-band dedup, one xor+popcount per
+    * candidate, keyed min-struct best match per batch doc.
+    * `cs` = (_cid, _csim), `bs` = (idCol, _bsim). */
+  private def bestBandedMatch(cs: DataFrame, bs: DataFrame, idCol: String,
+      bits: Int, maxHamming: Int, bandBits: Int): DataFrame = {
     require(bits % bandBits == 0, "bits must be divisible by bandBits")
     val nBands = bits / bandBits
     require(maxHamming < nBands,
@@ -256,10 +271,6 @@ object Dedup {
       df.select(col(id), col(sim), explode(array(bands: _*)).as("band"))
         .select(col(id), col(sim), col("band.band_id"), col("band.band_val"))
     }
-    val cs = simhash(corpus, idCol, textCol, bits)
-      .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
-    val bs = simhash(batch, idCol, textCol, bits)
-      .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
     // first-agreeing-band filter (same trick as simhashNearDupPairs):
     // earlier bands are recomputable from the two fingerprints, so a
     // pair is verified exactly once with no pair-keyed distinct
@@ -278,6 +289,56 @@ object Dedup {
       .select(col(idCol), col("_b._cid").as("dup_of"), col("_b._h").as("hamming"))
     bs.select(col(idCol)).join(best, Seq(idCol), "left")
       .select(col(idCol), col("dup_of"), col("hamming"))
+  }
+
+  /** Persist a corpus's simhash signatures as the stored append-only
+    * artifact [[incrementalNearDup]]'s scale story names: `dir/data` =
+    * (idCol, simhash) parquet — 16-ish bytes per document at rest, a
+    * ~0.01% shadow of the corpus, so every later batch screen shuffles
+    * signature metadata instead of recomputing fingerprints over
+    * 100 TB of text — `dir/params` = fingerprint geometry, `dir/meta`
+    * = max indexed id (the append-discipline handle shared with the
+    * ANN indexes, [[StoredIndex]]). */
+  def writeSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      bits: Int = 32): Unit = {
+    simhash(corpus, idCol, textCol, bits)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    spark.range(1).select(lit(bits).as("bits"))
+      .write.mode("overwrite").parquet(s"$dir/params")
+    StoredIndex.writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+  }
+
+  /** Incremental ingest into a stored signature index: fingerprint the
+    * new batch with the STORED geometry and append — the per-ingest
+    * maintenance move (touches only the batch; existing files are
+    * untouched). Validates the append-only id discipline against the
+    * stored meta, mirroring the ANN index appends. */
+  def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val bits = spark.read.parquet(s"$dir/params").head.getAs[Number]("bits").intValue()
+      simhash(batch, idCol, textCol, bits)
+        .write.mode("append").parquet(s"$dir/data")
+      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
+    }
+
+  /** [[incrementalNearDup]] against the STORED signature index: the
+    * corpus side reads (id, simhash) rows — never corpus text — and the
+    * batch fingerprints with the stored geometry, so screening a daily
+    * batch against a 100 TB corpus touches the signature shadow plus
+    * batch-sized data only. Semantics identical to recomputing
+    * signatures in-flight (asserted in DedupSpec). */
+  def screenWithSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
+    val bits = spark.read.parquet(s"$dir/params").head.getAs[Number]("bits").intValue()
+    val cs = spark.read.parquet(s"$dir/data")
+      .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
+    val bs = simhash(batch, idCol, textCol, bits)
+      .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
+    bestBandedMatch(cs, bs, idCol, bits, maxHamming, bandBits)
   }
 
   /** SimHash fingerprint over the low `bits` bits of the token hash:

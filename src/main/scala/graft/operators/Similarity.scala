@@ -642,50 +642,15 @@ object Similarity {
       corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
   }
 
-  /** Record the indexed corpus's max id as a one-row parquet under
-    * `dir/meta` — the cheap stored handle the append-only id discipline
-    * is validated against (reading it back is a footer-sized pull, not
-    * a corpus scan). */
+  // Max-id meta + append-only id-discipline validation are shared
+  // across all stored index families — see [[StoredIndex]].
   private def writeMaxIdMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxId: Long): Unit =
-    spark.range(1).select(lit(maxId).as("max_id"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    StoredIndex.writeMaxIdMeta(spark, dir, maxId)
 
-  /** Max id already in the stored index: from `dir/meta` when present,
-    * else (indexes written before meta existed) one column-pruned agg
-    * over the data files. */
-  private def storedMaxId(spark: org.apache.spark.sql.SparkSession,
-      dir: String, idCol: String): Long =
-    scala.util.Try(spark.read.parquet(s"$dir/meta").head.getLong(0))
-      .getOrElse(spark.read.parquet(s"$dir/data")
-        .agg(max(col(idCol).cast("long"))).head.getLong(0))
-
-  /** Enforce the append-only id discipline every incremental-ingest
-    * entry point relies on for its rebuild-equivalence guarantee: all
-    * batch ids must exceed every indexed id (else the stored
-    * deterministic centers/codebook would have differed from a
-    * rebuild's, silently diverging probe results), and the batch must
-    * not carry duplicate ids. One tiny agg over the batch + a one-row
-    * meta read — cheap at any scale. Returns the batch's max id (the
-    * new meta value), or None for an empty batch (a no-op append). */
   private def validateAppendBatch(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, idCol: String): Option[Long] = {
-    val r = batch.agg(
-      min(col(idCol).cast("long")), max(col(idCol).cast("long")),
-      count(lit(1)), count_distinct(col(idCol))).head
-    if (r.getLong(2) == 0L) None
-    else {
-      val (mn, mx, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      require(nd == n,
-        s"append batch has ${n - nd} duplicate id(s) in '$idCol' — refusing to append")
-      val maxIndexed = storedMaxId(spark, dir, idCol)
-      require(mn > maxIndexed,
-        s"append-only id discipline violated: batch min id $mn <= max indexed id " +
-          s"$maxIndexed; appending would diverge from a full rebuild " +
-          "(stored centers/codebook were derived from the lowest-id vectors)")
-      Some(mx)
-    }
-  }
+      dir: String, batch: DataFrame, idCol: String): Option[Long] =
+    StoredIndex.validateAppendBatch(spark, dir, batch, idCol)
 
   /** Incremental ingest into a stored deterministic IVF index: assign a
     * NEW batch of vectors to cells through the STORED coarse centroids

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, PortableRound}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, SnapshotDiff, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Training-data pipeline capabilities over `documents` / `embeddings`:
@@ -411,7 +411,73 @@ object PipelineQueries {
         ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Snapshot DIFF between two corpus versions: per-doc added/removed/
+    * changed rows (unchanged docs are not emitted — the output is
+    * delta-sized). Versions are simulated deterministically from the
+    * one table: docs with id % 11 = 3 are missing from the old version
+    * (→ added), id % 11 = 7 missing from the new (→ removed), and
+    * id % 13 = 0 get their text edited in the new (→ changed). Digests
+    * are row-local md5, so the full-outer join shuffles ids + digests,
+    * never text. */
+  private val q95 = Q(
+    "q95_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val older = docs.filter(col("doc_id") % 11 =!= 3)
+      val newer = docs.filter(col("doc_id") % 11 =!= 7)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      SnapshotDiff.diff(older, newer, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS old_digest
+        FROM documents WHERE doc_id % 11 <> 3),
+      n AS (SELECT doc_id,
+        md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_digest
+        FROM documents WHERE doc_id % 11 <> 7),
+      j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, status, old_digest, new_digest FROM (
+        SELECT doc_id, old_digest, new_digest,
+          CASE WHEN old_digest IS NULL THEN 'added'
+               WHEN new_digest IS NULL THEN 'removed'
+               WHEN old_digest <> new_digest THEN 'changed' END AS status
+        FROM j) WHERE status IS NOT NULL
+      ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
+  /** UPSERT a change batch into a base snapshot: deletes drop their
+    * key, the rest replace-or-insert whole rows — incremental corpus
+    * maintenance between full rebuilds. The batch (inserts: id % 11 =
+    * 3, edits: id % 13 = 0, deletes: id % 17 = 0; delete wins on
+    * overlap) is ingest-sized → broadcast into the anti-join, so the
+    * 100 TB base streams through unshuffled. */
+  private val q96 = Q(
+    "q96_upsert_apply",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 11 =!= 3)
+      val changes = docs.filter(
+          col("doc_id") % 11 === 3 || col("doc_id") % 13 === 0 ||
+          col("doc_id") % 17 === 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .withColumn("is_delete", col("doc_id") % 17 === 0)
+      SnapshotDiff.applyChanges(base, changes, "doc_id", "is_delete")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 11 <> 3),
+      ch AS (SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+          lang, source, n_chars, (doc_id % 17 = 0) AS is_delete
+        FROM documents
+        WHERE doc_id % 11 = 3 OR doc_id % 13 = 0 OR doc_id % 17 = 0)
+      SELECT doc_id, text, lang, source, n_chars FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM ch)
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars FROM ch WHERE NOT is_delete
+      ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92)
+      q83, q89, q92, q95, q96)
 }

@@ -1233,8 +1233,11 @@ object RelationalQueries {
     * Engine side bands both fingerprint sets pigeonhole-style (an
     * equi-join, complete for the bound, never batch×corpus); the oracle
     * brute-forces the identical semantics. */
-  private val q91 = {
-    val (bits, maxHamming) = (32, 3)
+  /** Brute-force DuckDB mirror of the incremental near-dup screen
+    * (corpus = doc_id % 5 ≠ 4, batch = % 5 = 4): shared by q91
+    * (signatures in-flight) and q97 (stored signature index) — the two
+    * MUST agree, that's the stored artifact's correctness claim. */
+  private def incNearDupOracleSql(bits: Int, maxHamming: Int): String = {
     val bitSumsSql = (0 until bits)
       .map(j => s"sum(CASE WHEN ((hv >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
@@ -1244,6 +1247,26 @@ object RelationalQueries {
     val hashCte =
       s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
          h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks)"""
+    s"""WITH $hashCte,
+      bsums AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS f FROM bsums),
+      corp AS (SELECT doc_id AS cid, f AS fc FROM sig WHERE doc_id % 5 <> 4),
+      b AS (SELECT doc_id, f AS fb FROM sig WHERE doc_id % 5 = 4),
+      m AS (SELECT b.doc_id, corp.cid,
+              CAST(bit_count(xor(fb, fc)) AS BIGINT) AS hamming
+            FROM b JOIN corp ON bit_count(xor(fb, fc)) <= $maxHamming),
+      best AS (SELECT doc_id, cid, hamming FROM (
+        SELECT doc_id, cid, hamming,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY hamming ASC, cid ASC) AS rn
+        FROM m) WHERE rn = 1)
+      SELECT b.doc_id, best.cid AS dup_of, best.hamming
+      FROM b LEFT JOIN best USING (doc_id)
+      ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
+  private val q91 = {
+    val (bits, maxHamming) = (32, 3)
     Q(
       "q91_incremental_neardup",
       (s, dir) => {
@@ -1254,26 +1277,34 @@ object RelationalQueries {
           "doc_id", "text", bits, maxHamming, bandBits = 8)
           .orderBy("doc_id")
       },
-      Some(s"""WITH $hashCte,
-        bsums AS (SELECT doc_id, $bitSumsSql FROM h GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS f FROM bsums),
-        corp AS (SELECT doc_id AS cid, f AS fc FROM sig WHERE doc_id % 5 <> 4),
-        b AS (SELECT doc_id, f AS fb FROM sig WHERE doc_id % 5 = 4),
-        m AS (SELECT b.doc_id, corp.cid,
-                CAST(bit_count(xor(fb, fc)) AS BIGINT) AS hamming
-              FROM b JOIN corp ON bit_count(xor(fb, fc)) <= $maxHamming),
-        best AS (SELECT doc_id, cid, hamming FROM (
-          SELECT doc_id, cid, hamming,
-            row_number() OVER (PARTITION BY doc_id
-              ORDER BY hamming ASC, cid ASC) AS rn
-          FROM m) WHERE rn = 1)
-        SELECT b.doc_id, best.cid AS dup_of, best.hamming
-        FROM b LEFT JOIN best USING (doc_id)
-        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+      Some(incNearDupOracleSql(bits, maxHamming)))
+  }
+
+  /** q91 through the PERSISTED signature artifact: write the corpus's
+    * simhash index to a scratch dir, screen the batch against the
+    * stored (id, simhash) rows, and hash-match the same brute-force
+    * oracle — the round-trip proof that the stored shadow preserves
+    * the in-flight screen's semantics exactly (the simhash counterpart
+    * of q84/q88's stored-ANN round trips). */
+  private val q97 = {
+    val (bits, maxHamming) = (32, 3)
+    Q(
+      "q97_incremental_neardup_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q97_sim_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Dedup.writeSimhashIndex(
+          s, docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", idxDir, bits)
+        Dedup.screenWithSimhashIndex(
+          s, idxDir, docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+          maxHamming, bandBits = 8)
+          .orderBy("doc_id")
+      },
+      Some(incNearDupOracleSql(bits, maxHamming)))
   }
 
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97)
 }

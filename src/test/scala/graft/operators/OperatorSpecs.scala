@@ -280,6 +280,42 @@ class DedupSpec extends SparkSpec {
     got.size shouldBe 20
   }
 
+  test("stored simhash index screen == in-flight screen; appends validated") {
+    val rnd = new scala.util.Random(59)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = (1L to 80L).map(doc).toDF("doc_id", "text")
+    val (corpus, batch) = (df.filter(col("doc_id") <= 60), df.filter(col("doc_id") > 60))
+    val dir = java.nio.file.Files.createTempDirectory("simidx").toString
+    Dedup.writeSimhashIndex(spark, corpus, "doc_id", "text", dir, bits = 16)
+    val stored = Dedup.screenWithSimhashIndex(spark, dir, batch, "doc_id", "text",
+      maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val inflight = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+      bits = 16, maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    stored shouldBe inflight
+    // append a later batch, then screen a third: equals a full rebuild
+    val batch2 = (81L to 100L).map(doc).toDF("doc_id", "text")
+    Dedup.appendToSimhashIndex(spark, dir, batch2, "doc_id", "text")
+    val batch3 = (101L to 110L).map(doc).toDF("doc_id", "text")
+    val grown = Dedup.screenWithSimhashIndex(spark, dir, batch3, "doc_id", "text",
+      maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    // rebuild corpus = indexed rows only (1..60 + the appended 81..100;
+    // screened batches were never indexed)
+    val rebuiltCorpus = Dedup.incrementalNearDup(
+      df.filter(col("doc_id") <= 60).unionByName(batch2), batch3,
+      "doc_id", "text", bits = 16, maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    grown shouldBe rebuiltCorpus
+    // append-only id discipline: an overlapping batch is refused
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.appendToSimhashIndex(spark, dir,
+        (50L to 55L).map(doc).toDF("doc_id", "text"), "doc_id", "text")
+  }
+
   test("row-local simhashExpr equals the aggregation-form simhash") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 40).map(i => s"w$i")
@@ -771,5 +807,55 @@ class SimilaritySpec extends SparkSpec {
       q, "vec_id", "embedding", topK = 40, nProbe = 1)
       .select("vec_id").as[Long].collect()
     pqGot.exists(_ >= 60L) shouldBe true
+  }
+}
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def docs(rows: (Long, String)*) = rows.toDF("id", "text")
+
+  test("diff classifies added/removed/changed and omits unchanged") {
+    val older = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val newer = docs(2L -> "beta", 3L -> "gamma EDITED", 4L -> "delta")
+    val got = SnapshotDiff.diff(older, newer, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toSet
+    got shouldBe Set((1L, "removed"), (3L, "changed"), (4L, "added"))
+    // digests are present on the populated sides only
+    val row3 = SnapshotDiff.diff(older, newer, "id", "text")
+      .filter(col("id") === 3).head()
+    row3.getAs[String]("old_digest") should not be row3.getAs[String]("new_digest")
+    SnapshotDiff.diffStats(older, newer, "id", "text")
+      .as[(Long, Long, Long)].head() shouldBe ((1L, 1L, 1L))
+  }
+
+  test("applyChanges upserts, inserts, and deletes in one pass") {
+    val base = Seq((1L, "one", "a"), (2L, "two", "b"), (3L, "three", "c"))
+      .toDF("id", "text", "tag")
+    val changes = Seq(
+      (2L, "two EDITED", "b", false), // update
+      (4L, "four", "d", false),       // insert
+      (3L, "ignored", "c", true)      // delete
+    ).toDF("id", "text", "tag", "del")
+    val got = SnapshotDiff.applyChanges(base, changes, "id", "del")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    got shouldBe Array((1L, "one", "a"), (2L, "two EDITED", "b"), (4L, "four", "d"))
+    // deleting a key absent from base is a no-op, not an error
+    val delMissing = Seq((9L, "x", "z", true)).toDF("id", "text", "tag", "del")
+    SnapshotDiff.applyChanges(base, delMissing, "id", "del").count() shouldBe 3
+  }
+
+  test("diff shuffles digests, not text: digest projection precedes the join") {
+    val older = docs(1L -> "alpha", 2L -> "beta")
+    val newer = docs(1L -> "alpha", 2L -> "beta2")
+    val plan = SnapshotDiff.diff(older, newer, "id", "text")
+      .queryExecution.executedPlan.toString
+    // the join's exchanges carry (id, digest) only; the raw text column
+    // is projected away before any data moves
+    plan should include("Exchange")
+    plan should include("old_digest")
+    plan should not include "text#"
+    plan should not include "CartesianProduct"
   }
 }
