@@ -93,6 +93,67 @@ object StreamNearDup {
       }
   }
 
+  /** STORED-INDEX screening for streams: match stream documents against
+    * the PERSISTED signature index ([[Dedup.writeSimhashIndex]]) with a
+    * stateless stream-static equi-join — the streaming face of the
+    * batch [[Dedup.screenWithSimhashIndex]], and the ingest-time
+    * composition of the q97 artifact: fingerprints are row-local
+    * ([[Dedup.simhashExpr]]), bands are pigeonhole-complete for the
+    * hamming bound, the first-agreeing-band filter emits each
+    * (stream doc, corpus doc) match exactly once, and NO state store is
+    * involved — the corpus side is the stored artifact (re-read per
+    * restart; appends land on the next query start). Emits one
+    * [[Collision]] per matching corpus doc; consumers wanting a single
+    * best match per document take the (hamming, dupOf) min downstream
+    * (same convention as [[collisions]]). At scale the signature side
+    * is the corpus's ~0.01% shadow — broadcast it while it fits,
+    * pre-bucket it when it doesn't. */
+  def screenAgainstIndex(stream: DataFrame, indexDir: String, idCol: String,
+      textCol: String, maxHamming: Int = 3, bandBits: Int = 8,
+      broadcastIndex: Boolean = true): Dataset[Collision] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bits = spark.read.parquet(s"$indexDir/params")
+      .head.getAs[Number]("bits").intValue()
+    require(bits % bandBits == 0, "stored bits must be divisible by bandBits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
+    val mask = (1L << bandBits) - 1
+    def bandStructs(sim: org.apache.spark.sql.Column) =
+      array((0 until nBands).map { b =>
+        struct(lit(b).as("bandId"),
+          shiftright(sim, b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
+      }: _*)
+    val corpus = spark.read.parquet(s"$indexDir/data")
+      .select(col(idCol).cast("long").as("_cid"), col("simhash").as("_csim"))
+      .select(col("_cid"), col("_csim"), explode(bandStructs(col("_csim"))).as("band"))
+      .select(col("_cid"), col("_csim"),
+        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
+    val events = stream
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.simhashExpr(col(textCol), bits).as("sim"))
+      .select(col("docId"), col("sim"), explode(bandStructs(col("sim"))).as("band"))
+      .select(col("docId"), col("sim"),
+        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(j => lit(j) >= col("bandId") ||
+        shiftright(col("sim"), j * bandBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("_csim"), j * bandBits).bitwiseAND(lit(mask)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    events
+      .join(graft.functions.Plans.maybeBroadcast(corpus, broadcastIndex),
+        Seq("bandId", "bandVal"))
+      .filter(noEarlierAgreement)
+      .withColumn("hamming",
+        bit_count(col("sim").bitwiseXOR(col("_csim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("docId"), col("_cid").as("dupOf"), col("hamming"),
+        col("bandId").cast("int").as("bandId"))
+      .as[Collision]
+  }
+
   /** EVICTING variant of [[collisions]] for unbounded-key streams: kept
     * fingerprints expire once the event-time watermark passes their
     * timestamp + `retention`, so bucket state is bounded by the stream's

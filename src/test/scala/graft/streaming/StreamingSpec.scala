@@ -416,6 +416,44 @@ class StreamingSpec extends SparkSpec {
     all(byDoc(4L).map(_._3)) should be <= 3L           // within maxHamming
   }
 
+  test("stream screen against the stored signature index matches brute force") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(67)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpus = (1L to 60L).map(doc)
+    val streamDocs = (61L to 90L).map(doc)
+    val dir = java.nio.file.Files.createTempDirectory("simidx_stream").toString
+    Dedup.writeSimhashIndex(spark, corpus.toDF("doc_id", "text"),
+      "doc_id", "text", dir, bits = 16)
+    val in = MemoryStream[(Long, String)]
+    val out = StreamNearDup.screenAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      maxHamming = 3, bandBits = 4)
+    val q = out.toDF().writeStream.format("memory").queryName("t_idx_screen")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamDocs.take(15): _*)
+    q.processAllAvailable()
+    in.addData(streamDocs.drop(15): _*)   // stateless: batches independent
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_idx_screen")
+      .select("docId", "dupOf", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: every (stream, corpus) pair within the hamming bound,
+    // each exactly once (the first-agreeing-band filter's contract)
+    val fp = Dedup.simhash((corpus ++ streamDocs).toDF("doc_id", "text"),
+      "doc_id", "text", 16).as[(Long, Long)].collect().toMap
+    val expected = (for {
+      b <- streamDocs.map(_._1); c <- corpus.map(_._1)
+      h = java.lang.Long.bitCount(fp(b) ^ fp(c)).toLong
+      if h <= 3L
+    } yield (b, c, h)).toSet
+    got shouldBe expected
+    got.size shouldBe spark.table("t_idx_screen").count()   // no pair dups
+  }
+
   test("streaming near-dup ignores null-text docs instead of colliding them") {
     // regression: a null text naively evaluates to fingerprint 0, which
     // made every null-text doc "identical" to every other one (and to
