@@ -486,4 +486,72 @@ object Dedup {
       .withColumn("jaccard", PortableRound.round4(col("n_int").cast("double") / col("n_uni")))
       .filter(when(col("_mid") >= 0, col("jaccard")) >= threshold)
       .drop("_s", "_mid")
+
+  /** Cross-document duplicated-SPAN analysis — the k-gram-granular form
+    * of exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": repeated substrings,
+    * not just whole-document dups, are what inflate memorization; a
+    * suffix-array pass is the exact tool, k-token window hashing is its
+    * scalable streaming approximation).
+    *
+    * A position's k-token window is "duplicated" when its hash occurs
+    * in ≥2 DISTINCT documents (within-document repetition is a
+    * different signal — see repetition rules). Per document,
+    * overlapping-or-contiguous duplicated windows merge into maximal
+    * spans (gaps-and-islands over window starts: a window starting at
+    * `pos` extends [pos, pos+k−1], so it merges with a predecessor
+    * whenever pos ≤ prev_pos + k).
+    *
+    * Output per document (null-text docs dropped): `n_spans`,
+    * `dup_tokens` (tokens covered by ≥1 duplicated window),
+    * `n_tokens`, `dup_frac` (rounded 4dp) — the cut list a span-removal
+    * pass would consume, and the corpus-health metric on its own.
+    *
+    * Scale shape (100 TB): windows shuffle as (hash, id, pos) triples —
+    * never text; the duplicated-hash set is found by one keyed count
+    * (map-side combined) and returns via an id-keyed semi-join;
+    * the island merge is a per-document window over only the DUPLICATED
+    * positions (dup-rate-sized, not corpus-sized). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.filter(col(textCol).isNotNull)
+    // ordered (non-distinct) k-gram windows with 1-based start positions
+    val grams = graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val w = docs
+      .select(col(idCol), posexplode(grams).as(Seq("_p0", "_g")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"),
+        PortableHash.md5Hash32(col("_g")).as("_h"))
+    val dupHashes = w.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_h")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = w
+      .join(dupHashes, Seq("_h"), "left_semi")
+      .withColumn("_new", when(
+        lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(byDoc))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + k - 1).as("_e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + 1).cast("long").as("dup_tokens"))
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"),
+        PortableRound.round4(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
 }

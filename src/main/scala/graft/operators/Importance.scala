@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** DSIR-style importance weighting: score every document by how much
+  * its hashed n-gram feature distribution looks like a TARGET corpus
+  * relative to the RAW corpus (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling" — the hashed-feature
+  * log-likelihood-ratio estimator, here over unigram buckets).
+  *
+  * Portability design (the whole point of the micro-unit dance): each
+  * bucket's log-ratio
+  *
+  *   w_b = ln(t_b + 1) + ln(R + B) − ln(r_b + 1) − ln(T + B)
+  *
+  * is computed ONCE over exact integer counts and immediately quantized
+  * to integer micro-units (×10⁴, half-up floor). Per-document scores
+  * are then pure 64-bit integer sums — associative, order-independent,
+  * and bitwise-reproducible in any engine — and the final score is one
+  * IEEE division by 10⁴. The only float op shared with an oracle is
+  * ln over small integers, whose 1-ulp cross-engine wiggle would have
+  * to land exactly on a 0.5e-4 quantization boundary to matter.
+  *
+  * Scale shape (100 TB): the distribution pass is one explode + one
+  * B-key aggregation (map-side combined, B rows out); the B bucket
+  * weights travel to every task as a literal array (bounded collect,
+  * same discipline as the IVF centroid pull); the scoring pass is a
+  * row-local array fold — the corpus text itself NEVER shuffles, and
+  * adding the score column is a map-only plan stage.
+  */
+object Importance {
+
+  /** Per-bucket micro-unit log-ratio weights (index = bucket id).
+    * `targetPred` marks the target-domain rows (evaluated before the
+    * token explode, so it may reference any document column). */
+  def bucketWeightsMicro(docs: DataFrame, textCol: String,
+      targetPred: Column, buckets: Int): Array[Long] = {
+    require(buckets > 0 && buckets <= 4096, s"buckets must be in [1,4096], got $buckets")
+    val counts = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("_t"), targetPred.as("_tgt"))
+      .groupBy((PortableHash.md5Hash32(col("_t")) % buckets).as("_b"))
+      .agg(count(lit(1)).as("_r"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"))
+      .collect()                                  // ≤ `buckets` rows — bounded
+    val r = Array.fill[Long](buckets)(0L)
+    val t = Array.fill[Long](buckets)(0L)
+    counts.foreach { row =>
+      r(row.getLong(0).toInt) = row.getLong(1); t(row.getLong(0).toInt) = row.getLong(2)
+    }
+    val rTot = r.sum; val tTot = t.sum
+    Array.tabulate(buckets) { b =>
+      val w = math.log(t(b) + 1.0) + math.log(rTot + buckets.toDouble) -
+        math.log(r(b) + 1.0) - math.log(tTot + buckets.toDouble)
+      math.floor(w * 10000.0 + 0.5).toLong
+    }
+  }
+
+  /** (id, n_tokens, dsir_score) per document: the sum of its tokens'
+    * bucket log-ratios (micro-units → one final /10⁴). Higher = more
+    * target-like; `exp(score)` is the unnormalized importance-resampling
+    * weight. Null-text documents are dropped (they have no features). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 64): DataFrame = {
+    val w = bucketWeightsMicro(docs, textCol, targetPred, buckets)
+    val wArr = array(w.map(lit(_)): _*)
+    val toks = Dedup.tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, tk) => acc + element_at(wArr,
+            (PortableHash.md5Hash32(tk) % buckets).cast("int") + 1)).as("_micro"))
+      .withColumn("dsir_score", col("_micro").cast("double") / 10000.0)
+      .drop("_micro")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Decontaminate, Redact, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Importance, Redact, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -492,6 +492,72 @@ object CurationQueries {
         FROM f""".replaceAll("\\s+", " ")))
   }
 
+  /** DSIR importance weights: target = English documents, raw = the
+    * whole corpus; 64 hashed unigram buckets. Scores are integer
+    * micro-unit sums (see [[graft.operators.Importance]]) so the only
+    * cross-engine float surface is ln over small integers, quantized. */
+  private val q98 = {
+    val b = 64
+    Q(
+      "q98_dsir_weights",
+      (s, dir) => Importance.dsirWeights(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", b)
+        .orderBy("doc_id"),
+      Some(s"""WITH tb AS (SELECT doc_id, lang,
+            ${PortableHash.md5Hash32Sql("unnest(string_split(text, ' '))")} % $b AS bucket
+          FROM documents WHERE text IS NOT NULL),
+        cnt AS (SELECT bucket, count(*) AS r,
+            count(*) FILTER (WHERE lang = 'en') AS tc
+          FROM tb GROUP BY 1),
+        tot AS (SELECT CAST(sum(r) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt FROM cnt),
+        lr AS (SELECT bucket,
+            CAST(floor((ln(tc + 1) + ln(rt + $b) - ln(r + 1) - ln(tt + $b))
+              * 10000 + 0.5) AS BIGINT) AS w
+          FROM cnt CROSS JOIN tot)
+        SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 10000.0 AS dsir_score
+        FROM tb JOIN lr USING (bucket)
+        GROUP BY tb.doc_id ORDER BY tb.doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Cross-document duplicated spans: 5-token windows occurring in ≥2
+    * distinct docs, merged per doc into maximal spans (the k-gram form
+    * of exact-substring dedup). */
+  private val q99 = {
+    val k = 5
+    val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
+    Q(
+      "q99_dup_spans",
+      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", k)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        w AS (SELECT doc_id,
+            unnest(range(1, len(toks) - ${k - 2})) AS pos,
+            unnest(list_transform(range(1, len(toks) - ${k - 2}),
+              i -> ${PortableHash.md5Hash32Sql(s"concat_ws(' ', $gramSql)")})) AS h
+          FROM tk WHERE len(toks) >= $k),
+        dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dp AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+        fl AS (SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w1 IS NULL
+              OR pos > lag(pos) OVER w1 + $k THEN 1 ELSE 0 END AS nf
+          FROM dp WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+        il AS (SELECT doc_id, pos,
+            sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+        sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + ${k - 1} AS e
+          FROM il GROUP BY 1, 2),
+        ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
+        nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk)
+        SELECT nt.doc_id,
+          CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          n_tokens,
+          ${PortableRound.sql4("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens")} AS dup_frac
+        FROM nt LEFT JOIN ag USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94)
+    q77, q78, q85, q86, q93, q94, q98, q99)
 }

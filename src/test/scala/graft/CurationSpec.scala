@@ -273,4 +273,62 @@ class CurationSpec extends SparkSpec {
     // overlapping occurrences (pos 0-1 and 2-3) mask the whole doc
     got(4) shouldBe ((5L, 0L, 4L, md5hex("")))
   }
+
+  test("dupSpans merges overlapping cross-doc windows into maximal spans") {
+    import graft.operators.Dedup
+    // docs 1 and 2 share tokens 1..4 ("a b c d") → with k=3, windows at
+    // pos 1 ("a b c") and pos 2 ("b c d") are cross-doc dups; they
+    // overlap, so each doc reports ONE span covering 4 tokens. Doc 3's
+    // repeated "q q q" occurs only within doc 3 → not a dup. Doc 4 is
+    // too short for any window.
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p a b c d r"),
+      (3L, "q q q q q"),
+      (4L, "t u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    got(0) shouldBe ((1L, 1L, 4L, 7L, 0.5714))
+    got(1) shouldBe ((2L, 1L, 4L, 6L, 0.6667))
+    got(2) shouldBe ((3L, 0L, 0L, 5L, 0.0))
+    got(3) shouldBe ((4L, 0L, 0L, 2L, 0.0))
+  }
+
+  test("dupSpans separates non-contiguous duplicated regions into distinct spans") {
+    import graft.operators.Dedup
+    // "a b c" (pos 1) and "x y z" (pos 7) both duplicated across docs,
+    // with 3 non-duplicated tokens between → two spans of 3 tokens each
+    val docs = Seq(
+      (1L, "a b c m1 m2 m3 x y z"),
+      (2L, "a b c n1 n2 n3 x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    got.map(_._2) shouldBe Array(2L, 2L)   // two spans per doc
+    got.map(_._3) shouldBe Array(6L, 6L)   // 3 + 3 covered tokens
+  }
+
+  test("dsirWeights scores target-vocabulary docs above raw-vocabulary docs") {
+    import graft.operators.Importance
+    // target docs use t-words, the rest use r-words; a fresh doc built
+    // from t-words must outscore one built from r-words, and scores are
+    // exact micro-unit sums (additive in tokens)
+    val docs = (
+      (1L to 20L).map(i => (i, Seq.fill(8)(s"t${i % 5}").mkString(" "), true)) ++
+      (21L to 40L).map(i => (i, Seq.fill(8)(s"r${i % 7}").mkString(" "), false)) ++
+      Seq((41L, "t0 t1 t2 t3", false), (42L, "r0 r1 r2 r3", false))
+    ).toDF("doc_id", "text", "is_target")
+    val got = Importance.dsirWeights(docs, "doc_id", "text", col("is_target"), 32)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    got(41L) should be > got(42L)
+    // additivity: doubling a doc's tokens doubles its micro score
+    val d2 = Seq((1L, "t0 t1"), (2L, "t0 t1 t0 t1")).toDF("doc_id", "text")
+    val w = Importance.dsirWeights(
+      docs.select("doc_id", "text", "is_target").unionByName(
+        d2.withColumn("is_target", lit(false)).withColumn("doc_id", col("doc_id") + 100)),
+      "doc_id", "text", col("is_target"), 32)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    math.abs(w(102L) - 2 * w(101L)) should be < 1e-9
+  }
 }
