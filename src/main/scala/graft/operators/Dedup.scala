@@ -554,4 +554,66 @@ object Dedup {
           coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
   }
+
+  /** Duplicated-span REMOVAL — the cut [[dupSpans]] only measures: every
+    * cross-document duplicated k-token window keeps its copy in the
+    * LOWEST-id document containing it and is cut from every other
+    * (keep-first, the Lee et al. 2021 convention: exactly one copy of
+    * each repeated substring survives the corpus). The keeper doc keeps
+    * ALL its occurrences — within-document repetition is a separate
+    * signal ([[graft.operators.TextAnalysis.repeatedNgrams]]).
+    *
+    * Output per document: `n_kept`, `n_cut`, `clean_digest` (md5 of the
+    * rebuilt text — digest, not text, so the verified output stays
+    * narrow; the rebuild itself is the same collect-sort fold a
+    * text-emitting variant would run).
+    *
+    * Scale shape: identical to
+    * [[graft.operators.TextAnalysis.stripBoilerplate]] (grams carry
+    * md5-derived hashes, never gram text; the per-hash keeper frame is
+    * one keyed agg; covered positions are (doc, pos)-keyed; the rebuild
+    * is a doc-keyed aggregate) — nothing funnels through the driver. */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val docs = df.filter(col(textCol).isNotNull)
+    val arr = tokens(col(textCol))
+    val gramStructs = when(size(arr) >= k,
+      transform(sequence(lit(0), size(arr) - k),
+        i => struct(i.cast("long").as("start"),
+          PortableHash.md5Hash32(concat_ws(" ", slice(arr, i + 1, lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<start:bigint,h:bigint>>"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(gramStructs).as("sg"))
+      .select(col("doc_id"), col("sg.start").as("start"), col("sg.h").as("h"))
+    val keepers = grams
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("_keeper"), countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("h", "_keeper")
+    val covered = grams
+      .join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("clean_digest"))
+    docs
+      .select(col(idCol).as("doc_id"), size(tokens(col(textCol))).cast("long").as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+  }
 }

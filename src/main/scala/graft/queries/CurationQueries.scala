@@ -558,6 +558,43 @@ object CurationQueries {
         FROM nt LEFT JOIN ag USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Duplicated-span removal: q99's spans actually cut, keep-first
+    * (lowest doc_id keeps its copy). Digest output keeps the verified
+    * frame narrow. */
+  private val q100 = {
+    val k = 5
+    val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
+    Q(
+      "q100_cut_dup_spans",
+      (s, dir) => Dedup.cutDupSpans(t(s, dir, "documents"), "doc_id", "text", k)
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tks AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+            unnest(toks) AS tok FROM base),
+        gr AS (SELECT doc_id, CAST(unnest(range(len(toks) - ${k - 1})) AS BIGINT) AS start,
+            unnest(list_transform(range(1, len(toks) - ${k - 2}),
+              i -> ${PortableHash.md5Hash32Sql(s"concat_ws(' ', $gramSql)")})) AS h
+          FROM base WHERE len(toks) >= $k),
+        kp AS (SELECT h, min(doc_id) AS keeper FROM gr GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT g.doc_id, g.start + o.off AS pos
+          FROM gr g JOIN kp USING (h)
+          CROSS JOIN (SELECT CAST(unnest(range($k)) AS BIGINT) AS off) o
+          WHERE g.doc_id <> kp.keeper),
+        kept AS (SELECT t.doc_id, t.pos, t.tok FROM tks t
+          WHERE NOT EXISTS (SELECT 1 FROM cov c
+            WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
+          COALESCE(a.clean_digest, md5('')) AS clean_digest
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94, q98, q99)
+    q77, q78, q85, q86, q93, q94, q98, q99, q100)
 }

@@ -295,6 +295,24 @@ class CurationSpec extends SparkSpec {
     got(3) shouldBe ((4L, 0L, 0L, 2L, 0.0))
   }
 
+  test("cutDupSpans keeps the lowest-id copy and cuts every other") {
+    import graft.operators.Dedup
+    // k=3: docs 1,2 share windows "a b c" and "b c d"; doc 1 is the
+    // keeper (min id) so it cuts nothing; doc 2 cuts the union of its
+    // dup windows (0-based positions 1..4), keeping "p r". Doc 3's
+    // repeats are within-doc only → untouched.
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p a b c d r"),
+      (3L, "q q q q q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDupSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    got(0) shouldBe ((1L, 7L, 0L, md5hex("a b c d x y z")))
+    got(1) shouldBe ((2L, 2L, 4L, md5hex("p r")))
+    got(2) shouldBe ((3L, 5L, 0L, md5hex("q q q q q")))
+  }
+
   test("dupSpans separates non-contiguous duplicated regions into distinct spans") {
     import graft.operators.Dedup
     // "a b c" (pos 1) and "x y z" (pos 7) both duplicated across docs,
