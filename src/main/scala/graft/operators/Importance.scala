@@ -59,14 +59,12 @@ object Importance {
     }
   }
 
-  /** (id, n_tokens, dsir_score) per document: the sum of its tokens'
-    * bucket log-ratios (micro-units → one final /10⁴). Higher = more
-    * target-like; `exp(score)` is the unnormalized importance-resampling
-    * weight. Null-text documents are dropped (they have no features). */
-  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 64): DataFrame = {
-    val w = bucketWeightsMicro(docs, textCol, targetPred, buckets)
-    val wArr = array(w.map(lit(_)): _*)
+  /** The row-local scoring projection shared by the inline, stored, and
+    * streaming faces: (id, n_tokens, dsir_score). */
+  private def score(docs: DataFrame, idCol: String, textCol: String,
+      wMicro: Array[Long]): DataFrame = {
+    val buckets = wMicro.length
+    val wArr = array(wMicro.map(lit(_)): _*)
     val toks = Dedup.tokens(col(textCol))
     docs
       .filter(col(textCol).isNotNull)
@@ -77,5 +75,48 @@ object Importance {
             (PortableHash.md5Hash32(tk) % buckets).cast("int") + 1)).as("_micro"))
       .withColumn("dsir_score", col("_micro").cast("double") / 10000.0)
       .drop("_micro")
+  }
+
+  /** (id, n_tokens, dsir_score) per document: the sum of its tokens'
+    * bucket log-ratios (micro-units → one final /10⁴). Higher = more
+    * target-like; `exp(score)` is the unnormalized importance-resampling
+    * weight. Null-text documents are dropped (they have no features). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 64): DataFrame =
+    score(docs, idCol, textCol,
+      bucketWeightsMicro(docs, textCol, targetPred, buckets))
+
+  /** Persist the bucket weights as a reusable scoring artifact
+    * (`dir/data`: one row per bucket; `dir/params`: bucket count).
+    * Train once on a corpus snapshot, score every later batch or stream
+    * against the frozen distribution — the selection-policy analog of
+    * the stored signature/ANN indexes (a score must not drift because
+    * the raw corpus grew). */
+  def writeBucketWeights(docs: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int, dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = bucketWeightsMicro(docs, textCol, targetPred, buckets)
+    w.zipWithIndex.map { case (m, b) => (b, m) }.toSeq.toDF("bucket", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Score a batch OR streaming frame against stored bucket weights.
+    * The artifact is read (and bounded-collected) at plan-build time;
+    * the scoring itself is the same stateless row-local projection, so
+    * on a stream every micro-batch scores against the frozen weights
+    * with no state store. */
+  def scoreWithStoredWeights(df: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val buckets = spark.read.parquet(s"$dir/params")
+      .head.getAs[Number]("buckets").intValue()
+    val w = Array.fill[Long](buckets)(0L)
+    spark.read.parquet(s"$dir/data").collect()        // ≤ buckets rows
+      .foreach(r => w(r.getAs[Number]("bucket").intValue()) =
+        r.getAs[Number]("w_micro").longValue())
+    score(df, idCol, textCol, w)
   }
 }

@@ -496,14 +496,10 @@ object CurationQueries {
     * whole corpus; 64 hashed unigram buckets. Scores are integer
     * micro-unit sums (see [[graft.operators.Importance]]) so the only
     * cross-engine float surface is ln over small integers, quantized. */
-  private val q98 = {
-    val b = 64
-    Q(
-      "q98_dsir_weights",
-      (s, dir) => Importance.dsirWeights(
-          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", b)
-        .orderBy("doc_id"),
-      Some(s"""WITH tb AS (SELECT doc_id, lang,
+  /** Shared by q98 (inline) and q101 (stored artifact) — identical
+    * semantics by construction, so one oracle serves both. */
+  private def dsirOracleSql(b: Int): String =
+    s"""WITH tb AS (SELECT doc_id, lang,
             ${PortableHash.md5Hash32Sql("unnest(string_split(text, ' '))")} % $b AS bucket
           FROM documents WHERE text IS NOT NULL),
         cnt AS (SELECT bucket, count(*) AS r,
@@ -517,8 +513,28 @@ object CurationQueries {
         SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
           CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 10000.0 AS dsir_score
         FROM tb JOIN lr USING (bucket)
-        GROUP BY tb.doc_id ORDER BY tb.doc_id""".replaceAll("\\s+", " ")))
-  }
+        GROUP BY tb.doc_id ORDER BY tb.doc_id""".replaceAll("\\s+", " ")
+
+  private val q98 = Q(
+    "q98_dsir_weights",
+    (s, dir) => Importance.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", 64)
+      .orderBy("doc_id"),
+    Some(dsirOracleSql(64)))
+
+  /** q98 through the persisted weight artifact: train the bucket
+    * distribution once, write it, score against the stored copy. Same
+    * oracle — stored scoring must be indistinguishable from inline. */
+  private val q101 = Q(
+    "q101_dsir_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wDir = s"${System.getProperty("java.io.tmpdir")}/graft_q101_dsir_${java.lang.Integer.toHexString(dir.hashCode)}"
+      Importance.writeBucketWeights(docs, "text", col("lang") === "en", 64, wDir)
+      Importance.scoreWithStoredWeights(docs, "doc_id", "text", wDir)
+        .orderBy("doc_id")
+    },
+    Some(dsirOracleSql(64)))
 
   /** Cross-document duplicated spans: 5-token windows occurring in ≥2
     * distinct docs, merged per doc into maximal spans (the k-gram form
@@ -596,5 +612,5 @@ object CurationQueries {
   }
 
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94, q98, q99, q100)
+    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101)
 }

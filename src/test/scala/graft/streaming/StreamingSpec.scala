@@ -454,6 +454,39 @@ class StreamingSpec extends SparkSpec {
     got.size shouldBe spark.table("t_idx_screen").count()   // no pair dups
   }
 
+  test("stream scoring against stored DSIR weights equals batch scoring") {
+    import graft.operators.Importance
+    val rnd = new scala.util.Random(91)
+    def doc(id: Long, tgt: Boolean) = {
+      val vocab = if (tgt) (0 until 10).map(i => s"t$i") else (0 until 10).map(i => s"r$i")
+      (id, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "), tgt)
+    }
+    val corpus = ((1L to 30L).map(doc(_, true)) ++ (31L to 60L).map(doc(_, false)))
+      .toDF("doc_id", "text", "is_target")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    Importance.writeBucketWeights(corpus, "text", col("is_target"), 32, dir)
+    val streamDocs = (61L to 80L).map(doc(_, rnd.nextBoolean()))
+      .map { case (id, text, _) => (id, text) }
+    val in = MemoryStream[(Long, String)]
+    val out = Importance.scoreWithStoredWeights(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = out.writeStream.format("memory").queryName("t_dsir_score")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamDocs.take(10): _*)
+    q.processAllAvailable()
+    in.addData(streamDocs.drop(10): _*)   // stateless: weights frozen
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dsir_score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    val batch = Importance.scoreWithStoredWeights(
+      streamDocs.toDF("doc_id", "text"), "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    got shouldBe batch
+  }
+
   test("streaming near-dup ignores null-text docs instead of colliding them") {
     // regression: a null text naively evaluates to fingerprint 0, which
     // made every null-text doc "identical" to every other one (and to
