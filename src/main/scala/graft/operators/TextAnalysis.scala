@@ -160,6 +160,51 @@ object TextAnalysis {
         col("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking (rolling-hash boundaries, the CDC scheme
+    * storage dedup systems use): a chunk ends after every token whose
+    * md5-derived hash ≡ 0 (mod `m`), so boundaries depend only on local
+    * content — insert or delete a token and only the chunk containing
+    * the edit (and at most its neighbor) changes digest, where
+    * [[chunk]]'s fixed windows shift EVERY downstream chunk. Expected
+    * chunk length is `m` tokens (geometric); chunk-digest dedup over
+    * this output is the insertion-robust sub-document dedup unit.
+    *
+    * Output: (id, chunk_id, n_tokens, chunk_digest) — digests, not
+    * text, keep the frame narrow; a dedup consumer groups by digest.
+    *
+    * Scale shape: boundary positions, segment bounds, and chunk digests
+    * are all computed ARRAY-SIDE in one row-local projection (the text
+    * is never exploded token-wise and never shuffles); the only
+    * exchange in a typical consumer is its own digest groupBy. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame = {
+    require(m >= 2, s"modulus must be >= 2, got $m")
+    import graft.functions.{ArrayOps, PortableHash}
+    val segs = ArrayOps.bind(tokens(col(textCol))) { toks =>
+      ArrayOps.bind(filter(sequence(lit(1), size(toks)),
+          i => PortableHash.md5Hash32(element_at(toks, i)) % m === 0)) { bpos =>
+        ArrayOps.bind(concat(array(lit(1)), transform(bpos, x => x + 1))) { starts =>
+          ArrayOps.bind(concat(bpos, array(size(toks)))) { ends =>
+            val kept = filter(
+              transform(sequence(lit(1), size(starts)), j =>
+                struct(element_at(starts, j).as("s"), element_at(ends, j).as("e"))),
+              st => st.getField("s") <= st.getField("e"))
+            transform(kept, st =>
+              struct(
+                (st.getField("e") - st.getField("s") + 1).cast("long").as("n"),
+                md5(concat_ws(" ", slice(toks, st.getField("s"),
+                  st.getField("e") - st.getField("s") + 1))).as("d")))
+          }
+        }
+      }
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(segs).as(Seq("_c0", "_ch")))
+      .select(col(idCol),
+        (col("_c0") + 1).cast("long").as("chunk_id"),
+        col("_ch.n").as("n_tokens"),
+        col("_ch.d").as("chunk_digest"))
+  }
+
   /** Boilerplate detection: n-gram shingles appearing in at least
     * `minDocs` DISTINCT documents (headers, footers, license blocks —
     * the cross-document repetition CCNet-style curation removes).

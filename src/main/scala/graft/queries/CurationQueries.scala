@@ -611,6 +611,38 @@ object CurationQueries {
         ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Content-defined chunking: rolling-hash boundaries (token hash ≡ 0
+    * mod 8, expected chunk ≈ 8 tokens), digests per chunk — the
+    * insertion-robust sub-document dedup unit. */
+  private val q102 = {
+    val m = 8
+    Q(
+      "q102_cdc_chunks",
+      (s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"), "doc_id", "text", m)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        seg AS (SELECT doc_id, toks,
+            list_filter(range(1, len(toks) + 1),
+              i -> ${PortableHash.md5Hash32Sql("toks[i]")} % $m = 0) AS b
+          FROM base),
+        se AS (SELECT doc_id, toks,
+            list_prepend(1, list_transform(b, x -> x + 1)) AS starts,
+            list_append(b, len(toks)) AS ends FROM seg),
+        ch AS (SELECT doc_id,
+            unnest(range(1, len(starts) + 1)) AS j,
+            unnest(list_transform(range(1, len(starts) + 1),
+              j -> ends[j] - starts[j] + 1)) AS n,
+            unnest(list_transform(range(1, len(starts) + 1),
+              j -> md5(array_to_string(toks[starts[j]:ends[j]], ' ')))) AS d
+          FROM se)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS chunk_id,
+          CAST(n AS BIGINT) AS n_tokens, d AS chunk_digest
+        FROM ch WHERE n >= 1
+        ORDER BY doc_id, chunk_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101)
+    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102)
 }

@@ -327,6 +327,35 @@ class CurationSpec extends SparkSpec {
     got.map(_._3) shouldBe Array(6L, 6L)   // 3 + 3 covered tokens
   }
 
+  test("cdcChunks reassembles losslessly and localizes edits to one boundary region") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val baseToks = Seq.fill(120)(vocab(rnd.nextInt(vocab.size)))
+    val edited = (baseToks.take(60) :+ "INSERTED") ++ baseToks.drop(60)
+    val docs = Seq((1L, baseToks.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, "doc_id", "text", 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    // lossless: chunk token counts sum to the doc's token count
+    byDoc(1L).map(_._3).sum shouldBe 120L
+    byDoc(2L).map(_._3).sum shouldBe 121L
+    // edit locality: the digest MULTISETS differ in at most 2 chunks
+    // (the edited chunk, plus its neighbor if the insert created or
+    // destroyed a boundary) — fixed windows would shift every chunk
+    // after the edit
+    val d1 = byDoc(1L).map(_._4).groupBy(identity).view.mapValues(_.size).toMap
+    val d2 = byDoc(2L).map(_._4).groupBy(identity).view.mapValues(_.size).toMap
+    val onlyIn1 = d1.map { case (d, c) => d -> (c - d2.getOrElse(d, 0)) }.values.filter(_ > 0).sum
+    val onlyIn2 = d2.map { case (d, c) => d -> (c - d1.getOrElse(d, 0)) }.values.filter(_ > 0).sum
+    onlyIn1 should be <= 2
+    onlyIn2 should be <= 2
+    // and the shared chunks dominate
+    byDoc(1L).length - onlyIn1 should be >= byDoc(1L).length - 2
+  }
+
   test("dsirWeights scores target-vocabulary docs above raw-vocabulary docs") {
     import graft.operators.Importance
     // target docs use t-words, the rest use r-words; a fresh doc built
