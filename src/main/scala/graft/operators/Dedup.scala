@@ -156,6 +156,48 @@ object Dedup {
     withJaccard(joined, Seq.empty, threshold)
   }
 
+  /** CONTAINMENT detection over LSH candidates: flags pairs where the
+    * smaller document's token set is (nearly) a subset of the larger's —
+    * containment = |A∩B| / min(|A|,|B|). Symmetric Jaccard MISSES
+    * doc-inside-doc (a short doc quoted whole inside a long one has
+    * |A∩B|/|A∪B| ≈ |A|/|B|, arbitrarily small), which is exactly the
+    * quote/subset duplication a curation pass wants to catch.
+    *
+    * Candidates come from the same dedup-free first-collision LSH join
+    * as [[lshVerifiedPairs]] ([[minhashCandidates]]). Recall caveat,
+    * stated honestly: minhash collision probability tracks JACCARD, so
+    * a containment-high/Jaccard-low pair (tiny doc inside huge doc)
+    * collides with lower probability — at scale, shorter/more bands
+    * raise the floor, and the exact fast path for verbatim quotes is
+    * chunk-digest dedup ([[TextAnalysis.cdcChunks]] digests): CDC
+    * chunks of the quoted region are identical in both docs regardless
+    * of size ratio. This operator is the fuzzy-containment middle.
+    *
+    * Same verify fence discipline as [[withJaccard]] (the verifier runs
+    * on candidates only; the fence keeps the non-deterministic-looking
+    * filter from being split and pushed through the broadcast joins). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bandSize: Int, threshold: Double,
+      broadcastBuild: Boolean = true): DataFrame = {
+    val toks = df.select(col(idCol).as("_tid"),
+      array_sort(distinctTokens(col(textCol))).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
+        col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
+        col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b"))
+          .cast("long").as("n_int"),
+        least(col("n_a"), col("n_b")).as("n_min"),
+        monotonically_increasing_id().as("_mid"))
+      .withColumn("containment",
+        PortableRound.round4(col("n_int").cast("double") / col("n_min")))
+      .filter(when(col("_mid") >= 0, col("containment")) >= threshold)
+      .drop("_mid")
+  }
+
   /** Exact dedup with "keep the best" canonicalization: per content
     * digest, the surviving row is the argmax of (`score` desc, id asc) —
     * one hash-shuffle on the digest via the argmax-struct trick (the

@@ -249,6 +249,36 @@ object PipelineQueries {
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 
+  /** Containment (doc-inside-doc) over the same LSH candidates as q30:
+    * |A∩B| / min(|A|,|B|) ≥ 0.8 — catches the quoted-subset pairs whose
+    * symmetric Jaccard stays under q30's radar. */
+  private val q103 = {
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    Q(
+      "q103_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $hashCte,
+        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        p AS (SELECT id_a, id_b,
+          CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
+          CAST(least(len(da.toks), len(db.toks)) AS BIGINT) AS n_min
+          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
+        SELECT id_a, id_b, n_int, n_min,
+          ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} AS containment
+        FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} >= 0.8
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
   /** MinHash over 3-token shingles (w-shingling): order-sensitive
     * near-dup signatures, vs q21's bag-of-tokens. */
   private val q31 = {
@@ -479,5 +509,5 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96)
+      q83, q89, q92, q95, q96, q103)
 }

@@ -209,6 +209,26 @@ class DedupSpec extends SparkSpec {
     got.map(p => (p._1, p._2)).subsetOf(cands) shouldBe true
   }
 
+  test("containmentPairs flags a subset pair at full strength where jaccard dilutes") {
+    // doc 2's token set ⊂ doc 1's: containment = 1.0 exactly, while
+    // jaccard = 5/6 ≈ 0.83 — a 0.9-jaccard dedup pass misses the pair,
+    // a 0.95-containment pass catches it. (Jaccard is high enough here
+    // for the LSH bands to collide; the asymmetric-recall caveat for
+    // tiny-in-huge pairs is documented on the operator.)
+    val d = Seq(
+      (1L, "q w e r t y"),
+      (2L, "q w e r t"),
+      (3L, "z x c v b n m")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 16, 4, 0.95)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    got should contain((1L, 2L, 1.0))
+    // the same pair fails a symmetric-jaccard pass at 0.9
+    val j = Dedup.lshVerifiedPairs(d, "doc_id", "text", 16, 4, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    j should not contain ((1L, 2L))
+  }
+
   test("minhash candidates include exact duplicates and stay within corpus") {
     val got = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
       .as[(Long, Long)].collect().toSet
