@@ -179,4 +179,27 @@ object Clustering {
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
+
+  /** The dedup ACTION at cluster granularity: one survivor per cluster,
+    * the argmax of (`score` desc, id asc) — prefer the richest member,
+    * tie-break to the smallest id so the choice is deterministic and
+    * append-stable. Input is `members` with (`idCol`, `clusterCol`,
+    * `scoreCol`); output is one row per cluster: (cluster_id, keep_id,
+    * kept_<score>, n_members) — the survivor manifest a delete pass
+    * consumes. One hash aggregate on the cluster key; the argmax rides
+    * a single max(struct) (id negated so asc tie-break survives max),
+    * so no window / no second pass over the members. */
+  def keepBestPerCluster(members: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame =
+    members
+      .groupBy(col(clusterCol).as("cluster_id"))
+      .agg(
+        max(struct(
+          col(scoreCol).as("_s"),
+          (-col(idCol).cast("long")).as("_negid"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("_best._negid")).as("keep_id"),
+        col("_best._s").as(s"kept_$scoreCol"),
+        col("n_members"))
 }

@@ -507,7 +507,66 @@ object PipelineQueries {
       SELECT doc_id, text, lang, source, n_chars FROM ch WHERE NOT is_delete
       ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
+  /** The near-dup dedup ACTION at cluster granularity: LSH-verified
+    * pairs (jaccard ≥ 0.95, tight — these are the re-publication-grade
+    * dups a keep-one pass should collapse) → connected components →
+    * per cluster keep the argmax of (token count desc, id asc). The
+    * cluster-family counterpart of q100's span cut: q30/q32 detect,
+    * q104 decides who survives. One row per cluster: the keeper, its
+    * size, and the member count — the survivor manifest a delete pass
+    * consumes. */
+  private val q104 = {
+    val threshold = 0.95
+    val minsSql = (0 until K)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    Q(
+      "q104_cluster_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", K, BAND, threshold)
+          .select("id_a", "id_b")
+        val clusters = graft.operators.Clustering.assignClusters(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        val members = docs
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tokens"))
+          .join(clusters, Seq("doc_id"))
+        graft.operators.Clustering
+          .keepBestPerCluster(members, "doc_id", "cluster_id", "tokens")
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $hashCte,
+        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        vp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+            CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+              (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jr
+          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
+          WHERE ${PortableRound.sql4("jr")} >= $threshold),
+        e AS (SELECT id_a AS src, id_b AS dst FROM vp UNION SELECT id_b, id_a FROM vp),
+        reach AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+        cl AS (SELECT doc_id, COALESCE(LEAST(m.mn, doc_id), doc_id) AS cluster_id
+          FROM documents LEFT JOIN m ON doc_id = m.src),
+        nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
+          FROM documents)
+        SELECT cl.cluster_id,
+          CAST((list(cl.doc_id ORDER BY nt.ntk DESC, cl.doc_id ASC))[1] AS BIGINT) AS keep_id,
+          CAST((list(nt.ntk ORDER BY nt.ntk DESC, cl.doc_id ASC))[1] AS BIGINT) AS kept_tokens,
+          CAST(count(*) AS BIGINT) AS n_members
+        FROM cl JOIN nt ON cl.doc_id = nt.doc_id
+        GROUP BY cl.cluster_id ORDER BY cl.cluster_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103)
+      q83, q89, q92, q95, q96, q103, q104)
 }

@@ -239,6 +239,17 @@ class ClusteringSpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L)
   }
 
+  test("keepBestPerCluster picks max score, ties to min id, singletons keep themselves") {
+    val members = Seq(
+      (1L, 1L, 10L), (2L, 1L, 50L), (3L, 1L, 50L), // tie at 50 → id 2 wins
+      (9L, 9L, 7L)                                 // singleton
+    ).toDF("doc_id", "cluster_id", "tokens")
+    val got = Clustering.keepBestPerCluster(members, "doc_id", "cluster_id", "tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, k, s, n) => c -> ((k, s, n)) }.toMap
+    got shouldBe Map(1L -> ((2L, 50L, 3L)), 9L -> ((9L, 7L, 1L)))
+  }
+
   test("superseded per-round checkpoints are released (no storage growth across calls)") {
     // force the distributed loop — the driver path keeps no checkpoints
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
