@@ -103,6 +103,82 @@ object Importance {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Hashed-bigram LM cross-entropy micro-weights, flattened to a
+    * B×B array (index = ctx_bucket * B + next_bucket). The model is the
+    * CCNet-style perplexity quality filter (Wenzek et al. 2020) with
+    * the external KenLM replaced by an in-engine add-one-smoothed
+    * conditional bigram model over a hashed vocab of B word classes —
+    * every log-prob
+    *
+    *   ll(b1,b2) = ln(c(b1,b2) + 1) − ln(c(b1) + B)
+    *
+    * is computed once over exact integer counts (c(b1) = Σ_b2 c(b1,b2),
+    * so unseen pairs get −ln(c(b1)+B) and unseen contexts −ln(B)) and
+    * quantized to micro-units, exactly the [[bucketWeightsMicro]]
+    * portability dance. Training counts come from the `targetPred`
+    * subset only, so scoring measures "how target-like does this text
+    * read", not self-fit. */
+  def bigramWeightsMicro(docs: DataFrame, textCol: String,
+      targetPred: Column, buckets: Int): Array[Long] = {
+    require(buckets > 0 && buckets <= 64,
+      s"buckets must be in [1,64] (weight table is buckets^2), got $buckets")
+    val toks = Dedup.tokens(col(textCol))
+    val pairs = docs
+      .filter(targetPred && col(textCol).isNotNull)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(
+          (PortableHash.md5Hash32(a) % buckets).as("b1"),
+          (PortableHash.md5Hash32(b) % buckets).as("b2")))).as("_p"))
+      .groupBy(col("_p.b1").as("_b1"), col("_p.b2").as("_b2"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()                                  // ≤ buckets² rows — bounded
+    val c12 = Array.fill[Long](buckets * buckets)(0L)
+    pairs.foreach { row =>
+      c12(row.getLong(0).toInt * buckets + row.getLong(1).toInt) = row.getLong(2)
+    }
+    val c1 = Array.tabulate(buckets) { b =>
+      (0 until buckets).map(j => c12(b * buckets + j)).sum
+    }
+    Array.tabulate(buckets * buckets) { i =>
+      val w = math.log(c12(i) + 1.0) - math.log(c1(i / buckets) + buckets.toDouble)
+      math.floor(w * 10000.0 + 0.5).toLong
+    }
+  }
+
+  /** (id, n_tokens, n_bigrams, bigram_xent) per document with ≥ 2
+    * tokens: xent is the mean negative log-likelihood (nats/bigram) of
+    * the document's adjacent-token pairs under the hashed bigram model —
+    * the CCNet filter ranks docs by this and keeps the low-perplexity
+    * (target-like) head/middle. Perplexity itself is `exp(xent)`; we
+    * emit the xent to keep libm `exp` off the cross-engine surface.
+    * Scoring is a row-local array fold over a broadcast-literal table —
+    * map-only, text never shuffles, same scale shape as [[dsirWeights]]. */
+  def bigramXent(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 32): DataFrame = {
+    val wMicro = bigramWeightsMicro(docs, textCol, targetPred, buckets)
+    val wArr = array(wMicro.map(lit(_)): _*)
+    val toks = Dedup.tokens(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull && size(Dedup.tokens(col(textCol))) >= 2)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => (PortableHash.md5Hash32(a) % buckets) * buckets +
+              (PortableHash.md5Hash32(b) % buckets)),
+          lit(0L),
+          (acc, i) => acc + element_at(wArr, i.cast("int") + 1)).as("_micro"))
+      .withColumn("n_bigrams", col("n_tokens") - 1L)
+      .withColumn("bigram_xent",
+        (-col("_micro")).cast("double") / 10000.0 / col("n_bigrams"))
+      .drop("_micro")
+      .select(col(idCol), col("n_tokens"), col("n_bigrams"), col("bigram_xent"))
+  }
+
   /** Score a batch OR streaming frame against stored bucket weights.
     * The artifact is read (and bounded-collected) at plan-build time;
     * the scoring itself is the same stateless row-local projection, so

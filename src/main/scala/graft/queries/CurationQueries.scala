@@ -643,6 +643,49 @@ object CurationQueries {
         ORDER BY doc_id, chunk_id""".replaceAll("\\s+", " ")))
   }
 
+  /** CCNet-style perplexity quality filter: score every document's
+    * cross-entropy under an add-one-smoothed conditional bigram model
+    * (hashed vocab, 32 word classes) trained on the English subset.
+    * Low xent = reads like the target domain. The per-bucket-pair
+    * log-probs are integer micro-units (see
+    * [[graft.operators.Importance.bigramWeightsMicro]]), so per-doc
+    * sums are exact long arithmetic and the only float surface is ln
+    * over small integers plus two IEEE divisions, shared verbatim with
+    * the oracle. */
+  private val q105 = {
+    val b = 32
+    Q(
+      "q105_bigram_xent",
+      (s, dir) => Importance.bigramXent(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", b)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(toks)),
+              i -> ${PortableHash.md5Hash32Sql("toks[i]")} % $b)) AS b1,
+            unnest(list_transform(range(1, len(toks)),
+              i -> ${PortableHash.md5Hash32Sql("toks[i+1]")} % $b)) AS b2
+          FROM tk WHERE len(toks) >= 2),
+        c AS (SELECT b1, b2, count(*) AS c12 FROM pr WHERE lang = 'en' GROUP BY 1, 2),
+        cc AS (SELECT b1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        w AS (SELECT c.b1, c.b2,
+            CAST(floor((ln(c12 + 1) - ln(c1 + $b)) * 10000 + 0.5) AS BIGINT) AS wv
+          FROM c JOIN cc ON c.b1 = cc.b1),
+        d AS (SELECT b1, CAST(floor((0 - ln(c1 + $b)) * 10000 + 0.5) AS BIGINT) AS dw
+          FROM cc),
+        s AS (SELECT doc_id, CAST(sum(coalesce(w.wv, d.dw,
+              CAST(floor((0 - ln($b)) * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS micro
+          FROM pr LEFT JOIN w ON pr.b1 = w.b1 AND pr.b2 = w.b2
+                  LEFT JOIN d ON pr.b1 = d.b1
+          GROUP BY doc_id),
+        nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM tk WHERE len(toks) >= 2)
+        SELECT nt.doc_id, nt.n_tokens, nt.n_tokens - 1 AS n_bigrams,
+          CAST(-micro AS DOUBLE) / 10000.0 / (nt.n_tokens - 1) AS bigram_xent
+        FROM nt JOIN s USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102)
+    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105)
 }

@@ -378,4 +378,27 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
     math.abs(w(102L) - 2 * w(101L)) should be < 1e-9
   }
+
+  test("bigramXent ranks target-like word order below scrambled/rare text") {
+    import graft.operators.Importance
+    // the target subset repeats the transition a→b→c→d; a doc following
+    // that transition structure must score LOWER cross-entropy than one
+    // built from pairs the model never saw
+    val docs = (
+      (1L to 20L).map(i => (i, "a b c d a b c d a b c d", true)) ++
+      Seq(
+        (41L, "a b c d a b c d", false),   // in-model transitions
+        (42L, "zz qq ww ee rr tt", false)  // unseen vocab/transitions
+      )
+    ).toDF("doc_id", "text", "is_target")
+    val got = Importance.bigramXent(docs, "doc_id", "text", col("is_target"), 32)
+      .select("doc_id", "bigram_xent").as[(Long, Double)].collect().toMap
+    got(41L) should be < got(42L)
+    // short docs (< 2 tokens) are excluded — no bigrams to score
+    val one = Seq((1L, "solo", false)).toDF("doc_id", "text", "is_target")
+    Importance.bigramXent(
+      docs.unionByName(one.withColumn("doc_id", col("doc_id") + 200)),
+      "doc_id", "text", col("is_target"), 32)
+      .filter(col("doc_id") === 201L).count() shouldBe 0L
+  }
 }
