@@ -79,6 +79,40 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Token-budget selection per group: keep documents in deterministic
+    * hash-priority order until the group's cumulative token count
+    * reaches `budgetTokens` — the sampling step that turns
+    * [[temperatureWeights]]-style mixture quotas into an actual row
+    * subset. Greedy prefix semantics: a doc is kept iff the tokens
+    * BEFORE it (in priority order) are under budget, so the selection
+    * may overshoot by at most one document — the standard greedy
+    * packing contract (same as `TextAnalysis.packShards`).
+    *
+    * Deterministic like [[deterministic]]/[[capPerGroup]]: priority is
+    * the md5-derived id hash (ties → id), never arrival order, so the
+    * selected subset is exactly recomputable and STABLE under appends —
+    * a new doc displaces only docs hashed after it, never reorders the
+    * kept prefix before it.
+    *
+    * One shuffle on the group key (running-sum window). Skew note for
+    * 100 TB, same as [[capPerGroup]]: a giant group funnels into one
+    * task, but only docs with cumulative mass under budget matter, so a
+    * coarse per-group pre-filter on hash rank (cutoff ≈
+    * budget / min-doc-tokens) bounds the window input before the
+    * shuffle; hash priority makes that pre-filter sound. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(pri.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_nt", graft.operators.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("tokens_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+      .withColumnRenamed("_nt", "n_tokens")
+  }
+
   /** Temperature-sampled source-mixture weights (α = 0.5): per group,
     * weight_i = √t_i / Σ_j √t_j where t is the group's token mass —
     * the up-weight-the-tail mixing computation training pipelines run

@@ -376,6 +376,74 @@ object TextAnalysis {
         coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
   }
 
+  /** Inverted index (token → delta-encoded posting list), the retrieval
+    * structure behind exact-match decontamination and corpus search.
+    *
+    * Per token: document frequency plus the SORTED posting list of doc
+    * ids, gap-encoded (first id absolute, then successive differences) —
+    * the standard compression that turns monotone id lists into small
+    * integers. Deltas are computed ARRAY-SIDE in one codegen'd
+    * `transform` after the per-token collect; no second shuffle.
+    *
+    * Scale shape: the explode shuffles (token, id) pairs once — the
+    * irreducible cost of building an inverted index. Posting lists are
+    * df-bounded; the head-token skew (stopwords with corpus-sized
+    * postings) is the reason for the `minDf`-style cut in real IR
+    * builds — here `minDf` prunes the TAIL for output hygiene and a
+    * stopword ceiling would prune the head the same way. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    val pairs = df.select(
+      col(idCol).cast("long").as("_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    pairs.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df_t"),
+        sort_array(collect_list(col("_id"))).as("_post"))
+      .filter(col("df_t") >= minDf)
+      .withColumn("deltas", concat_ws(",",
+        transform(col("_post"), (x, i) =>
+          when(i === 0, x).otherwise(x - col("_post")(i - lit(1))))))
+      .drop("_post")
+  }
+
+  /** Collocation mining: adjacent-window co-occurrence pairs scored by
+    * the Dice coefficient — 2·n(a,b) / (n(a) + n(b)) — the classic
+    * association measure for multi-word expressions. Emitted as
+    * `dice_micro` = ⌊2_000_000·n_ab / (n_a + n_b)⌋: pure int64
+    * arithmetic, so the score is bitwise-portable across engines
+    * (PMI's log is not correctly rounded and would drift).
+    *
+    * Pair generation is ARRAY-SIDE (zip of the token array with its
+    * d-shifted self for d = 1..window) — no token-level self-join, no
+    * positions shuffle; only the (a, b) pair stream shuffles for the
+    * count. Unigram counts are vocabulary-sized and broadcast back.
+    * At 100 TB the vocabulary (minDf-cut) stays executor-memory-sized;
+    * if not, the same plan works with the broadcasts degraded to
+    * shuffle joins. */
+  def collocations(df: DataFrame, textCol: String, window: Int,
+      minPairCount: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ts = tokens(col(textCol))
+    val pairArr = flatten(array((1 to window).map { d =>
+      arrays_zip(
+        slice(ts, lit(1), greatest(size(ts) - d, lit(0))),
+        slice(ts, lit(d + 1), greatest(size(ts) - d, lit(0))))
+    }: _*))
+    val pairs = df.select(explode(pairArr).as("_p"))
+      .select(col("_p")("0").as("tok_a"), col("_p")("1").as("tok_b"))
+    val pairCounts = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val uni = df.select(explode(ts).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    pairCounts
+      .join(broadcast(uni.select(col("token").as("tok_a"), col("n").as("n_a"))), Seq("tok_a"))
+      .join(broadcast(uni.select(col("token").as("tok_b"), col("n").as("n_b"))), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(2000000 * n_ab) DIV (n_a + n_b)").as("dice_micro"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -686,6 +686,115 @@ object CurationQueries {
         FROM nt JOIN s USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** k-anonymity by suppression over the (lang, source) quasi-identifier
+    * — the release-side privacy gate on top of q85's content-side PII
+    * scrub: any QI combination shared by fewer than k = 5 documents is
+    * masked to '*', so every released combination identifies a crowd of
+    * ≥ 5. The group-count relation is QI-cardinality-sized and
+    * broadcasts; the corpus never shuffles (map-side join only — the
+    * single exchange in the plan is the deterministic ORDER BY). */
+  private val q107 = {
+    val k = 5
+    Q(
+      "q107_k_anonymity",
+      (s, dir) => graft.operators.Anonymize
+        .kAnonymize(t(s, dir, "documents"), Seq("lang", "source"), k)
+        .select("doc_id", "lang", "source", "suppressed")
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, source, count(*) AS n
+          FROM documents GROUP BY 1, 2)
+        SELECT d.doc_id,
+          CASE WHEN c.n < $k THEN '*' ELSE d.lang END AS lang,
+          CASE WHEN c.n < $k THEN '*' ELSE d.source END AS source,
+          c.n < $k AS suppressed
+        FROM documents d JOIN c USING (lang, source)
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Inverted index build: token → (document frequency, gap-encoded
+    * sorted posting list) — the retrieval structure behind exact-match
+    * decontamination lookups and corpus search. Deltas are computed
+    * array-side in one `transform` after the per-token collect (no
+    * second shuffle); the oracle reaches the same gaps via lag() +
+    * ordered string_agg. */
+  private val q108 = {
+    val minDf = 3
+    Q(
+      "q108_inverted_index",
+      (s, dir) => TextAnalysis
+        .invertedIndex(t(s, dir, "documents"), "doc_id", "text", minDf)
+        .orderBy("token"),
+      Some(s"""WITH g AS (SELECT DISTINCT doc_id, token FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+        p AS (SELECT token, doc_id,
+            row_number() OVER (PARTITION BY token ORDER BY doc_id) AS pos,
+            doc_id - coalesce(lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id), 0) AS delta
+          FROM g)
+        SELECT token, CAST(count(*) AS BIGINT) AS df_t,
+          string_agg(CAST(delta AS VARCHAR), ',' ORDER BY pos) AS deltas
+        FROM p GROUP BY token HAVING count(*) >= $minDf
+        ORDER BY token""".replaceAll("\\s+", " ")))
+  }
+
+  /** Collocation mining: window-2 co-occurrence pairs scored by the
+    * Dice coefficient in integer micro-units — exact int64 arithmetic
+    * end to end, so the score is engine-portable (PMI's log would
+    * drift). Pair generation is array-side (token array zipped with its
+    * shifted self), never a positions self-join; only (a, b) pairs
+    * shuffle. */
+  private val q109 = {
+    val (win, minN) = (2, 50L)
+    Q(
+      "q109_collocations",
+      (s, dir) => TextAnalysis
+        .collocations(t(s, dir, "documents"), "text", win, minN)
+        .orderBy("tok_a", "tok_b"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+            unnest(toks) AS tok, toks FROM tk),
+        pairs AS (
+          SELECT tok AS tok_a, toks[CAST(pos + 2 AS INT)] AS tok_b
+            FROM p WHERE pos + 2 <= len(toks)
+          UNION ALL
+          SELECT tok, toks[CAST(pos + 3 AS INT)] FROM p WHERE pos + 3 <= len(toks)),
+        pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+          FROM pairs GROUP BY 1, 2 HAVING count(*) >= $minN),
+        uc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM
+          (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1)
+        SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
+          (2000000 * n_ab) // (a.n + b.n) AS dice_micro
+        FROM pc JOIN uc a ON pc.tok_a = a.token JOIN uc b ON pc.tok_b = b.token
+        ORDER BY tok_a, tok_b""".replaceAll("\\s+", " ")))
+  }
+
+  /** Token-budget selection per source: keep documents in deterministic
+    * hash-priority order until each source's cumulative token count
+    * reaches 800 — the sampling step that turns q78's mixture weights
+    * into an actual row subset (greedy prefix, may overshoot by one doc,
+    * same contract as q51's packing). Selection is stable under appends:
+    * a new doc never reorders the kept prefix hashed before it. */
+  private val q110 = {
+    val budget = 800L
+    Q(
+      "q110_token_budget",
+      (s, dir) => Sampling
+        .tokenBudgetPerGroup(t(s, dir, "documents"), "source", "doc_id", "text", budget)
+        .select("doc_id", "source", "n_tokens", "tokens_before")
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          ${PortableHash.md5Hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        c AS (SELECT doc_id, source, nt,
+          CAST(coalesce(sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+          FROM d)
+        SELECT doc_id, source, nt AS n_tokens, tokens_before
+        FROM c WHERE tokens_before < $budget
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
-    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105)
+    q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
+    q108, q109, q110)
 }

@@ -1303,8 +1303,40 @@ object RelationalQueries {
       Some(incNearDupOracleSql(bits, maxHamming)))
   }
 
+  /** Contiguous GLOBAL row numbering at scale — the curriculum-ordering
+    * primitive (rank every example by a quality signal, bucket into
+    * deciles, feed buckets in order). q36's `rank()` partitions by
+    * user; an unpartitioned `row_number() OVER (ORDER BY …)` plans
+    * Exchange SinglePartition — the whole corpus through one task.
+    * `Ranking.globalRank` gets the identical numbering from a range
+    * exchange + per-partition local ranks + a broadcast prefix-sum of
+    * the per-partition COUNTS (metadata-sized at any scale); the decile
+    * is then pure integer arithmetic on (rank, total) — no ntile, no
+    * second window. The oracle computes the same thing the naive way,
+    * which is exactly the point: same answer, scalable plan. */
+  private val q106 = Q(
+    "q106_global_rank",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val ranked = graft.operators.Ranking
+        .globalRank(ev, Seq(col("value").desc, col("event_id").asc), 32)
+      val total = ev.groupBy().agg(count(lit(1)).as("_total"))
+      ranked.crossJoin(broadcast(total))
+        .select(
+          col("event_id"), col("value"), col("rnk"),
+          expr("((rnk - 1) * 10) DIV _total").as("decile"))
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT event_id, value,
+        row_number() OVER (ORDER BY value DESC, event_id) AS rnk
+        FROM events)
+      SELECT event_id, value, CAST(rnk AS BIGINT) AS rnk,
+        CAST(((rnk - 1) * 10) // (SELECT count(*) FROM events) AS BIGINT) AS decile
+      FROM r ORDER BY event_id""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97)
+      q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
+      q106)
 }
