@@ -39,12 +39,19 @@ object Dedup {
     // element, and codegen CSE does not reach inside lambdas — unbound,
     // split() re-runs once per shingle start (3× slower end-to-end).
     graft.functions.ArrayOps.bind(tokens(text)) { toks =>
-      // sequence(1, 0) counts DOWN in Spark, so guard the short-doc case
-      // explicitly to yield an empty shingle set.
-      val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
-      array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+      array_distinct(shinglesOf(toks, n))
     }
+
+  /** All n-token shingles of an already-bound token array, WITH
+    * duplicates (multiset form — what within-document repetition
+    * metrics count; [[distinctShingles]] is the set form). */
+  private[operators] def shinglesOf(toks: Column, n: Int): Column = {
+    // sequence(1, 0) counts DOWN in Spark, so guard the short-doc case
+    // explicitly to yield an empty shingle set.
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
 
   /** Shared minhash pipeline: explode a distinct-unit array (tokens or
     * shingles) → md5-derived hash → one partial-aggregated groupBy(doc)

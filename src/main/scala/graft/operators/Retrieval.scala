@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BM25 full-text retrieval — inline over a corpus frame, and against a
+  * persisted retrieval index (postings with term frequencies + document
+  * lengths + corpus stats) so repeated queries read only the query
+  * terms' postings instead of the corpus.
+  *
+  * Capability shape from the reference's search surface (ranked keyword
+  * retrieval feeding decontamination / inspection tooling); the
+  * Okapi/Lucene BM25 scoring itself is standard published IR.
+  *
+  * Oracle discipline: the only non-correctly-rounded op in BM25 is the
+  * idf log. It is computed ONCE per query term over small integer
+  * inputs and quantized to integer micro-units (the q98 DSIR pattern);
+  * everything per-row is IEEE mul/div/add in a fixed expression shape,
+  * which Spark and the SQL oracle round identically, followed by an
+  * exact floor to int64. Per-document totals are integer sums —
+  * order-free, engine-portable.
+  */
+object Retrieval {
+
+  /** Okapi BM25 constants, written as source literals (1.2 / 0.75 /
+    * 2.2 / 0.25 parse to the same IEEE doubles in Scala and SQL — never
+    * derive 2.2 as 1.2+1.0, which is a different double). */
+  val K1 = 1.2
+  val B = 0.75
+
+  private val MICRO = 1000000L
+
+  /** Quantized idf per query term: ⌊ln((N − df + ½)/(df + ½) + 1)·10⁶ + ½⌋
+    * (the Lucene positive-idf variant). Driver-side over two bounded
+    * scalars per term. */
+  def idfMicro(nDocs: Long, dfT: Long): Long =
+    math.floor(math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1) * 1e6 + 0.5).toLong
+
+  /** Per-(doc, term) BM25 partial in integer micro-units. `tf`, `dl`,
+    * `n`, `sumdl` are int64 columns/literals; the expression shape is
+    * mirrored EXACTLY in the SQL oracle (same op order → same doubles →
+    * exact floor). */
+  private def scoreMicro(idf: Long, tf: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column, n: Long, sumdl: Long) =
+    when(tf > 0L,
+      floor(lit(idf) * tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (dl * lit(n) / lit(sumdl)))) +
+        lit(0.5)))
+      .otherwise(0L)
+
+  /** Ranked BM25 top-k for a fixed term set, computed inline over the
+    * corpus. ONE bounded stats action (a single row: N, Σdl, df per
+    * term), then a MAP-ONLY scoring pass — per-term tf is an array-side
+    * filter count in fixed term order, partials are int64 and sum
+    * order-free — followed by a global top-k (TakeOrdered, no full
+    * sort). Text never shuffles; at 100 TB the corpus pass is the
+    * irreducible cost and everything else is metadata-sized. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    val toks = Dedup.tokens(col(textCol))
+    val base = df.filter(col(textCol).isNotNull)
+    val statsCols =
+      count(lit(1)).cast("long").as("n") +:
+        sum(size(toks)).cast("long").as("sumdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+    // one row, |terms|+2 columns — bounded at any scale
+    val statsRow = base.agg(statsCols.head, statsCols.tail: _*).head()
+    val n = statsRow.getAs[Long]("n")
+    val sumdl = statsRow.getAs[Long]("sumdl")
+    val idfs = terms.indices.map(i => idfMicro(n, statsRow.getAs[Long](s"df_$i")))
+
+    val dl = size(toks).cast("long")
+    val partials = terms.zip(idfs).map { case (t, idf) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("long")
+      scoreMicro(idf, tf, dl, n, sumdl)
+    }
+    base
+      .select(col(idCol), dl.as("n_tokens"),
+        partials.reduce(_ + _).cast("long").as("score_micro"))
+      .filter(col("score_micro") > 0L)
+      .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the retrieval index for [[bm25TopKStored]]:
+    *  - `dir/postings`: (token, df_t, postings array<struct<gap,tf>>)
+    *    — id-sorted, gap-encoded (array-side transform, no second
+    *    shuffle after the one irreducible (token, id) aggregate);
+    *  - `dir/doclens`: (id, dl) — the length table the scorer joins;
+    *  - `dir/stats`: one row (n_docs, sum_dl);
+    *  - `dir/meta`: max indexed id ([[StoredIndex]] append discipline).
+    */
+  def writeRetrievalIndex(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val toks = Dedup.tokens(col(textCol))
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
+    val termDoc = base
+      .select(col("id"), explode(col("_toks")).as("token"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    termDoc
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_t"),
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("_post"))
+      .withColumn("postings",
+        transform(col("_post"), (x, i) => struct(
+          when(i === 0, x.getField("id"))
+            .otherwise(x.getField("id") -
+              col("_post")(i - lit(1)).getField("id")).as("gap"),
+          x.getField("tf").as("tf"))))
+      .select(col("token"), col("df_t"), col("postings"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    base.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("_toks"))).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val maxId = base.agg(max(col("id"))).head.getLong(0)
+    StoredIndex.writeMaxIdMeta(spark, dir, maxId)
+  }
+
+  /** BM25 top-k against the PERSISTED index: reads the query terms'
+    * postings (token-predicate pushdown on the postings parquet — at
+    * 100 TB a query reads Σdf(term) posting entries, not the corpus),
+    * rebuilds absolute ids with a per-token running sum over the
+    * posting-sized exploded stream, and joins document lengths by
+    * BROADCASTING the posting side into the doclens scan. Identical
+    * score definition to [[bm25TopK]] by construction — one oracle
+    * serves both. Head-token (stopword) postings are the classic skew
+    * ceiling; bound them upstream with a stopword cut if a workload
+    * queries them. */
+  def bm25TopKStored(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    val stats = spark.read.parquet(s"$dir/stats").head
+    val n = stats.getAs[Long]("n_docs")
+    val sumdl = stats.getAs[Long]("sum_dl")
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("token").isin(terms: _*))
+    // df per present term — bounded (≤ |terms| rows)
+    val dfByTerm = posts.select(col("token"), col("df_t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val decoded = posts
+      .select(col("token"), posexplode(col("postings")).as(Seq("_pos", "_p")))
+      .withColumn("id", sum(col("_p.gap"))
+        .over(Window.partitionBy(col("token")).orderBy(col("_pos"))))
+      .select(col("token"), col("id"), col("_p.tf").as("tf"))
+    val idfExpr = terms.filter(dfByTerm.contains)
+      .foldLeft(lit(0L)) { (acc, t) =>
+        when(col("token") === t, lit(idfMicro(n, dfByTerm(t)))).otherwise(acc)
+      }
+    val doclens = spark.read.parquet(s"$dir/doclens")
+    broadcast(decoded.withColumn("_idf", idfExpr))
+      .join(doclens, Seq("id"))
+      .select(col("id"), col("dl").as("n_tokens"),
+        when(col("tf") > 0L,
+          floor(col("_idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl") * lit(n) / lit(sumdl)))) + lit(0.5)))
+          .otherwise(0L).as("_micro"))
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(sum(col("_micro")).cast("long").as("score_micro"))
+      .filter(col("score_micro") > 0L)
+      .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -444,6 +444,66 @@ object TextAnalysis {
         expr("(2000000 * n_ab) DIV (n_a + n_b)").as("dice_micro"))
   }
 
+  /** Per-document repetition metrics — the Gopher-style (Rae et al.
+    * 2021) within-document repetition gates that catch degenerate /
+    * machine-spun text before training:
+    *  - `top_tok_n`: multiplicity of the most frequent token (run-length
+    *    fold over the SORTED token array — O(n log n) row-local, no
+    *    per-distinct-token rescan);
+    *  - `max_run`: longest run of one token repeated CONSECUTIVELY
+    *    (same fold, unsorted array — the "aaaa" spam signal);
+    *  - `rep2/rep3/rep5`: repeated n-gram instances (total n-grams minus
+    *    distinct n-grams) for n = 2, 3, 5;
+    *  - `top_frac`, `rep3_frac`: the ratio forms thresholds are set on.
+    *
+    * Everything is ARRAY-SIDE inside one projection: the 100 TB pass is
+    * MAP-ONLY — text never shuffles, no explode, no per-doc aggregate.
+    * Ratios are single IEEE divisions of exact int64 counts (correctly
+    * rounded identically in any engine); all counts stay int64. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.ArrayOps.bind
+    // longest run of equal adjacent elements via an aggregate fold
+    // carrying (prev, current run, best run)
+    def maxRunOf(arr: Column): Column =
+      aggregate(
+        arr,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev").isNotNull &&
+            acc.getField("prev") === x, acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    def repCount(toks: Column, n: Int): Column = {
+      val nGrams = when(size(toks) >= n, (size(toks) - (n - 1)).cast("long"))
+        .otherwise(0L)
+      nGrams - size(array_distinct(Dedup.shinglesOf(toks, n))).cast("long")
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        bind(Dedup.tokens(col(textCol))) { toks =>
+          val g3 = when(size(toks) >= 3, (size(toks) - 2).cast("long")).otherwise(0L)
+          struct(
+            size(toks).cast("long").as("n_tokens"),
+            maxRunOf(array_sort(toks)).as("top_tok_n"),
+            maxRunOf(toks).as("max_run"),
+            repCount(toks, 2).as("rep2"),
+            repCount(toks, 3).as("rep3"),
+            repCount(toks, 5).as("rep5"),
+            g3.as("_g3"))
+        }.as("_p"))
+      .select(col(idCol), col("_p.n_tokens").as("n_tokens"),
+        col("_p.top_tok_n").as("top_tok_n"), col("_p.max_run").as("max_run"),
+        col("_p.rep2").as("rep2"), col("_p.rep3").as("rep3"),
+        col("_p.rep5").as("rep5"),
+        (col("_p.top_tok_n") / col("_p.n_tokens")).as("top_frac"),
+        when(col("_p._g3") > 0L, col("_p.rep3") / col("_p._g3"))
+          .otherwise(lit(0.0)).as("rep3_frac"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Decontaminate, Dedup, Importance, Redact, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -794,7 +794,111 @@ object CurationQueries {
         ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Within-document repetition metrics (Gopher-style quality gates):
+    * top-token multiplicity, longest consecutive run, repeated n-gram
+    * instance counts and the ratio forms thresholds bind to. The engine
+    * side is ONE map-only projection (sorted-array run-length folds +
+    * multiset-vs-set shingle counts, all array-side); the oracle
+    * reaches the same numbers relationally (lockstep unnest + the
+    * gaps-and-islands run trick). */
+  private val q111 = {
+    def repSql(n: Int): String =
+      s"""CAST((CASE WHEN len(toks) >= $n THEN len(toks) - ${n - 1} ELSE 0 END)
+         - len(list_distinct(${shingleListSql("toks", n)})) AS BIGINT)"""
+    Q(
+      "q111_repetition",
+      (s, dir) => TextAnalysis
+        .repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, unnest(toks) AS tok,
+          generate_subscripts(toks, 1) AS pos FROM tk),
+        tc AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_tok_n FROM tc GROUP BY 1),
+        runs AS (SELECT doc_id, tok,
+          pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS isl FROM tok),
+        mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM
+          (SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, tok, isl)
+          GROUP BY doc_id),
+        rep AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          ${repSql(2)} AS rep2, ${repSql(3)} AS rep3, ${repSql(5)} AS rep5,
+          CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS BIGINT) AS g3
+          FROM tk)
+        SELECT r.doc_id, r.n_tokens, top.top_tok_n, mr.max_run,
+          r.rep2, r.rep3, r.rep5,
+          top.top_tok_n / r.n_tokens AS top_frac,
+          CASE WHEN r.g3 > 0 THEN r.rep3 / r.g3 ELSE 0.0 END AS rep3_frac
+        FROM rep r JOIN top USING (doc_id) JOIN mr USING (doc_id)
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Shared BM25 oracle for q112 (inline) and q113 (stored index) —
+    * identical score definition by construction. The idf log is the
+    * only non-correctly-rounded op and is quantized to micro-units over
+    * small integers (the q98 pattern); the per-row expression shape is
+    * mirrored exactly, so partials floor to identical int64 and the
+    * per-doc total is an order-free integer sum. */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val ti = terms.zipWithIndex
+    val dfCols = ti.map { case (t, i) =>
+      s"CAST(count(*) FILTER (WHERE list_contains(toks, '$t')) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val idfCols = ti.map { case (_, i) =>
+      s"CAST(floor(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1) * 1000000 + 0.5) AS BIGINT) AS idf_$i"
+    }.mkString(", ")
+    val tfCols = ti.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(", ")
+    val partials = ti.map { case (_, i) =>
+      s"""(CASE WHEN tf_$i > 0 THEN CAST(floor(idf_$i * tf_$i * 2.2 /
+         (tf_$i + 1.2 * (0.25 + 0.75 * (dl * n / sumdl))) + 0.5) AS BIGINT)
+         ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(len(toks)) AS BIGINT) AS sumdl, $dfCols FROM tk),
+      idf AS (SELECT n, sumdl, $idfCols FROM st),
+      tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM tk),
+      sc AS (SELECT doc_id, dl AS n_tokens,
+        CAST($partials AS BIGINT) AS score_micro FROM tf CROSS JOIN idf)
+      SELECT doc_id, n_tokens, score_micro,
+        CAST(score_micro AS DOUBLE) / 1000000.0 AS bm25
+      FROM sc WHERE score_micro > 0
+      ORDER BY score_micro DESC, doc_id LIMIT $k""".replaceAll("\\s+", " ")
+  }
+
+  private val bmTerms = Seq("spark", "vector", "customer")
+
+  /** Ranked BM25 keyword retrieval, inline over the corpus: one bounded
+    * stats action, then a map-only scoring pass (array-side tf per
+    * term) and a global top-k — text never shuffles. */
+  private val q112 = Q(
+    "q112_bm25",
+    (s, dir) => Retrieval
+      .bm25TopK(t(s, dir, "documents"), "doc_id", "text", bmTerms, 25),
+    Some(bm25OracleSql(bmTerms, 25)))
+
+  /** q112 through the PERSISTED retrieval index (tf postings + doclens
+    * + corpus stats): the probe reads the query terms' postings
+    * (token-predicate pushdown), not the corpus — at 100 TB a query
+    * costs Σdf(term) posting entries plus a broadcast join into the
+    * length table. Same oracle as q112: stored scoring must be
+    * indistinguishable from inline. */
+  private val q113 = Q(
+    "q113_bm25_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q113_bm25_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Retrieval.writeRetrievalIndex(s, docs, "doc_id", "text", iDir)
+      Retrieval.bm25TopKStored(s, iDir, bmTerms, 25)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(bm25OracleSql(bmTerms, 25)))
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
-    q108, q109, q110)
+    q108, q109, q110, q111, q112, q113)
 }
