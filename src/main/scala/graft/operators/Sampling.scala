@@ -122,6 +122,36 @@ object Sampling {
     * normalizing sum runs in DECIMAL(18,6) (order-independent); the
     * final division is one IEEE op, so weights are bitwise-portable.
     * One aggregate + one tiny global window (rows = #groups). */
+  /** Data-constrained mixture plan (the Muennighoff et al. 2023 setting):
+    * turn the temperature-mixture token shares into per-source token
+    * TARGETS against a global training budget, and report how many
+    * passes (epochs) over each source the target implies. A source
+    * whose target exceeds its corpus is `data_constrained` — it must be
+    * repeated (epochs > 1) or re-weighted.
+    *
+    * Arithmetic is the q78 portable surface (sqrt is IEEE
+    * correctly-rounded; the share division and target floor mirror
+    * exactly) plus pure int64: `epochs_milli` = ⌊1000·target/available⌋
+    * via integer division. Output is source-cardinality-sized; the only
+    * corpus-touching stage is one token-count aggregate. */
+  def epochPlan(df: DataFrame, groupCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val perGroup = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.operators.TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+    val sDec = sqrt(col("n_tokens").cast("double")).try_cast("decimal(18,6)")
+    val total = sum(sDec).over(Window.partitionBy())
+    perGroup
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        floor(sDec.cast("double") / total.cast("double") * lit(budgetTokens) +
+          lit(0.5)).as("tokens_target"))
+      .withColumn("epochs_milli",
+        expr("(1000 * tokens_target) DIV n_tokens"))
+      .withColumn("data_constrained", col("tokens_target") > col("n_tokens"))
+  }
+
   def temperatureWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perGroup = df.groupBy(col(groupCol)).agg(

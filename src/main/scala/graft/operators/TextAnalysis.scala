@@ -504,6 +504,40 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("rep3_frac"))
   }
 
+  /** Persist the deterministic top-N vocabulary (count desc, token asc
+    * tie-break) as a reusable artifact — the frozen token inventory
+    * OOV-rate gates score against. One token-keyed count (the
+    * vocabulary-build shuffle), a vocabulary-sized top-N, N rows
+    * written. */
+  def writeVocabArtifact(df: DataFrame, textCol: String, topN: Int,
+      dir: String): Unit = {
+    require(topN > 0 && topN <= 4096, "topN must be in [1, 4096]")
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Out-of-vocabulary rate per document against the STORED vocabulary:
+    * the artifact (≤ topN rows, bounded) is collected at plan-build time
+    * and folded into the row expression, so scoring is MAP-ONLY — text
+    * never shuffles, and a stream scores each micro-batch against the
+    * frozen vocabulary with no state store (the q101 stored-weights
+    * shape). `oov_rate` is one IEEE division of exact int64 counts. */
+  def oovScoreWithStoredVocab(df: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val vocab = df.sparkSession.read.parquet(s"$dir/vocab")
+      .select("token").collect().map(_.getString(0)).toSeq
+    val toks = tokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, x => !x.isin(vocab: _*))).cast("long").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -898,7 +898,66 @@ object CurationQueries {
     },
     Some(bm25OracleSql(bmTerms, 25)))
 
+  /** Data-constrained epoch planning: q78's temperature shares turned
+    * into per-source token targets against a global budget, with the
+    * implied epoch count (how many passes over the source the target
+    * needs) in exact milli-units. Portable surface = q78's sqrt/decimal
+    * trick + one mirrored floor + pure int64 division; the whole
+    * output is source-cardinality-sized. */
+  private val q114 = {
+    val budget = 50000L
+    Q(
+      "q114_epoch_plan",
+      (s, dir) => Sampling
+        .epochPlan(t(s, dir, "documents"), "source", "text", budget)
+        .orderBy("source"),
+      Some(s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs, n_tokens,
+          TRY_CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sd,
+          sum(TRY_CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6))) OVER () AS tot
+          FROM g),
+        p AS (SELECT source, n_docs, n_tokens,
+          CAST(floor(CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) * $budget + 0.5) AS BIGINT) AS tokens_target
+          FROM w)
+        SELECT source, n_docs, n_tokens, tokens_target,
+          (1000 * tokens_target) // n_tokens AS epochs_milli,
+          tokens_target > n_tokens AS data_constrained
+        FROM p ORDER BY source""".replaceAll("\\s+", " ")))
+  }
+
+  /** OOV-rate scoring against a PERSISTED top-N vocabulary: the frozen
+    * token inventory is a bounded stored artifact (the q101 shape), so
+    * scoring is map-only and stream-safe, and the gate can't drift as
+    * the raw corpus grows. Deterministic vocabulary tie-break
+    * (count desc, token asc) on both sides. */
+  private val q115 = {
+    val topN = 20
+    Q(
+      "q115_oov_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vDir = s"${System.getProperty("java.io.tmpdir")}/graft_q115_vocab_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        TextAnalysis.writeVocabArtifact(docs, "text", topN, vDir)
+        TextAnalysis.oovScoreWithStoredVocab(docs, "doc_id", "text", vDir)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH vc AS (SELECT token FROM
+          (SELECT unnest(string_split(text, ' ')) AS token FROM documents
+           WHERE text IS NOT NULL)
+          GROUP BY token ORDER BY count(*) DESC, token LIMIT $topN),
+        vl AS (SELECT list(token) AS v FROM vc),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE text IS NOT NULL)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(toks, x -> NOT list_contains(v, x))) AS BIGINT) AS n_oov,
+          len(list_filter(toks, x -> NOT list_contains(v, x))) / len(toks) AS oov_rate
+        FROM tk CROSS JOIN vl ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
-    q108, q109, q110, q111, q112, q113)
+    q108, q109, q110, q111, q112, q113, q114, q115)
 }
