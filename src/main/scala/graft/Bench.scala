@@ -20,7 +20,13 @@ object Bench {
     // which query absorbs residual warmup), and report min-of-2 passes
     // per query so ambient machine load and one-off JIT spikes don't
     // pollute the artifact. Semantics untouched — measurement hygiene.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated name prefixes), same as
+    // Verify's; the driver never sets it, so its runs stay full-surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def keep(name: String): Boolean =
+      only.forall(_.exists(p => name.startsWith(p)))
+    val results = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -45,10 +51,13 @@ object Bench {
     val shortKey = (k: String) => k.takeWhile(_ != '_')
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(identity, _._2)},"queries_cold":${obj(identity, _._3)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("docs/BENCH_FULL.json"),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // a filtered dev run must not clobber the full-surface artifact
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/BENCH_FULL.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(shortKey, _._2)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -87,24 +87,20 @@ object Retrieval {
       .limit(k)
   }
 
-  /** Persist the retrieval index for [[bm25TopKStored]]:
-    *  - `dir/postings`: (token, df_t, postings array<struct<gap,tf>>)
-    *    — id-sorted, gap-encoded (array-side transform, no second
-    *    shuffle after the one irreducible (token, id) aggregate);
-    *  - `dir/doclens`: (id, dl) — the length table the scorer joins;
-    *  - `dir/stats`: one row (n_docs, sum_dl);
-    *  - `dir/meta`: max indexed id ([[StoredIndex]] append discipline).
-    */
-  def writeRetrievalIndex(spark: SparkSession, df: DataFrame, idCol: String,
-      textCol: String, dir: String): Unit = {
-    val toks = Dedup.tokens(col(textCol))
-    val base = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
-    val termDoc = base
+  private def tokensFrame(df: DataFrame, idCol: String, textCol: String) =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.tokens(col(textCol)).as("_toks"))
+
+  /** One postings SEGMENT from a document frame: (token, df_t,
+    * id-sorted gap-encoded postings with term frequencies). Deltas are
+    * array-side (one transform after the per-token collect — no second
+    * shuffle after the irreducible (token, id) aggregate). */
+  private def postingsSegment(base: DataFrame) =
+    base
       .select(col("id"), explode(col("_toks")).as("token"))
       .groupBy(col("token"), col("id"))
       .agg(count(lit(1)).as("tf"))
-    termDoc
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df_t"),
         sort_array(collect_list(struct(col("id"), col("tf")))).as("_post"))
@@ -115,7 +111,20 @@ object Retrieval {
               col("_post")(i - lit(1)).getField("id")).as("gap"),
           x.getField("tf").as("tf"))))
       .select(col("token"), col("df_t"), col("postings"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
+
+  /** Persist the retrieval index for [[bm25TopKStored]]:
+    *  - `dir/postings/seg=0`: (token, df_t, postings array<struct<gap,tf>>)
+    *    — the first LOG-STRUCTURED SEGMENT (the Lucene layout:
+    *    [[appendToRetrievalIndex]] adds segments, never rewrites one);
+    *  - `dir/doclens`: (id, dl) — the length table the scorer joins;
+    *  - `dir/stats`: one row (n_docs, sum_dl);
+    *  - `dir/meta`: max indexed id ([[StoredIndex]] append discipline).
+    */
+  def writeRetrievalIndex(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val base = tokensFrame(df, idCol, textCol)
+    postingsSegment(base)
+      .write.mode("overwrite").parquet(s"$dir/postings/seg=0")
     base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/doclens")
     base.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -123,6 +132,79 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dir/stats")
     val maxId = base.agg(max(col("id"))).head.getLong(0)
     StoredIndex.writeMaxIdMeta(spark, dir, maxId)
+  }
+
+  /** Incremental ingest: index `batch` as a NEW segment — existing
+    * segment files are never rewritten (the log-structured merge
+    * discipline; probes read all segments and df/tf totals add because
+    * the [[StoredIndex]] append-only id rule keeps segment id ranges
+    * disjoint). Doclens gains the batch's rows; stats are re-derived
+    * from old stats + one bounded batch aggregate. Per append, work is
+    * BATCH-sized — the indexed corpus is never touched. */
+  def appendToRetrievalIndex(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val base = tokensFrame(batch, idCol, textCol)
+    StoredIndex.validateAppendBatch(spark, dir, base, "id").foreach { newMax =>
+      val segs = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("seg="))
+        .map(_.stripPrefix("seg=").toLong)
+      postingsSegment(base)
+        .write.mode("errorifexists").parquet(s"$dir/postings/seg=${segs.max + 1}")
+      base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$dir/doclens")
+      val old = spark.read.parquet(s"$dir/stats").head
+      val add = base.agg(count(lit(1)).cast("long"),
+        sum(size(col("_toks"))).cast("long")).head
+      spark.range(1).select(
+          lit(old.getAs[Long]("n_docs") + add.getLong(0)).as("n_docs"),
+          lit(old.getAs[Long]("sum_dl") + add.getLong(1)).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
+    }
+  }
+
+  /** Compact all postings segments into one (the merge half of the
+    * log-structured design — run when segment count starts to tax probe
+    * fan-in). Disjoint id ranges make the merge a re-aggregate of the
+    * decoded union; probes before and after are identical by
+    * construction (RetrievalSpec asserts it). */
+  def compactRetrievalIndex(spark: SparkSession, dir: String): Unit = {
+    val merged = decodeSegments(spark.read.parquet(s"$dir/postings"))
+      .select(col("id"), col("token"), col("tf"))
+    val seg = merged
+      .groupBy(col("token"), col("id"))
+      .agg(sum(col("tf")).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_t"),
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("_post"))
+      .withColumn("postings",
+        transform(col("_post"), (x, i) => struct(
+          when(i === 0, x.getField("id"))
+            .otherwise(x.getField("id") -
+              col("_post")(i - lit(1)).getField("id")).as("gap"),
+          x.getField("tf").as("tf"))))
+      .select(col("token"), col("df_t"), col("postings"))
+      .localCheckpoint() // materialize before the overwrite deletes its input
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    seg.write.mode("overwrite").parquet(s"$dir/postings/seg=0")
+  }
+
+  /** Rebuild (token, id, tf) from stored segments: per-token running
+    * sum over the posting-sized exploded stream restores absolute ids.
+    * The window partitions by (token, seg) so gaps decode within their
+    * own segment. */
+  private def decodeSegments(posts: DataFrame): DataFrame = {
+    val segCol = if (posts.columns.contains("seg")) col("seg") else lit(0L)
+    posts
+      .withColumn("_seg", segCol)
+      .select(col("token"), col("_seg"), col("df_t"),
+        posexplode(col("postings")).as(Seq("_pos", "_p")))
+      .withColumn("id", sum(col("_p.gap"))
+        .over(Window.partitionBy(col("token"), col("_seg")).orderBy(col("_pos"))))
+      .select(col("token"), col("id"), col("_p.tf").as("tf"), col("df_t"),
+        col("_seg"))
   }
 
   /** BM25 top-k against the PERSISTED index: reads the query terms'
@@ -143,14 +225,13 @@ object Retrieval {
     val sumdl = stats.getAs[Long]("sum_dl")
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("token").isin(terms: _*))
-    // df per present term — bounded (≤ |terms| rows)
-    val dfByTerm = posts.select(col("token"), col("df_t")).collect()
+    // df per present term: per-segment dfs ADD (disjoint id ranges) —
+    // bounded (≤ |terms|·segments rows)
+    val dfByTerm = posts.groupBy(col("token"))
+      .agg(sum(col("df_t")).as("df_t")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val decoded = posts
-      .select(col("token"), posexplode(col("postings")).as(Seq("_pos", "_p")))
-      .withColumn("id", sum(col("_p.gap"))
-        .over(Window.partitionBy(col("token")).orderBy(col("_pos"))))
-      .select(col("token"), col("id"), col("_p.tf").as("tf"))
+    val decoded = decodeSegments(posts)
+      .select(col("token"), col("id"), col("tf"))
     val idfExpr = terms.filter(dfByTerm.contains)
       .foldLeft(lit(0L)) { (acc, t) =>
         when(col("token") === t, lit(idfMicro(n, dfByTerm(t)))).otherwise(acc)

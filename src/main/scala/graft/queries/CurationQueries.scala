@@ -957,7 +957,33 @@ object CurationQueries {
         FROM tk CROSS JOIN vl ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** The retrieval index's INCREMENTAL ingest path: index the first
+    * two-thirds of the corpus, append the rest as a second
+    * log-structured segment (existing segment files never rewritten;
+    * per-append work is batch-sized), then probe. Same oracle as q112 —
+    * a segmented index must be indistinguishable from inline scoring
+    * over the full corpus, which is exactly what the disjoint-id-range
+    * df/tf additivity guarantees. */
+  private val q116 = Q(
+    "q116_bm25_segmented",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q116_bm25_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      // appends accumulate state — start each run from a clean dir
+      val p = new org.apache.hadoop.fs.Path(iDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
+      Retrieval.writeRetrievalIndex(
+        s, docs.filter(col("doc_id") <= cut), "doc_id", "text", iDir)
+      Retrieval.appendToRetrievalIndex(
+        s, iDir, docs.filter(col("doc_id") > cut), "doc_id", "text")
+      Retrieval.bm25TopKStored(s, iDir, bmTerms, 25)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(bm25OracleSql(bmTerms, 25)))
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

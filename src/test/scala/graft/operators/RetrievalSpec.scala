@@ -136,6 +136,39 @@ class RetrievalSpec extends SparkSpec {
     row.getSeq[Long](1).scanLeft(0L)(_ + _).drop(1) shouldBe Seq(1L, 2L, 4L)
   }
 
+  test("segment append equals a from-scratch build; compaction preserves the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr4").toString
+    val first = corpus.filter(col("doc_id") <= 3)
+    val rest = corpus.filter(col("doc_id") > 3)
+    Retrieval.writeRetrievalIndex(spark, first, "doc_id", "text", dir)
+    Retrieval.appendToRetrievalIndex(spark, dir, rest, "doc_id", "text")
+    // two segments on disk, original untouched
+    spark.read.parquet(s"$dir/postings").select("seg").distinct().count() shouldBe 2L
+    val terms = Seq("spark", "vector", "customer")
+    def probe() = Retrieval.bm25TopKStored(spark, dir, terms, 10)
+      .select(col("id"), col("score_micro")).as[(Long, Long)].collect().sortBy(_._1)
+    val segmented = probe()
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_retr5").toString
+    Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", fullDir)
+    val full = Retrieval.bm25TopKStored(spark, fullDir, terms, 10)
+      .select(col("id"), col("score_micro")).as[(Long, Long)].collect().sortBy(_._1)
+    segmented shouldBe full
+    Retrieval.compactRetrievalIndex(spark, dir)
+    spark.read.parquet(s"$dir/postings").select("seg").distinct().count() shouldBe 1L
+    probe() shouldBe full
+  }
+
+  test("appending overlapping or duplicate ids is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr6").toString
+    Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", dir)
+    val overlapping = Seq((5L, "late arrival")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.appendToRetrievalIndex(spark, dir, overlapping, "doc_id", "text")
+    val dup = Seq((7L, "x"), (7L, "y")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.appendToRetrievalIndex(spark, dir, dup, "doc_id", "text")
+  }
+
   test("query terms absent from the corpus contribute nothing") {
     val res = Retrieval
       .bm25TopK(corpus, "doc_id", "text", Seq("zzz_missing", "spark"), 10)
