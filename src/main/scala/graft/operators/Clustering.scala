@@ -202,4 +202,67 @@ object Clustering {
         (-col("_best._negid")).as("keep_id"),
         col("_best._s").as(s"kept_$scoreCol"),
         col("n_members"))
+
+  /** Incremental cluster maintenance under append-only ingest: fold a
+    * batch's new near-dup pairs into a STORED (id, cluster_id)
+    * assignment without recomputing components over the indexed corpus.
+    *
+    * The stored assignment is treated as a CONTRACTED graph: each new
+    * pair's endpoints map to their stored cluster roots (themselves for
+    * unseen/batch ids), components run over the contracted edge list —
+    * which is DELTA-sized, never corpus-sized — and the resulting
+    * root→root moves replay onto the stored assignment as one
+    * broadcast map-side join. Equivalence with a full recompute rests
+    * on the append-only id discipline (batch ids all exceed stored
+    * ids, asserted here like every stored-index append): component
+    * minima then never move backward, so contracted min-labels equal
+    * full-graph min-labels.
+    *
+    * Scale shape: the corpus-sized `stored` frame is touched exactly
+    * twice, both map-only — a broadcast semi-join picking the ≤2·|pairs|
+    * rows whose roots the contraction needs, and the final broadcast
+    * root-remap. Everything else is delta-sized. The at-scale pair
+    * GENERATOR for the batch is the banded incremental screen
+    * (q91/q97); this operator is the assignment-maintenance step after
+    * it. */
+  def mergeIncremental(stored: DataFrame, idCol: String, clusterCol: String,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      batchIds: DataFrame, batchIdCol: String): DataFrame = {
+    val p = newPairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .localCheckpoint() // referenced three times below; generate once
+    // append-only discipline: without it contracted min-labels can
+    // disagree with a full recompute (a small new id could become a
+    // component's minimum without ever meeting the old root directly)
+    val mx = stored.agg(max(col(idCol).cast("long"))).head
+    val mn = batchIds.agg(min(col(batchIdCol).cast("long"))).head
+    require(mx.isNullAt(0) || mn.isNullAt(0) || mn.getLong(0) > mx.getLong(0),
+      s"append-only id discipline violated: batch min id ${mn.get(0)} <= " +
+        s"max stored id ${mx.get(0)}; run a full recompute instead")
+    val endpoints = p.select(explode(array(col("_a"), col("_b"))).as("_rid"))
+      .distinct()
+    val touched = stored
+      .select(col(idCol).as("_rid"), col(clusterCol).as("_root"))
+      .join(broadcast(endpoints), Seq("_rid")) // corpus streams, no shuffle
+    val contracted = p
+      .join(broadcast(touched.select(col("_rid").as("_a"), col("_root").as("_ra"))),
+        Seq("_a"), "left")
+      .join(broadcast(touched.select(col("_rid").as("_b"), col("_root").as("_rb"))),
+        Seq("_b"), "left")
+      .select(coalesce(col("_ra"), col("_a")).as("_ca"),
+        coalesce(col("_rb"), col("_b")).as("_cb"))
+      .filter(col("_ca") =!= col("_cb"))
+    val cc = connectedComponents(contracted, "_ca", "_cb")
+      .localCheckpoint() // consumed by two branches
+    val rootMap = cc.select(col("id").as("_oldroot"), col("cluster_id").as("_newroot"))
+    val storedUpd = stored
+      .select(col(idCol), col(clusterCol))
+      .join(broadcast(rootMap), col(clusterCol) === col("_oldroot"), "left")
+      .select(col(idCol),
+        coalesce(col("_newroot"), col(clusterCol)).as(clusterCol))
+    val batchAsg = batchIds.select(col(batchIdCol).as(idCol))
+      .join(broadcast(cc.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as(clusterCol))
+    storedUpd.unionByName(batchAsg)
+  }
 }

@@ -308,16 +308,11 @@ object PipelineQueries {
     * near-dup clusters are small. (The same operator clusters
     * LSH-verified text pairs — q30's output — identically; the
     * embedding graph is the cheaper bench representative.) */
-  private val q32 = Q(
-    "q32_neardup_clusters",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.operators.Clustering.assignClusters(
-        emb, "vec_id",
-        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4), "id_a", "id_b")
-        .orderBy("vec_id")
-    },
-    Some(s"""WITH RECURSIVE
+  /** Full-corpus CC-over-cosine-pairs oracle — shared by q32 (one-shot
+    * clustering) and q117 (incremental maintenance), whose outputs must
+    * be identical by construction. */
+  private lazy val ccClustersOracleSql: String =
+    s"""WITH RECURSIVE
       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM c a JOIN c b ON a.vec_id < b.vec_id
@@ -328,7 +323,48 @@ object PipelineQueries {
       m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
       SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
       FROM c LEFT JOIN m ON c.vec_id = m.src
-      ORDER BY c.vec_id""".replaceAll("\\s+", " ")))
+      ORDER BY c.vec_id""".replaceAll("\\s+", " ")
+
+  private val q32 = Q(
+    "q32_neardup_clusters",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Clustering.assignClusters(
+        emb, "vec_id",
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4), "id_a", "id_b")
+        .orderBy("vec_id")
+    },
+    Some(ccClustersOracleSql))
+
+  /** Incremental cluster maintenance: cluster the first two-thirds of
+    * the corpus, then fold the remaining batch's pairs into the stored
+    * assignment via [[graft.operators.Clustering.mergeIncremental]] —
+    * the contracted-graph merge whose work is delta-sized while the
+    * corpus is touched only by two broadcast map-side joins. Same
+    * oracle as q32: maintenance must be indistinguishable from a full
+    * recompute (append-only ids make contracted min-labels exact).
+    * The all-pairs generator here pins semantics at test scale; the
+    * at-scale batch-pair generator is the banded screen (q91/q97). */
+  private val q117 = Q(
+    "q117_incremental_clusters",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+      val base = emb.filter(col("vec_id") <= cut)
+      val batch = emb.filter(col("vec_id") > cut)
+      val stored = graft.operators.Clustering.assignClusters(
+        base, "vec_id",
+        Similarity.cosineNearDupPairs(base, "vec_id", "embedding", 0.4),
+        "id_a", "id_b")
+      val newPairs = Similarity
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .filter(col("id_a") > cut || col("id_b") > cut)
+      graft.operators.Clustering.mergeIncremental(
+          stored, "vec_id", "cluster_id", newPairs, "id_a", "id_b",
+          batch, "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(ccClustersOracleSql))
 
   /** Deterministic hash sampling: the same ~30% of documents selected
     * regardless of partitioning or cluster size — recomputable from the
@@ -568,5 +604,5 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103, q104)
+      q83, q89, q92, q95, q96, q103, q104, q117)
 }

@@ -231,6 +231,52 @@ class ClusteringSpec extends SparkSpec {
       Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
   }
 
+  test("mergeIncremental equals a full recompute on random append-split graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { _ =>
+      val n = 40L
+      val cut = 25L
+      val allIds = (0L until n)
+      val pairs = Seq.fill(45)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val full = Clustering.assignClusters(
+        allIds.toDF("id"), "id", pairsDf, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val basePairs = pairsDf.filter($"id_a" <= cut && $"id_b" <= cut)
+      val stored = Clustering.assignClusters(
+        allIds.filter(_ <= cut).toDF("id"), "id", basePairs, "id_a", "id_b")
+      val newPairs = pairsDf.filter($"id_a" > cut || $"id_b" > cut)
+      val merged = Clustering.mergeIncremental(
+        stored, "id", "cluster_id", newPairs, "id_a", "id_b",
+        allIds.filter(_ > cut).toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      merged shouldBe full
+    }
+  }
+
+  test("mergeIncremental bridges two stored clusters through a new id") {
+    // stored: {1,2} root 1, {5,6} root 5; new doc 10 pairs with 2 and 6
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "cluster_id")
+    val merged = Clustering.mergeIncremental(
+      stored, "id", "cluster_id",
+      Seq((10L, 2L), (10L, 6L)).toDF("id_a", "id_b"), "id_a", "id_b",
+      Seq(10L, 11L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 1L, 11L -> 11L)
+  }
+
+  test("mergeIncremental refuses non-append-only batches") {
+    val stored = Seq((1L, 1L), (9L, 9L)).toDF("id", "cluster_id")
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.mergeIncremental(
+        stored, "id", "cluster_id",
+        Seq((5L, 1L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        Seq(5L).toDF("id"), "id")
+  }
+
   test("assignClusters gives isolated ids their own cluster") {
     val ids = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
