@@ -390,6 +390,84 @@ object Dedup {
     bestBandedMatch(cs, bs, idCol, bits, maxHamming, bandBits)
   }
 
+  /** Persist a corpus's shingle-MinHash signatures as a stored
+    * append-only artifact — the Jaccard-estimate twin of
+    * [[writeSimhashIndex]] (simhash screens by Hamming distance on one
+    * fingerprint; minhash screens by ESTIMATED JACCARD, the measure the
+    * LSH dedup family thresholds on). `dir/data` = (idCol, mh0..mh{k-1}),
+    * `dir/params` = signature geometry, `dir/meta` = max indexed id. */
+  def writeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 16, shingleN: Int = 3): Unit = {
+    minhashSignatureShingled(corpus, idCol, textCol, k, shingleN)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    spark.range(1).select(lit(k).as("k"), lit(shingleN).as("shingle_n"))
+      .write.mode("overwrite").parquet(s"$dir/params")
+    StoredIndex.writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+  }
+
+  /** Incremental ingest into the stored minhash index: sign the batch
+    * with the STORED geometry and append (batch-sized work; existing
+    * files untouched; append-only id discipline validated). */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val p = spark.read.parquet(s"$dir/params").head
+      minhashSignatureShingled(batch, idCol, textCol,
+          p.getAs[Number]("k").intValue(), p.getAs[Number]("shingle_n").intValue())
+        .write.mode("append").parquet(s"$dir/data")
+      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
+    }
+
+  /** Screen a batch against the STORED minhash index: banded equi-join
+    * (complete for any pair agreeing on a full band — the standard LSH
+    * guarantee), then the Jaccard ESTIMATE from signature agreement,
+    * `est_milli` = ⌊1000·(agreeing components)/k⌋ — pure int64, no text
+    * on the corpus side, ever. Pairs colliding in several bands emit
+    * several candidate rows; they collapse in the per-batch-doc
+    * best-match aggregate (inflation bounded by the band count), so no
+    * pair-keyed distinct is needed. Returns every batch id with its
+    * best match (highest estimate, then lowest corpus id) or nulls. */
+  def screenWithMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      bandSize: Int = 4, minEstMilli: Long = 500L): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").head
+    val k = p.getAs[Number]("k").intValue()
+    val shingleN = p.getAs[Number]("shingle_n").intValue()
+    require(k % bandSize == 0, "stored k must be divisible by bandSize")
+    val nBands = k / bandSize
+    def banded(sig: DataFrame, id: String, prefix: String) = {
+      val bands = (0 until nBands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws("-", (b * bandSize until (b + 1) * bandSize)
+            .map(j => col(s"mh$j")): _*).as("band_key"))
+      }
+      sig.select(
+        col(id) +: (0 until k).map(j => col(s"mh$j").as(s"$prefix$j")) :+
+          explode(array(bands: _*)).as("_band"): _*)
+        .select(col(id) +: (0 until k).map(j => col(s"$prefix$j")) :+
+          col("_band.band_id").as("band_id") :+
+          col("_band.band_key").as("band_key"): _*)
+    }
+    val cs = banded(spark.read.parquet(s"$dir/data")
+      .withColumnRenamed(idCol, "_cid"), "_cid", "_c")
+    val bs = banded(minhashSignatureShingled(batch, idCol, textCol, k, shingleN),
+      idCol, "_b")
+    val agree = (0 until k)
+      .map(j => when(col(s"_b$j") === col(s"_c$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val best = bs.join(cs, Seq("band_id", "band_key"))
+      .withColumn("_agree", agree)
+      .withColumn("_est", expr(s"(1000 * _agree) DIV $k"))
+      .filter(col("_est") >= minEstMilli)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_est")).as("_n"), col("_cid"))).as("_b"))
+      .select(col(idCol), col("_b._cid").as("dup_of"), (-col("_b._n")).as("est_milli"))
+    batch.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"), col("est_milli"))
+  }
+
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

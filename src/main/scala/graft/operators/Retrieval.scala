@@ -112,6 +112,40 @@ object Retrieval {
           x.getField("tf").as("tf"))))
       .select(col("token"), col("df_t"), col("postings"))
 
+  /** Score a batch OR STREAMING document frame against the stored
+    * index's corpus statistics for a fixed term set — the ingest-time
+    * routing/alerting form of retrieval (no top-k: append-mode streams
+    * cannot globally sort; callers threshold `score_micro`). The
+    * bounded artifacts (1 stats row + ≤|terms| df rows) are read at
+    * plan-build time and folded into a MAP-ONLY row expression, so each
+    * micro-batch scores against the frozen statistics with no state
+    * store — the stored-weights/vocab shape. Identical per-document
+    * scores to [[bm25TopK]] over the indexed corpus by construction
+    * (RetrievalSpec proves stream ≡ inline). */
+  def bm25ScoreStream(df: DataFrame, idCol: String, textCol: String,
+      dir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    val spark = df.sparkSession
+    val stats = spark.read.parquet(s"$dir/stats").head
+    val n = stats.getAs[Long]("n_docs")
+    val sumdl = stats.getAs[Long]("sum_dl")
+    val dfByTerm = spark.read.parquet(s"$dir/postings")
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df_t")).as("df_t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Dedup.tokens(col(textCol))
+    val dl = size(toks).cast("long")
+    val partials = terms.filter(dfByTerm.contains).map { t =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("long")
+      scoreMicro(idfMicro(n, dfByTerm(t)), tf, dl, n, sumdl)
+    }
+    val total =
+      if (partials.isEmpty) lit(0L) else partials.reduce(_ + _).cast("long")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), dl.as("n_tokens"), total.as("score_micro"))
+      .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
+  }
+
   /** Persist the retrieval index for [[bm25TopKStored]]:
     *  - `dir/postings/seg=0`: (token, df_t, postings array<struct<gap,tf>>)
     *    — the first LOG-STRUCTURED SEGMENT (the Lucene layout:

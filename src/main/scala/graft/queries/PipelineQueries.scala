@@ -602,7 +602,72 @@ object PipelineQueries {
         GROUP BY cl.cluster_id ORDER BY cl.cluster_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Stored MinHash signature index: the Jaccard-estimate twin of q97's
+    * simhash index. Build on the first third, APPEND the second third
+    * (stored-geometry signing, batch-sized work), screen the rest:
+    * banded LSH candidates from stored signatures — corpus text is
+    * never read at screen time — scored by the integer Jaccard estimate
+    * (agreeing components / k, in milli-units). The oracle recomputes
+    * signatures relationally and joins on the same any-band-agrees
+    * predicate; multi-band collisions collapse identically in the
+    * best-match-per-batch-doc aggregate on both sides. */
+  private val q118 = {
+    val (k, n, bandSize, thrMilli) = (K, 3, 4, 500)
+    val nBands = k / bandSize
+    val shingleCte =
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $n
+           THEN list_transform(range(1, len(toks) - ${n - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE [] END)) AS sg FROM t),
+         h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("sg")} AS hv FROM sh)"""
+    val minsSql = (0 until k)
+      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+    val anyBand = (0 until nBands).map { b =>
+      (b * bandSize until (b + 1) * bandSize)
+        .map(j => s"b.mh$j = c.mh$j").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val agreeSql = (0 until k)
+      .map(j => s"(CASE WHEN b.mh$j = c.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    Q(
+      "q118_minhash_index_screen",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (cut1, cut2) = (mx / 3, mx * 2 / 3)
+        val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q118_mh_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val p = new org.apache.hadoop.fs.Path(iDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Dedup.writeMinhashIndex(
+          s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", iDir, k, n)
+        Dedup.appendToMinhashIndex(
+          s, iDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          "doc_id", "text")
+        Dedup.screenWithMinhashIndex(
+            s, iDir, docs.filter(col("doc_id") > cut2), "doc_id", "text",
+            bandSize, thrMilli.toLong)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
+        cut AS (SELECT (2 * max(doc_id)) // 3 AS c2 FROM documents),
+        c AS (SELECT sig.* FROM sig, cut WHERE doc_id <= c2),
+        b AS (SELECT sig.* FROM sig, cut WHERE doc_id > c2),
+        cand AS (SELECT b.doc_id, c.doc_id AS cid,
+            (1000 * ($agreeSql)) // $k AS est_milli
+          FROM b JOIN c ON $anyBand),
+        best AS (SELECT doc_id, cid, est_milli,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY est_milli DESC, cid) AS rn
+          FROM cand WHERE est_milli >= $thrMilli)
+        SELECT d.doc_id, best.cid AS dup_of, best.est_milli
+        FROM (SELECT doc_id FROM documents, cut WHERE doc_id > c2) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) best USING (doc_id)
+        ORDER BY d.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103, q104, q117)
+      q83, q89, q92, q95, q96, q103, q104, q117, q118)
 }

@@ -336,6 +336,52 @@ class DedupSpec extends SparkSpec {
         (50L to 55L).map(doc).toDF("doc_id", "text"), "doc_id", "text")
   }
 
+  test("stored minhash index screen == brute-force signature comparison; appends validated") {
+    val rnd = new scala.util.Random(67)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // seed near-dups: clones of earlier docs with one token changed
+    val base = (1L to 60L).map(doc)
+    val clones = (61L to 70L).map { id =>
+      val src = base((id % 20).toInt)._2.split(" ")
+      (id, (src.init :+ "wX").mkString(" "))
+    }
+    val df = (base ++ clones).toDF("doc_id", "text")
+    val (corpus, batch) = (df.filter(col("doc_id") <= 55), df.filter(col("doc_id") > 55))
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.writeMinhashIndex(spark, corpus, "doc_id", "text", dir, k = 16, shingleN = 3)
+    val stored = Dedup.screenWithMinhashIndex(spark, dir, batch, "doc_id", "text",
+      bandSize = 4, minEstMilli = 500L)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    // brute force: exact banded-candidate + agreement-estimate semantics
+    val sig = Dedup.minhashSignatureShingled(df, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toVector).toMap
+    val expected = batch.select("doc_id").as[Long].collect().map { b =>
+      val cands = for {
+        (c, cSig) <- sig.toSeq if c <= 55 && sig.contains(b)
+        bSig = sig(b)
+        if (0 until 4).exists(band =>
+          (band * 4 until band * 4 + 4).forall(j => bSig(j) == cSig(j)))
+        est = 1000L * (0 until 16).count(j => bSig(j) == cSig(j)) / 16
+        if est >= 500L
+      } yield (est, c)
+      if (cands.isEmpty) (b, None, None)
+      else {
+        val (est, c) = cands.maxBy { case (e, cid) => (e, -cid) }
+        (b, Some(c), Some(est))
+      }
+    }.toSet
+    stored shouldBe expected
+    stored.count(_._2.isDefined) should be >= 5 // the clones actually screen
+    // append uses the stored geometry and is id-disciplined
+    Dedup.appendToMinhashIndex(spark, dir,
+      Seq((80L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text"), "doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.appendToMinhashIndex(spark, dir,
+        Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+  }
+
   test("row-local simhashExpr equals the aggregation-form simhash") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 40).map(i => s"w$i")

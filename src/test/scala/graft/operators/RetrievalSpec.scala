@@ -169,6 +169,32 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.appendToRetrievalIndex(spark, dir, dup, "doc_id", "text")
   }
 
+  test("stream scoring against the stored index is stateless and equals inline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr7").toString
+    Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", dir)
+    val terms = Seq("spark", "vector")
+    val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, String)]
+    val q = Retrieval
+      .bm25ScoreStream(in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, terms)
+      .writeStream.format("memory").queryName("t_bm25")
+      .outputMode(OutputMode.Append()).start()
+    // replay the corpus docs through the stream in two micro-batches
+    in.addData((1L, "spark joins data with spark"), (2L, "vector search over spark"))
+    q.processAllAvailable()
+    in.addData((4L, "customer spark spark spark spark"), (5L, "vector vector customer"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_bm25")
+      .filter(col("score_micro") > 0)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    streamed shouldBe inline.filter { case (id, _) => Set(1L, 2L, 4L, 5L)(id) }
+  }
+
   test("query terms absent from the corpus contribute nothing") {
     val res = Retrieval
       .bm25TopK(corpus, "doc_id", "text", Seq("zzz_missing", "spark"), 10)
