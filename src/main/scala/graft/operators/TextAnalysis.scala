@@ -178,24 +178,13 @@ object TextAnalysis {
     * exchange in a typical consumer is its own digest groupBy. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame = {
     require(m >= 2, s"modulus must be >= 2, got $m")
-    import graft.functions.{ArrayOps, PortableHash}
+    import graft.functions.ArrayOps
     val segs = ArrayOps.bind(tokens(col(textCol))) { toks =>
-      ArrayOps.bind(filter(sequence(lit(1), size(toks)),
-          i => PortableHash.md5Hash32(element_at(toks, i)) % m === 0)) { bpos =>
-        ArrayOps.bind(concat(array(lit(1)), transform(bpos, x => x + 1))) { starts =>
-          ArrayOps.bind(concat(bpos, array(size(toks)))) { ends =>
-            val kept = filter(
-              transform(sequence(lit(1), size(starts)), j =>
-                struct(element_at(starts, j).as("s"), element_at(ends, j).as("e"))),
-              st => st.getField("s") <= st.getField("e"))
-            transform(kept, st =>
-              struct(
-                (st.getField("e") - st.getField("s") + 1).cast("long").as("n"),
-                md5(concat_ws(" ", slice(toks, st.getField("s"),
-                  st.getField("e") - st.getField("s") + 1))).as("d")))
-          }
-        }
-      }
+      transform(cdcSpans(toks, m), st =>
+        struct(
+          (st.getField("e") - st.getField("s") + 1).cast("long").as("n"),
+          md5(concat_ws(" ", slice(toks, st.getField("s"),
+            st.getField("e") - st.getField("s") + 1))).as("d")))
     }
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(segs).as(Seq("_c0", "_ch")))
@@ -203,6 +192,86 @@ object TextAnalysis {
         (col("_c0") + 1).cast("long").as("chunk_id"),
         col("_ch.n").as("n_tokens"),
         col("_ch.d").as("chunk_digest"))
+  }
+
+  /** Non-empty 1-based CDC segment bounds `(s, e)` for a token array:
+    * a segment ends after every token whose md5-derived hash ≡ 0
+    * (mod `m`), plus the array end. Shared by [[cdcChunks]] and
+    * [[dedupCdcChunks]] so both see identical boundaries. */
+  private def cdcSpans(toks: Column, m: Int): Column = {
+    import graft.functions.ArrayOps
+    ArrayOps.bind(filter(sequence(lit(1), size(toks)),
+        i => PortableHash.md5Hash32(element_at(toks, i)) % m === 0)) { bpos =>
+      ArrayOps.bind(concat(array(lit(1)), transform(bpos, x => x + 1))) { starts =>
+        ArrayOps.bind(concat(bpos, array(size(toks)))) { ends =>
+          filter(
+            transform(sequence(lit(1), size(starts)), j =>
+              struct(element_at(starts, j).as("s"), element_at(ends, j).as("e"))),
+            st => st.getField("s") <= st.getField("e"))
+        }
+      }
+    }
+  }
+
+  /** Corpus-wide CHUNK-LEVEL exact dedup over [[cdcChunks]] segments,
+    * keep-first: a chunk whose digest already occurred at a smaller
+    * (id, chunk_id) anywhere in the corpus is cut; every first
+    * occurrence stays. The sub-document complement of whole-doc exact
+    * dedup — repeated quotes, license blocks, and syndicated passages
+    * collapse to one stored copy while each document keeps its unique
+    * remainder (the C4 line-dedup move, on insertion-robust CDC units
+    * instead of lines). Returns one row per input document:
+    * (id, n_chunks, n_cut_chunks, n_kept_tokens, clean_digest) with
+    * `clean_digest` = md5 of the rebuilt (kept-chunks-only) text.
+    *
+    * Scale shape: the only corpus-sized exchange is the digest-keyed
+    * window over the (id, chunk_id, digest) SHADOW — text never
+    * explodes and never shuffles with the digests. Losing chunks are
+    * dup-rate-sized; they fold to one per-doc cut-set whose join-back
+    * into the corpus is a doc-keyed equi join (AQE broadcasts it when
+    * small), and the rebuild itself is one array-side projection over
+    * the already-resident token array. */
+  def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame = {
+    require(m >= 2, s"modulus must be >= 2, got $m")
+    import graft.functions.ArrayOps
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.filter(col(textCol).isNotNull)
+    val chunks = cdcChunks(docs, idCol, textCol, m)
+      .select(col(idCol).as("_did"), col("chunk_id"), col("chunk_digest"))
+    val cut = chunks
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("chunk_digest")).orderBy(col("_did"), col("chunk_id"))))
+      .filter(col("_rn") > 1)
+      .groupBy(col("_did"))
+      .agg(collect_set(col("chunk_id")).as("_cut"))
+    docs
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_toks"))
+      .join(cut, Seq("_did"), "left")
+      .select(col("_did"),
+        ArrayOps.bind(coalesce(col("_cut"), array().cast("array<bigint>"))) { cutIds =>
+          ArrayOps.bind(col("_toks")) { toks =>
+            ArrayOps.bind(cdcSpans(toks, m)) { spans =>
+              ArrayOps.bind(flatten(transform(
+                  filter(sequence(lit(1), size(spans)),
+                    j => !array_contains(cutIds, j.cast("long"))),
+                  j => ArrayOps.bind(element_at(spans, j)) { st =>
+                    slice(toks, st.getField("s"),
+                      st.getField("e") - st.getField("s") + 1)
+                  }))) { kt =>
+                struct(
+                  size(spans).cast("long").as("n_chunks"),
+                  size(cutIds).cast("long").as("n_cut_chunks"),
+                  size(kt).cast("long").as("n_kept_tokens"),
+                  md5(concat_ws(" ", kt)).as("clean_digest"))
+              }
+            }
+          }
+        }.as("_r"))
+      .select(col("_did").as(idCol),
+        col("_r.n_chunks").as("n_chunks"),
+        col("_r.n_cut_chunks").as("n_cut_chunks"),
+        col("_r.n_kept_tokens").as("n_kept_tokens"),
+        col("_r.clean_digest").as("clean_digest"))
   }
 
   /** Boilerplate detection: n-gram shingles appearing in at least

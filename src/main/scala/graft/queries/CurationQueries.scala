@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -643,6 +643,73 @@ object CurationQueries {
         ORDER BY doc_id, chunk_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Chunk-level corpus dedup over q102's CDC segments, keep-first:
+    * any chunk digest already seen at a smaller (doc_id, chunk_id) is
+    * cut; documents are rebuilt from their surviving chunks. The oracle
+    * reproduces the boundaries relationally and picks winners with the
+    * same (doc_id, position) row_number the engine's digest-keyed
+    * window uses, so the rebuilt-text digests must agree byte-for-byte. */
+  private val q119 = {
+    val m = 8
+    Q(
+      "q119_chunk_dedup",
+      (s, dir) => TextAnalysis.dedupCdcChunks(t(s, dir, "documents"), "doc_id", "text", m)
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        seg AS (SELECT doc_id, toks,
+            list_filter(range(1, len(toks) + 1),
+              i -> ${PortableHash.md5Hash32Sql("toks[i]")} % $m = 0) AS b
+          FROM base),
+        se AS (SELECT doc_id, toks,
+            list_prepend(1, list_transform(b, x -> x + 1)) AS starts,
+            list_append(b, len(toks)) AS ends FROM seg),
+        ch AS (SELECT doc_id,
+            unnest(range(1, len(starts) + 1)) AS j,
+            unnest(list_transform(range(1, len(starts) + 1),
+              j -> ends[j] - starts[j] + 1)) AS n,
+            unnest(list_transform(range(1, len(starts) + 1),
+              j -> array_to_string(toks[starts[j]:ends[j]], ' '))) AS ct
+          FROM se),
+        rn AS (SELECT doc_id, j, n, ct,
+            row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id, j) AS rn
+          FROM ch WHERE n >= 1),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(coalesce(count(*) FILTER (WHERE rn > 1), 0) AS BIGINT) AS n_cut_chunks,
+            CAST(coalesce(sum(n) FILTER (WHERE rn = 1), 0) AS BIGINT) AS n_kept_tokens,
+            coalesce(md5(string_agg(ct, ' ' ORDER BY j) FILTER (WHERE rn = 1)),
+              md5('')) AS clean_digest
+          FROM rn GROUP BY doc_id)
+        SELECT doc_id, n_chunks, n_cut_chunks, n_kept_tokens, clean_digest
+        FROM agg ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** BPE trainer statistics: the adjacent character-pair frequency pass
+    * (weighted by word frequency) whose argmax is the trainer's next
+    * merge. Top-50 merge candidates under a total deterministic order.
+    * Pair generation is array-side per DISTINCT word, so the aggregate
+    * input is vocabulary-sized — the corpus contributes exactly one
+    * token explode. */
+  private val q120 = {
+    val topN = 50
+    Q(
+      "q120_bpe_pair_stats",
+      (s, dir) => Bpe.pairStats(t(s, dir, "documents"), "text")
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(topN),
+      Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+        pr AS (SELECT n,
+            unnest(list_transform(range(1, length(w)),
+              i -> substring(w, CAST(i AS INT), 1))) AS a,
+            unnest(list_transform(range(1, length(w)),
+              i -> substring(w, CAST(i AS INT) + 1, 1))) AS b
+          FROM wc WHERE length(w) >= 2)
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count FROM pr
+        GROUP BY a, b ORDER BY pair_count DESC, a, b
+        LIMIT $topN""".replaceAll("\\s+", " ")))
+  }
+
   /** CCNet-style perplexity quality filter: score every document's
     * cross-entropy under an add-one-smoothed conditional bigram model
     * (hashed vocab, 32 word classes) trained on the English subset.
@@ -985,5 +1052,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120)
 }

@@ -356,6 +356,78 @@ class CurationSpec extends SparkSpec {
     byDoc(1L).length - onlyIn1 should be >= byDoc(1L).length - 2
   }
 
+  test("dedupCdcChunks keep-first equals a brute-force reference rebuild") {
+    import graft.operators.TextAnalysis
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val m = 8
+    val rnd = new scala.util.Random(19)
+    val vocab = (0 until 25).map(i => s"w$i")
+    // every third doc embeds a verbatim 30-token shared block
+    val shared = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (1L to 12L).map { id =>
+      val own = Seq.fill(20 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val toks = if (id % 3 == 0) own.take(10) ++ shared ++ own.drop(10) else own
+      (id, toks.mkString(" "))
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      text.split(" ", -1).foreach { t =>
+        cur += t
+        if (h32(t) % m == 0) { out += cur.toSeq; cur = scala.collection.mutable.Buffer[String]() }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.map(_.mkString(" ")).toSeq
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val cs = chunksOf(text)
+      val kept = cs.filter { c =>
+        val d = md5hex(c); if (seen(d)) false else { seen += d; true }
+      }
+      (id, cs.size.toLong, (cs.size - kept.size).toLong,
+        kept.map(_.split(" ", -1).length.toLong).sum, md5hex(kept.mkString(" ")))
+    }
+    val got = TextAnalysis.dedupCdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    got shouldBe expected
+    got.map(_._3).sum should be > 0L // the shared blocks actually deduped
+  }
+
+  test("bpe pairStats, trainMerges, and countBpeTokens agree with hand-computed BPE") {
+    import graft.operators.Bpe
+    // corpus: "abab" ×3 docs of 2 words, "cd" ×2 — pair (a,b) count =
+    // 2 occurrences/word × 6 words = 12, (b,a) = 6, (c,d) = 2
+    val docs = Seq((1L, "abab abab"), (2L, "abab abab"), (3L, "abab abab"),
+      (4L, "cd cd")).toDF("doc_id", "text")
+    val m = Bpe.pairStats(docs, "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    m(("a", "b")) shouldBe 12L
+    m(("b", "a")) shouldBe 6L
+    m(("c", "d")) shouldBe 2L
+    // training: merge 1 = (a,b); then "abab" = [ab, ab] so merge 2 =
+    // (ab, ab); then merge 3 = (c,d) with count 2
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 5)
+    merges.take(3) shouldBe Seq(("a", "b"), ("ab", "ab"), ("c", "d"))
+    merges.length shouldBe 3 // nothing left with count >= 2
+    // encoding: full table collapses "abab" to one symbol, "cd" to one
+    val rank = merges.zipWithIndex.toMap
+    Bpe.encodeWord("abab", rank) shouldBe Vector("abab")
+    Bpe.encodeWord("cd", rank) shouldBe Vector("cd")
+    Bpe.encodeWord("ababx", rank) shouldBe Vector("abab", "x")
+    // concatenation invariant on arbitrary words
+    Bpe.encodeWord("xyzzy", rank).mkString shouldBe "xyzzy"
+    val counts = Bpe.countBpeTokens(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    counts shouldBe Array((1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 2L), (4L, 2L, 2L))
+    // fewer merges -> more tokens, monotone
+    val counts1 = Bpe.countBpeTokens(docs, "doc_id", "text", merges.take(1))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    counts1.head shouldBe ((1L, 2L, 4L)) // [ab,ab] per word
+  }
+
   test("dsirWeights scores target-vocabulary docs above raw-vocabulary docs") {
     import graft.operators.Importance
     // target docs use t-words, the rest use r-words; a fresh doc built
