@@ -274,6 +274,44 @@ object TextAnalysis {
         col("_r.clean_digest").as("clean_digest"))
   }
 
+  /** Tiny public keyword taxonomy over the test vocabulary — the
+    * rule-based topic router's default rule set (tag → keyword list).
+    * Real pipelines swap in a curated taxonomy; the operator shape is
+    * identical at any rule-list size that fits a broadcast. */
+  val topicRules: Map[String, Seq[String]] = Map(
+    "analytics" -> Seq("agg", "group", "window", "sort"),
+    "relational" -> Seq("join", "merge", "table", "row", "column"),
+    "retrieval" -> Seq("vector", "query", "scan"),
+    "streaming" -> Seq("stream", "batch"))
+
+  /** Rule-based multi-label topic tagging: a document gets every tag
+    * whose keyword list intersects its token set. Output (id, tags,
+    * n_tags) with `tags` the comma-joined tag list in ascending tag
+    * order ('' when none match) — the taxonomy-routing step a training
+    * mixture planner runs before per-topic quotas.
+    *
+    * Scale shape: MAP-ONLY — the rule list folds into one row-local
+    * projection (`arrays_overlap` per tag over the bound token array);
+    * no shuffle, no join, nothing driver-side; trivially stateless on
+    * streams. */
+  def tagTopics(df: DataFrame, idCol: String, textCol: String,
+      rules: Map[String, Seq[String]] = topicRules): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 1000, "1..1000 taxonomy rules")
+    import graft.functions.ArrayOps
+    val tagged = ArrayOps.bind(tokens(col(textCol))) { toks =>
+      ArrayOps.bind(filter(
+          array(rules.toSeq.sortBy(_._1).map { case (tag, kws) =>
+            when(arrays_overlap(toks, array(kws.map(lit): _*)), lit(tag))
+          }: _*), x => x.isNotNull)) { tags =>
+        struct(concat_ws(",", tags).as("tags"),
+          size(tags).cast("long").as("n_tags"))
+      }
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tagged.as("_t"))
+      .select(col(idCol), col("_t.tags").as("tags"), col("_t.n_tags").as("n_tags"))
+  }
+
   /** Boilerplate detection: n-gram shingles appearing in at least
     * `minDocs` DISTINCT documents (headers, footers, license blocks —
     * the cross-document repetition CCNet-style curation removes).

@@ -710,6 +710,62 @@ object CurationQueries {
         LIMIT $topN""".replaceAll("\\s+", " ")))
   }
 
+  /** Rule-based multi-label topic tagging (taxonomy routing): the SQL
+    * mirror builds the same alphabetically-ordered candidate list from
+    * the same rule map, so tag strings agree byte-for-byte. */
+  private val q121 = {
+    val cases = TextAnalysis.topicRules.toSeq.sortBy(_._1).map { case (tag, kws) =>
+      s"CASE WHEN list_has_any(toks, [${kws.map(k => s"'$k'").mkString(", ")}]) " +
+        s"THEN '$tag' END"
+    }.mkString(", ")
+    Q(
+      "q121_topic_tags",
+      (s, dir) => TextAnalysis.tagTopics(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tg AS (SELECT doc_id, list_filter([$cases], x -> x IS NOT NULL) AS tl FROM tk)
+        SELECT doc_id, array_to_string(tl, ',') AS tags,
+          CAST(len(tl) AS BIGINT) AS n_tags
+        FROM tg ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
+  /** Incremental per-source corpus accounting: build the stats snapshot
+    * on the first third, fold two more batches in as log-structured
+    * segments, read the merged snapshot. Mergeable aggregates make the
+    * fold provably equal to the full recompute the oracle runs. */
+  private val q122 = {
+    Q(
+      "q122_stats_snapshot",
+      (s, dir) => {
+        import graft.operators.CorpusStats
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (cut1, cut2) = (mx / 3, mx * 2 / 3)
+        val sDir = s"${System.getProperty("java.io.tmpdir")}/graft_q122_cs_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val p = new org.apache.hadoop.fs.Path(sDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        CorpusStats.writeStatsSnapshot(
+          s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", "source", sDir)
+        CorpusStats.appendToStatsSnapshot(
+          s, sDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          "doc_id", "text", "source")
+        CorpusStats.appendToStatsSnapshot(
+          s, sDir, docs.filter(col("doc_id") > cut2), "doc_id", "text", "source")
+        CorpusStats.readStatsSnapshot(s, sDir).orderBy("source")
+      },
+      Some("""SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+          CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+          CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_doc_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source ORDER BY source""".replaceAll("\\s+", " ")))
+  }
+
   /** CCNet-style perplexity quality filter: score every document's
     * cross-entropy under an add-one-smoothed conditional bigram model
     * (hashed vocab, 32 word classes) trained on the English subset.
@@ -1052,5 +1108,6 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120)
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
+    q121, q122)
 }

@@ -428,6 +428,60 @@ class CurationSpec extends SparkSpec {
     counts1.head shouldBe ((1L, 2L, 4L)) // [ab,ab] per word
   }
 
+  test("tagTopics routes docs to every matching tag in sorted order; stateless on streams") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "join the window now"),       // relational + analytics
+      (2L, "nothing matches here"),      // no tags
+      (3L, "stream vector join agg")     // 4 tags: all rules hit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tagTopics(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    got shouldBe Array(
+      (1L, "analytics,relational", 2L),
+      (2L, "", 0L),
+      (3L, "analytics,relational,retrieval,streaming", 4L))
+    // map-only: no exchange anywhere in the plan
+    val plan = TextAnalysis.tagTopics(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("stats snapshot segment-fold equals full recompute; appends validated") {
+    import graft.operators.CorpusStats
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 90L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(10))(s"w${rnd.nextInt(20)}").mkString(" "),
+        s"s${id % 4}")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("cstats").toString
+    CorpusStats.writeStatsSnapshot(spark,
+      df.filter(col("doc_id") <= 30), "doc_id", "text", "source", dir)
+    CorpusStats.appendToStatsSnapshot(spark, dir,
+      df.filter(col("doc_id") > 30 && col("doc_id") <= 55), "doc_id", "text", "source")
+    CorpusStats.appendToStatsSnapshot(spark, dir,
+      df.filter(col("doc_id") > 55), "doc_id", "text", "source")
+    val got = CorpusStats.readStatsSnapshot(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val F = org.apache.spark.sql.functions
+    val full = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(F.size(F.split(col("text"), " "))).cast("long").as("n_tokens"),
+        sum(F.length(col("text"))).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
+        (sum(F.size(F.split(col("text"), " "))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_doc_tokens"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    got shouldBe full
+    // re-appending already-counted rows is refused (double counting)
+    an[IllegalArgumentException] should be thrownBy
+      CorpusStats.appendToStatsSnapshot(spark, dir,
+        df.filter(col("doc_id") <= 5), "doc_id", "text", "source")
+  }
+
   test("dsirWeights scores target-vocabulary docs above raw-vocabulary docs") {
     import graft.operators.Importance
     // target docs use t-words, the rest use r-words; a fresh doc built
