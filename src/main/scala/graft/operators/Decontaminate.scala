@@ -137,6 +137,43 @@ object Decontaminate {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Persist the decontamination reference as a reusable artifact:
+    * `dir/grams` = the exact distinct test gram hashes, `dir/bloom` =
+    * one row (serialized bloom over those hashes, gram size n). Build
+    * once per eval-set release; every later batch or stream screens
+    * against the frozen copy — the stored-weights/vocab discipline, so
+    * the hygiene gate cannot drift with corpus growth and the eval set
+    * itself never ships to consumers (hashes only). */
+  def writeDecontamArtifact(spark: org.apache.spark.sql.SparkSession,
+      test: DataFrame, testTextCol: String, n: Int, dir: String,
+      fpp: Double = 0.01): Unit = {
+    testGramSet(test, testTextCol, n).write.mode("overwrite").parquet(s"$dir/grams")
+    spark.range(1)
+      .select(lit(buildTestBloom(test, testTextCol, n, fpp)).as("bloom"),
+        lit(n).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  /** [[cleanBloomExact]] against the STORED artifact: the bloom is a
+    * one-row pull folded into the codegen'd pre-screen predicate at
+    * plan build; only bloom-positive grams enter the exact semi-join
+    * against the stored gram set, so the result is exactly [[clean]]
+    * with the artifact's test set — no recomputation of the reference
+    * side, corpus gram stream never shuffles. */
+  def cleanWithStoredArtifact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val row = spark.read.parquet(s"$dir/bloom").head()
+    val filterBytes = row.getAs[Array[Byte]]("bloom")
+    val n = row.getAs[Number]("n").intValue()
+    val grams = spark.read.parquet(s"$dir/grams")
+    val candidates = ngramHashes(corpus, idCol, textCol, n)
+      .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
+      .join(broadcast(grams), Seq("gram_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(candidates), Seq(idCol), "left_anti")
+  }
+
   /** STREAMING decontamination pre-screen: drop stream documents whose
     * n-grams hit the (pre-built, task-constant) test bloom. Entirely
     * row-local — the gram array and the `exists` probe are one narrow

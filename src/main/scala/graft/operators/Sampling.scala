@@ -152,6 +152,68 @@ object Sampling {
       .withColumn("data_constrained", col("tokens_target") > col("n_tokens"))
   }
 
+  /** Deterministic interleaved training order, stride-scheduled by
+    * token mass: document k of source s lands at
+    * `pos_key = k · SCALE ÷ tokens(s)` (exact int64), so reading in
+    * pos_key order visits sources proportionally to their token share
+    * THROUGHOUT the epoch — the "mix, don't concatenate" ordering rule
+    * (a source never clumps at one end). Compose with
+    * [[temperatureWeights]]/[[tokenBudgetPerGroup]] upstream to reshape
+    * the mixture before interleaving. Ranks are doc-id-ordered, so the
+    * order is append-stable: old documents keep their keys as the
+    * corpus grows.
+    *
+    * Returns (id, group, src_rank, pos_key); consumers sort by
+    * (pos_key, group, id) — totally deterministic.
+    *
+    * Scale shape: one group-keyed window (rank within source) + a
+    * broadcast join of the source-cardinality token totals + map
+    * arithmetic; NO global single-partition stage anywhere (the global
+    * sort is the consumer's — typically the shard writer's range
+    * exchange). SCALE = 10⁹ bounds per-source size at ~9.2×10⁹ docs
+    * before int64 overflow — at larger scale, shard the source space
+    * first. */
+  def interleaveByTokens(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = 1000000000L
+    val totals = df.groupBy(col(groupCol)).agg(
+      sum(graft.operators.TextAnalysis.tokenCount(col(textCol))).as("_grp_tokens"))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("src_rank", row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(col(idCol)))
+        .cast("long"))
+      .join(broadcast(totals), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("src_rank"),
+        expr(s"src_rank * ${scale}L DIV _grp_tokens").as("pos_key"))
+  }
+
+  /** Per-group adaptive quality gate (the FineWeb per-dump move):
+    * keep documents at or above their OWN group's 75th-percentile
+    * quality, so a uniformly-noisy source can't flood the pool and a
+    * uniformly-clean one isn't over-cut by a global threshold. The
+    * percentile rule is pure integer arithmetic on the within-group
+    * (score, id) rank — `4·(rank−1) ≥ 3·(n−1)` ⟺ percent_rank ≥ 0.75 —
+    * so survivor membership is bit-portable (no float percentile
+    * boundary).
+    *
+    * Scale shape: the score is map-only; rank and count share ONE
+    * group-keyed window exchange; the gate itself is a map-side filter.
+    * No global stage. */
+  def adaptiveQualityFilter(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    scored
+      .withColumn("src_rank",
+        row_number().over(w.orderBy(col("quality"), col(idCol))).cast("long"))
+      .withColumn("src_n", count(lit(1)).over(w).cast("long"))
+      .filter(lit(4) * (col("src_rank") - 1) >= lit(3) * (col("src_n") - 1))
+  }
+
   def temperatureWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perGroup = df.groupBy(col(groupCol)).agg(

@@ -26,6 +26,20 @@ object CurationQueries {
 
   /** Train/test decontamination: corpus docs (doc_id % 53 ≠ 0) that
     * share NO 5-gram with the held-out split (doc_id % 53 = 0). */
+  /** The q44 decontamination oracle (doc_id % 53 holdout split) —
+    * shared verbatim by q124, whose stored-artifact path must produce
+    * the identical clean set by construction. */
+  private def decontamOracleSql(n: Int): String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+      ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      cg AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM ct),
+      tt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 53 = 0),
+      tg AS (SELECT DISTINCT ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM tt),
+      bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN tg USING (gram_hash))
+      SELECT doc_id, lang, source FROM corpus c
+      WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = c.doc_id)
+      ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   private val q44 = {
     val n = 5
     Q(
@@ -38,15 +52,7 @@ object CurationQueries {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
-        ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-        cg AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM ct),
-        tt AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 53 = 0),
-        tg AS (SELECT DISTINCT ${PortableHash.md5Hash32Sql("unnest(list_distinct(" + shingleListSql("toks", n) + "))")} AS gram_hash FROM tt),
-        bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN tg USING (gram_hash))
-        SELECT doc_id, lang, source FROM corpus c
-        WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = c.doc_id)
-        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+      Some(decontamOracleSql(n)))
   }
 
   /** Per-source quota: at most 15 docs per source, hash-priority
@@ -766,6 +772,81 @@ object CurationQueries {
         GROUP BY source ORDER BY source""".replaceAll("\\s+", " ")))
   }
 
+  /** Deterministic interleaved training order: stride scheduling by
+    * token mass — pos_key = src_rank·10⁹ ÷ source_tokens, exact int64,
+    * so sorting by pos_key mixes sources proportionally throughout the
+    * epoch instead of concatenating them. */
+  private val q123 = Q(
+    "q123_interleave_order",
+    (s, dir) => Sampling.interleaveByTokens(t(s, dir, "documents"),
+        "source", "doc_id", "text")
+      .orderBy("pos_key", "source", "doc_id"),
+    Some("""WITH g AS (SELECT source,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS gt
+        FROM documents WHERE text IS NOT NULL GROUP BY source),
+      r AS (SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+          AS src_rank
+        FROM documents)
+      SELECT r.doc_id, r.source, r.src_rank,
+        CAST((r.src_rank * 1000000000) // g.gt AS BIGINT) AS pos_key
+      FROM r JOIN g USING (source)
+      ORDER BY pos_key, source, doc_id""".replaceAll("\\s+", " ")))
+
+  /** q44's decontamination through a PERSISTED artifact: the test gram
+    * set + its bloom are written once, then the corpus is screened
+    * against the frozen copy — identical clean set by construction, so
+    * q44's oracle serves both. */
+  private val q124 = {
+    val n = 5
+    Q(
+      "q124_decontam_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q124_dc_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val p = new org.apache.hadoop.fs.Path(aDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Decontaminate.writeDecontamArtifact(
+          s, docs.filter(col("doc_id") % 53 === 0), "text", n, aDir)
+        Decontaminate.cleanWithStoredArtifact(
+            s, aDir, docs.filter(col("doc_id") % 53 =!= 0), "doc_id", "text")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(decontamOracleSql(n)))
+  }
+
+  /** Per-source adaptive quality gate (FineWeb's per-dump percentile
+    * thresholding): keep each source's top quality quartile; the
+    * survivor rule is integer rank arithmetic, so membership can't flip
+    * on a float percentile boundary. */
+  private val q125 = {
+    val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val qualitySql = PortableRound.sql4(
+      s"""0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+        + 0.3 * least(1.0, CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ($stop))) AS DOUBLE)
+            / len(string_split(text, ' ')) * 5.0)""")
+    Q(
+      "q125_adaptive_quality_gate",
+      (s, dir) => Sampling.adaptiveQualityFilter(t(s, dir, "documents"),
+          "source", "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id, source, $qualitySql AS quality
+          FROM documents WHERE text IS NOT NULL),
+        r AS (SELECT doc_id, source, quality,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY quality, doc_id)
+              AS BIGINT) AS src_rank,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS src_n
+          FROM sc)
+        SELECT doc_id, source, quality, src_rank, src_n FROM r
+        WHERE 4 * (src_rank - 1) >= 3 * (src_n - 1)
+        ORDER BY doc_id""".replaceAll("\\s+", " ")))
+  }
+
   /** CCNet-style perplexity quality filter: score every document's
     * cross-entropy under an add-one-smoothed conditional bigram model
     * (hashed vocab, 32 word classes) trained on the English subset.
@@ -1109,5 +1190,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122)
+    q121, q122, q123, q124, q125)
 }

@@ -482,6 +482,72 @@ class CurationSpec extends SparkSpec {
         df.filter(col("doc_id") <= 5), "doc_id", "text", "source")
   }
 
+  test("interleaveByTokens stride-schedules sources proportionally to token mass") {
+    import graft.operators.Sampling
+    // source A: 4 docs × 10 tokens (mass 40); source B: 2 docs × 10 (mass 20)
+    val docs = ((1L to 4L).map(i => (i, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (5L to 6L).map(i => (i, "B", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.interleaveByTokens(docs, "source", "doc_id", "text")
+      .orderBy("pos_key", "source", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // keys: A docs at k·1e9/40, B docs at k·1e9/20
+    got.map(r => (r._1, r._4)).toMap shouldBe Map(
+      1L -> 25000000L, 2L -> 50000000L, 3L -> 75000000L, 4L -> 100000000L,
+      5L -> 50000000L, 6L -> 100000000L)
+    // read order interleaves B inside A at the 2:1 token ratio
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 5L, 3L, 4L, 6L)
+  }
+
+  test("adaptiveQualityFilter keeps each source's top quality quartile by integer rank") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(60)
+      (id, s"s${id % 2}", Seq.fill(n)(s"w${rnd.nextInt(25)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = Sampling.adaptiveQualityFilter(df, "source", "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Double, Long, Long)].collect()
+    // brute force from the engine's own scores (portability of the
+    // score itself is q27/q125's oracle concern)
+    val scores = df.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Double)].collect()
+    val expected = scores.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      val ranked = grp.sortBy(r => (r._3, r._1)).zipWithIndex
+      val n = grp.length
+      ranked.collect { case ((id, _, _), i) if 4 * i >= 3 * (n - 1) => id }
+    }.toSet
+    got.map(_._1).toSet shouldBe expected
+    got.length should be < 40 // it actually filters
+    // every survivor's rank satisfies the rule
+    got.foreach { case (_, _, _, r, n) => (4 * (r - 1)) should be >= (3 * (n - 1)) }
+  }
+
+  test("stored decontamination artifact screens identically to the inline path") {
+    import graft.operators.Decontaminate
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val leak = "l1 l2 l3 l4 l5 l6" // shared phrase: contaminates %3==0 docs
+    val docs = (1L to 60L).map { id =>
+      val base = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val toks = if (id % 3 == 0) base :+ leak else base
+      (id, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val test5 = df.filter(col("doc_id") % 7 === 0)
+    val corpus = df.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("decart").toString
+    Decontaminate.writeDecontamArtifact(spark, test5, "text", 5, dir)
+    val stored = Decontaminate.cleanWithStoredArtifact(spark, dir, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val inline = Decontaminate.clean(corpus, "doc_id", "text", test5, "text", 5)
+      .select("doc_id").as[Long].collect().sorted
+    stored shouldBe inline
+    inline.length should be < corpus.count().toInt // something was screened
+  }
+
   test("dsirWeights scores target-vocabulary docs above raw-vocabulary docs") {
     import graft.operators.Importance
     // target docs use t-words, the rest use r-words; a fresh doc built
