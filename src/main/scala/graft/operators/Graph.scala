@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph centrality: fixed-iteration PageRank in exact integer
+  * micro-units.
+  *
+  * Why it's here: crawl frontiers and seed lists are prioritized by
+  * link centrality (PageRank / harmonic centrality over the host
+  * graph — the Common Crawl ranking move), which makes graph
+  * importance a first-class corpus-curation signal alongside quality
+  * and dedup. The engine's other graph op (connected components,
+  * `Clustering`) answers "which docs are the same"; this one answers
+  * "which nodes matter".
+  *
+  * Portability design: the classic float PageRank drifts across
+  * engines (sum order, damping multiplies). Here every iteration is
+  * pure 64-bit integer arithmetic — ranks live in micro-units (initial
+  * rank 10⁶ per node), a node's per-neighbor contribution is
+  * `rank div degree` (floor division of non-negatives, identical in
+  * Spark's `div` and DuckDB's `//`), and damping 0.85 is
+  * `150000 + (85 * Σcontribs) div 100`. Integer sums are associative
+  * and order-independent, so a fixed iteration count yields BITWISE
+  * equal ranks in any engine — the ExactAgg discipline applied to an
+  * iterative algorithm.
+  *
+  * Scale shape (100 TB): per iteration the plan is one edges⋈ranks
+  * equi-join (shuffle on the edge's src key) + one dst-keyed sum
+  * (partial-combined) + one node-keyed join to re-attach degrees —
+  * the canonical Pregel superstep expressed declaratively, no
+  * driver-side graph state. Edges and degrees are computed once and
+  * persisted (at cluster scale: checkpointed) so the k iterations
+  * re-read a materialized edge list instead of re-deriving it; ranks
+  * are node-sized, never edge-sized. The iteration count is a fixed
+  * small constant, so the whole computation is one static DAG that
+  * Catalyst/AQE plans end-to-end.
+  */
+object Graph {
+
+  /** PageRank over the undirected closure of `pairs` (each input pair
+    * (a, b) becomes edges a→b and b→a; duplicates removed). Every node
+    * of an undirected graph has degree ≥ 1 and receives at least one
+    * contribution per superstep, so the inner joins are total — no
+    * dangling-node mass correction is needed.
+    *
+    * Input columns: `a`, `b` (long-castable). Output: (node, deg,
+    * rank_micro) — rank in micro-units after `iterations` damped
+    * supersteps from a uniform 10⁶ start.
+    */
+  def pageRankUndirectedMicro(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1,10], got $iterations")
+    val ab = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = ab
+      .union(ab.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state carries (node, deg, rank_micro); deg rides along so each
+    // superstep needs exactly one join back onto node-sized state
+    var ranks = deg.select(col("src").as("node"), col("deg"),
+      lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val sums = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_micro div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = deg
+        .join(sums.withColumnRenamed("dst", "src"), "src")
+        .select(col("src").as("node"), col("deg"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("rank_micro"))
+    }
+    ranks
+  }
+}

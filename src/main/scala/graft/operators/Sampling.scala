@@ -214,6 +214,51 @@ object Sampling {
       .filter(lit(4) * (col("src_rank") - 1) >= lit(3) * (col("src_n") - 1))
   }
 
+  /** Histogram-quantile adaptive quality gate — the 100 TB face of
+    * [[adaptiveQualityFilter]] (q125). q125's exact rule needs a
+    * per-source full-sort window (rank + count over every doc), which
+    * at corpus scale is a giant per-source sort. Here the quartile
+    * threshold comes from an integer HISTOGRAM instead: quality is
+    * already 4-dp quantized, so `bin = floor(quality·10⁴ + ½)` is
+    * exact, the per-(source, bin) counts are a bounded aggregate
+    * (sources × ≤10 001 rows, partial-combined), the 75th-percentile
+    * bin is found by a cumulative sum over that histogram-sized frame,
+    * and survivors are `bin ≥ threshold` via a broadcast map-side
+    * join — the corpus itself never sorts and never shuffles.
+    *
+    * Granularity contract (documented, not hidden): membership is
+    * decided at bin resolution, so all docs tied in the threshold bin
+    * survive — survivors ≥ 25% per source, slightly more when the
+    * boundary bin is fat. The histogram is MERGEABLE (counts add), so
+    * the same artifact supports incremental maintenance and streaming
+    * accumulation, which the exact-rank rule cannot. */
+  def histogramQualityFilter(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      // quality is floor(x·10⁴+½)/10⁴ — an integer-valued double up to
+      // 1-ulp wiggle, so round-half-up recovers the exact bin
+      .withColumn("bin", floor(col("quality") * 10000.0 + 0.5).cast("long"))
+    val hist = scored.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+    // smallest bin whose cumulative count reaches 3/4 of the source:
+    // docs at or above it are the (bin-resolution) top quartile
+    val thresh = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+      .filter(lit(4) * col("cum") >= lit(3) * col("n"))
+      .groupBy(col(groupCol))
+      .agg(min(col("bin")).as("thresh_bin"), min(col("n")).as("src_n"))
+    scored
+      .join(broadcast(thresh), Seq(groupCol))
+      .filter(col("bin") >= col("thresh_bin"))
+      .select(col(idCol), col(groupCol), col("quality"), col("bin"),
+        col("thresh_bin"), col("src_n"))
+  }
+
   def temperatureWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perGroup = df.groupBy(col(groupCol)).agg(

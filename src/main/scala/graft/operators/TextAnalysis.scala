@@ -645,6 +645,66 @@ object TextAnalysis {
       .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
   }
 
+  /** Per-document token-distribution (Shannon) entropy — the
+    * low-entropy gate that catches keyword-stuffing / boilerplate spam
+    * whose repetition metrics (q111) look normal because no single
+    * run or n-gram dominates.
+    *
+    * Portability design: with per-token counts c over n tokens,
+    *   H = Σ −(c/n)·ln(c/n) = (1/n)·Σ c·(ln n − ln c),
+    * and each ln is quantized ONCE to integer micro-nats
+    * (lnq(x) = floor(ln(x)·10⁶ + ½)), so the inner sum is pure int64
+    * arithmetic — associative, order-free, bitwise-reproducible in the
+    * oracle; the only float ops shared with DuckDB are ln over small
+    * integer counts (the q98 argument) and two final IEEE divisions.
+    * `norm_entropy` = H / ln(n_distinct) ∈ [0,1] when n_distinct > 1.
+    *
+    * Scale shape (100 TB): ONE map-only projection — the token array
+    * is sorted per row and equal-run lengths fold into the entropy sum
+    * array-side (the q111 sorted-run trick), so text never explodes
+    * and never shuffles; the plan has zero exchanges. */
+  def entropyProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.ArrayOps.bind
+    def lnq(x: Column): Column = floor(log(x.cast("double")) * 1e6 + 0.5).cast("long")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        bind(array_sort(tokens(col(textCol)))) { arr =>
+          bind(size(arr).cast("long")) { n =>
+            // fold over the sorted array: close out each equal-run of
+            // length c with its term c·(lnq(n) − lnq(c))
+            def term(c: Column): Column = c * (lnq(n) - lnq(c))
+            val emic = aggregate(
+              arr,
+              struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+                lit(0L).as("acc")),
+              (a, x) => {
+                val same = a.getField("prev").isNotNull && a.getField("prev") === x
+                struct(x.as("prev"),
+                  when(same, a.getField("run") + 1L).otherwise(1L).as("run"),
+                  when(same, a.getField("acc"))
+                    .otherwise(a.getField("acc") +
+                      when(a.getField("prev").isNotNull, term(a.getField("run")))
+                        .otherwise(0L)).as("acc"))
+              },
+              a => a.getField("acc") +
+                when(a.getField("run") > 0L, term(a.getField("run"))).otherwise(0L))
+            struct(n.as("n_tokens"),
+              size(array_distinct(arr)).cast("long").as("n_distinct"),
+              emic.as("emic"))
+          }
+        }.as("_e"))
+      .select(col(idCol),
+        col("_e.n_tokens").as("n_tokens"),
+        col("_e.n_distinct").as("n_distinct"),
+        (col("_e.emic").cast("double") /
+          (col("_e.n_tokens").cast("double") * 1e6)).as("entropy_nats"),
+        when(col("_e.n_distinct") > 1L,
+          col("_e.emic").cast("double") /
+            (col("_e.n_tokens").cast("double") *
+              floor(log(col("_e.n_distinct").cast("double")) * 1e6 + 0.5)))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
   /** Full per-document profile frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

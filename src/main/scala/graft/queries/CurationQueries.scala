@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Bpe, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -821,15 +821,22 @@ object CurationQueries {
     * thresholding): keep each source's top quality quartile; the
     * survivor rule is integer rank arithmetic, so membership can't flip
     * on a float percentile boundary. */
-  private val q125 = {
+  /** DuckDB mirror of [[TextAnalysis.qualityScore]] — shared by q125
+    * (exact per-source rank gate) and q128 (its histogram-quantile
+    * 100 TB twin). */
+  private lazy val qualityScoreSql: String = {
     val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
-    val qualitySql = PortableRound.sql4(
+    PortableRound.sql4(
       s"""0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
         + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
             / len(string_split(text, ' ')))
         + 0.3 * least(1.0, CAST(len(list_filter(string_split(text, ' '),
             t -> t IN ($stop))) AS DOUBLE)
             / len(string_split(text, ' ')) * 5.0)""")
+  }
+
+  private val q125 = {
+    val qualitySql = qualityScoreSql
     Q(
       "q125_adaptive_quality_gate",
       (s, dir) => Sampling.adaptiveQualityFilter(t(s, dir, "documents"),
@@ -1187,8 +1194,122 @@ object CurationQueries {
     },
     Some(bm25OracleSql(bmTerms, 25)))
 
+  /** Token-distribution entropy gate (low-entropy = keyword-stuffing /
+    * template spam that q111's run- and n-gram-repetition metrics can
+    * miss). Inner sum is quantized-ln int64 arithmetic; the plan is
+    * ONE map-only projection (sorted-array run-length fold — zero
+    * exchanges, spec-asserted). */
+  private val q127 = Q(
+    "q127_token_entropy",
+    (s, dir) => TextAnalysis.entropyProfile(t(s, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS nd
+        FROM c GROUP BY 1),
+      ent AS (SELECT c.doc_id,
+          CAST(sum(c.c * (CAST(floor(ln(n.n) * 1000000 + 0.5) AS BIGINT)
+            - CAST(floor(ln(c.c) * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS emic
+        FROM c JOIN n USING (doc_id) GROUP BY 1)
+      SELECT n.doc_id, n.n AS n_tokens, n.nd AS n_distinct,
+        CAST(ent.emic AS DOUBLE) / (CAST(n.n AS DOUBLE) * 1000000.0)
+          AS entropy_nats,
+        CASE WHEN n.nd > 1 THEN CAST(ent.emic AS DOUBLE)
+          / (CAST(n.n AS DOUBLE) * floor(ln(n.nd) * 1000000 + 0.5))
+          ELSE 0.0 END AS norm_entropy
+      FROM n JOIN ent USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")))
+
+  /** Histogram-quantile adaptive gate — q125's 100 TB twin: the
+    * per-source quartile threshold comes from a bounded integer
+    * histogram + broadcast join-back instead of a per-source full-sort
+    * window; survivors are decided at 4-dp bin resolution (threshold-
+    * bin ties all survive, documented on the operator). */
+  private val q128 = Q(
+    "q128_hist_quality_gate",
+    (s, dir) => Sampling.histogramQualityFilter(t(s, dir, "documents"),
+        "source", "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH sc AS (SELECT doc_id, source, $qualityScoreSql AS quality
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT doc_id, source, quality,
+          CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS bin FROM sc),
+      h AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2),
+      cw AS (SELECT source, bin, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM h),
+      th AS (SELECT source, CAST(min(bin) AS BIGINT) AS thresh_bin,
+          CAST(min(n) AS BIGINT) AS src_n
+        FROM cw WHERE 4 * cum >= 3 * n GROUP BY source)
+      SELECT b.doc_id, b.source, b.quality, b.bin, th.thresh_bin, th.src_n
+      FROM b JOIN th USING (source) WHERE b.bin >= th.thresh_bin
+      ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
+
+  /** Model-based quality classifier (the GPT-3 / DCLM reference-corpus
+    * filter): NB log-odds over hashed unigram buckets, FIT on the
+    * labeled train split (doc_id % 3 = 0; positive = curated sources
+    * src0–src4), persisted as a stored artifact, then APPLIED to the
+    * held-out documents — keep ⟺ posterior odds favor the reference
+    * class. Distinct from q98 (DSIR): supervised labels, train/apply
+    * separation, decision output. Scoring is map-only against the
+    * frozen B+1-integer model. */
+  private val q129 = {
+    val buckets = 64
+    val posSql = "source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+    Q(
+      "q129_quality_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val posPred = col("source").isin("src0", "src1", "src2", "src3", "src4")
+        val (w, bias) = Classifier.trainNbMicro(
+          docs.filter(col("doc_id") % 3 === 0), "text", posPred, buckets)
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q129_clf_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Classifier.writeModelArtifact(s, mDir, w, bias)
+        Classifier.scoreWithStoredModel(
+            s, mDir, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tr AS (SELECT text, ($posSql) AS pos
+          FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        tb AS (SELECT pos, ${PortableHash.md5Hash32Sql("unnest(string_split(text, ' '))")} % $buckets AS b FROM tr),
+        cnt AS (SELECT b, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS p,
+            CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS n
+          FROM tb GROUP BY 1),
+        cnt0 AS (SELECT r.range AS b, COALESCE(cnt.p, 0) AS p,
+            COALESCE(cnt.n, 0) AS n
+          FROM range(0, $buckets) r LEFT JOIN cnt ON r.range = cnt.b),
+        tot AS (SELECT CAST(sum(p) AS BIGINT) AS pt, CAST(sum(n) AS BIGINT) AS nt
+          FROM cnt0),
+        w AS (SELECT b,
+            (CAST(floor(ln(p + 1) * 10000 + 0.5) AS BIGINT)
+              - CAST(floor(ln(pt + $buckets) * 10000 + 0.5) AS BIGINT))
+            - (CAST(floor(ln(n + 1) * 10000 + 0.5) AS BIGINT)
+              - CAST(floor(ln(nt + $buckets) * 10000 + 0.5) AS BIGINT)) AS w
+          FROM cnt0 CROSS JOIN tot),
+        dc AS (SELECT CAST(count(*) FILTER (WHERE $posSql) AS BIGINT) AS dp,
+            CAST(count(*) FILTER (WHERE NOT ($posSql)) AS BIGINT) AS dn
+          FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        bs AS (SELECT CAST(floor(ln(dp + 1) * 10000 + 0.5) AS BIGINT)
+            - CAST(floor(ln(dn + 1) * 10000 + 0.5) AS BIGINT) AS bias FROM dc),
+        tt AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("unnest(string_split(text, ' '))")} % $buckets AS b
+          FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+        ds AS (SELECT tt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(w.w) AS BIGINT) AS s
+          FROM tt JOIN w USING (b) GROUP BY 1)
+        SELECT ds.doc_id, ds.n_tokens,
+          CAST(bs.bias + ds.s AS DOUBLE) / 10000.0 AS clf_score,
+          (bs.bias + ds.s) > 0 AS keep
+        FROM ds CROSS JOIN bs ORDER BY ds.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122, q123, q124, q125)
+    q121, q122, q123, q124, q125, q127, q128, q129)
 }

@@ -667,7 +667,52 @@ object PipelineQueries {
         ORDER BY d.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Link-graph centrality (crawl-seed prioritization): fixed-point
+    * integer PageRank, 3 damped supersteps over the undirected
+    * part↔supplier bipartite graph from lineitem — the engine's
+    * iterative-graph capability beyond connected components. Every
+    * iteration is exact int64 arithmetic (rank div degree
+    * contributions, 0.85 damping as (85·s) div 100), so a fixed
+    * iteration count is bitwise-equal across engines; the oracle
+    * unrolls the same three supersteps as CTEs. Scale: each superstep
+    * is one edges⋈ranks equi-join + one dst-keyed partial-combined
+    * sum; edges/degrees persist once; ranks are node-sized. Top-100
+    * under a total order (TakeOrdered — no full sort). */
+  private val q126 = Q(
+    "q126_link_pagerank",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      graft.operators.Graph.pageRankUndirectedMicro(edges, "a", "b", 3)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("key"), col("deg"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(100)
+    },
+    Some("""WITH pr AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      e AS (SELECT pk*2 AS src, sk*2+1 AS dst FROM pr
+            UNION ALL SELECT sk*2+1 AS src, pk*2 AS dst FROM pr),
+      deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+      s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // r0.deg) AS BIGINT) AS s
+             FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+      r1 AS (SELECT deg.node, deg.deg, CAST(150000 + (85 * s1.s) // 100 AS BIGINT) AS r
+             FROM deg JOIN s1 ON deg.node = s1.node),
+      s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // r1.deg) AS BIGINT) AS s
+             FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+      r2 AS (SELECT deg.node, deg.deg, CAST(150000 + (85 * s2.s) // 100 AS BIGINT) AS r
+             FROM deg JOIN s2 ON deg.node = s2.node),
+      s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // r2.deg) AS BIGINT) AS s
+             FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+      r3 AS (SELECT deg.node, deg.deg, CAST(150000 + (85 * s3.s) // 100 AS BIGINT) AS r
+             FROM deg JOIN s3 ON deg.node = s3.node)
+      SELECT node, CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        node // 2 AS key, deg, r AS rank_micro
+      FROM r3 ORDER BY rank_micro DESC, node LIMIT 100""".replaceAll("\\s+", " ")))
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103, q104, q117, q118)
+      q83, q89, q92, q95, q96, q103, q104, q117, q118, q126)
 }
