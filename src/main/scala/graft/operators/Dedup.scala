@@ -83,6 +83,39 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     minhashFrom(df, idCol, distinctTokens(col(textCol)), k)
 
+  /** Source-level overlap matrix: estimated token-set Jaccard between
+    * every pair of corpus partitions (sources / dumps / snapshots) via
+    * per-GROUP MinHash signatures — the governance view that answers
+    * "which sources are feeding me the same content?" before any
+    * doc-level dedup runs.
+    *
+    * A group's signature component i is min over the UNION of its docs'
+    * token sets of permutation i — and min is idempotent, so doc-level
+    * `distinct` units feed the same one partial-combined aggregation
+    * as [[minhashSignature]]; nothing needs a group-level distinct.
+    * The estimate is (agreeing components)/k in exact integer
+    * milli-units. Scale: the corpus contributes ONE explode + one
+    * group-keyed min-agg (group-cardinality rows out); the pair matrix
+    * is groups², enumerated over the group-sized signature frame only —
+    * at 100 TB with thousands of dumps that is millions of cheap rows,
+    * never a corpus join. */
+  def sourceOverlapMinhash(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sig = minhashFrom(
+      df.filter(col(textCol).isNotNull), groupCol,
+      distinctTokens(col(textCol)), k)
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col(s"a_$groupCol") < col(s"b_$groupCol"))
+      .select(col(s"a_$groupCol").as("source_a"),
+        col(s"b_$groupCol").as("source_b"),
+        agree.as("agree"))
+      .withColumn("jaccard_milli", expr(s"(agree * 1000) div $k"))
+  }
+
   /** LSH banding: signature → (band_id, band_key) rows. Docs sharing any
     * band key are near-dup candidates. */
   def lshBands(sig: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {

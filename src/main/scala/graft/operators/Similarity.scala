@@ -189,6 +189,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), sim.as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the top-`k` most-similar corpus vectors with a
+    * DIFFERENT label — the near-misses a metric-learning loss needs
+    * (easy random negatives carry no gradient; same-label neighbors are
+    * false negatives and are excluded).
+    *
+    * Same scale shape as [[bucketedNearDupPairs]] (q83): candidates are
+    * enumerated only within a shared sign bucket (equi-join on the
+    * bucket key — hash join, never corpus×anchors), the exact rounded
+    * cosine runs once per bucket-colocated candidate, and the per-anchor
+    * top-k is an anchor-keyed window over candidate-sized data. Recall
+    * is the SimHash bound in `nBits`; misses are the highest-angle
+    * negatives, which for HARD-negative mining is the tolerable end to
+    * lose. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, k: Int, nBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.filter(anchorPred).select(
+      signBucket(col(vecCol), nBits).as("_bucket"),
+      col(idCol).as("anchor_id"), col(vecCol).as("vec_a"),
+      col(labelCol).as("label_a"))
+    val b = df.select(
+      signBucket(col(vecCol), nBits).as("_bucket"),
+      col(idCol).as("cand_id"), col(vecCol).as("vec_b"),
+      col(labelCol).as("label_b"))
+    val sim = PortableRound.round4(cosine(col("vec_a"), col("vec_b")))
+    val rank = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    a.join(b, a("_bucket") === b("_bucket") &&
+        col("anchor_id") =!= col("cand_id") &&
+        col("label_a") =!= col("label_b"))
+      .select(col("anchor_id"), col("label_a"), col("cand_id"),
+        col("label_b"), sim.as("cos_sim"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= k)
+      .select(col("anchor_id"), col("label_a"), col("cand_id"),
+        col("label_b"), col("cos_sim"), col("_r").cast("long").as("neg_rank"))
+  }
+
   /** IVF ANN with a DETERMINISTIC coarse quantizer: centroids are the
     * `nCentroids` lowest-id corpus vectors, and routing is by (rounded)
     * cosine affinity — spherical IVF, the standard layout for a cosine

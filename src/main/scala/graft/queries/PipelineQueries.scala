@@ -712,7 +712,66 @@ object PipelineQueries {
         node // 2 AS key, deg, r AS rank_micro
       FROM r3 ORDER BY rank_micro DESC, node LIMIT 100""".replaceAll("\\s+", " ")))
 
+  /** Hard-negative mining (contrastive-training data prep): per anchor
+    * vector the top-3 most-similar DIFFERENT-label corpus vectors —
+    * q83's sign-bucket candidate generation + exact cosine verify +
+    * anchor-keyed top-k window; never anchors×corpus. Anchors are the
+    * vec_id % 7 = 0 slice. */
+  private val q130 = {
+    val (nBits, k) = (8, 3)
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q130_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          col("vec_id") % 7 === 0, k, nBits)
+        .orderBy("anchor_id", "neg_rank"),
+      Some(s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings),
+        cand AS (SELECT a.vec_id AS anchor_id, a.label AS label_a,
+            b.vec_id AS cand_id, b.label AS label_b,
+            ${cosineSql("a.v", "b.v")} AS cos_sim
+          FROM c a JOIN c b ON a.bucket = b.bucket
+            AND a.vec_id <> b.vec_id AND a.label <> b.label
+          WHERE a.vec_id % 7 = 0),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS neg_rank FROM cand)
+        SELECT anchor_id, label_a, cand_id, label_b, cos_sim, neg_rank
+        FROM rk WHERE neg_rank <= $k
+        ORDER BY anchor_id, neg_rank""".replaceAll("\\s+", " ")))
+  }
+
+  /** Source-overlap governance report: estimated token-set Jaccard
+    * between every source pair from per-source MinHash signatures —
+    * which feeds/dumps duplicate each other, BEFORE doc-level dedup.
+    * The corpus contributes one explode + one group-keyed min-agg;
+    * the pair matrix is groups², built from the group-sized signature
+    * frame only. Exact integer milli-units end to end. */
+  private val q131 = Q(
+    "q131_source_overlap",
+    (s, dir) => Dedup.sourceOverlapMinhash(t(s, dir, "documents"),
+        "source", "text", K)
+      .orderBy("source_a", "source_b"),
+    Some {
+      val mins = (0 until K)
+        .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+      val agree = (0 until K)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        h AS (SELECT source, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks),
+        sig AS (SELECT source, $mins FROM h GROUP BY source),
+        pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST($agree AS BIGINT) AS agree
+          FROM sig a JOIN sig b ON a.source < b.source)
+        SELECT source_a, source_b, agree,
+          CAST((agree * 1000) // $K AS BIGINT) AS jaccard_milli
+        FROM pairs ORDER BY source_a, source_b""".replaceAll("\\s+", " ")
+    })
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103, q104, q117, q118, q126)
+      q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131)
 }

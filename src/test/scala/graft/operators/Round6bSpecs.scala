@@ -194,3 +194,78 @@ class ClassifierSpec extends SparkSpec {
     plan.collect { case e: ShuffleExchangeExec => e } shouldBe empty
   }
 }
+
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on opposite axes; labels split WITHIN each
+  // cluster so every anchor has same-bucket different-label neighbors
+  private def emb = {
+    val rnd = new scala.util.Random(9)
+    (1 to 60).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 1f, 1f, 1f) else Array(-1f, -1f, -1f, -1f)
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v.toSeq, i % 4 / 2) // labels 0/1 interleaved in both clusters
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("negatives carry a different label, never the anchor itself, ranked by cosine") {
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") % 5 === 0, 3, 4)
+    val rows = got.select("anchor_id", "label_a", "cand_id", "label_b", "cos_sim", "neg_rank")
+      .as[(Long, Int, Long, Int, Double, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (a, la, c, lb, _, _) =>
+      la should not be lb
+      a should not be c
+    }
+    rows.groupBy(_._1).values.foreach { negs =>
+      negs.map(_._6).sorted shouldBe (1L to negs.size)
+      negs.sortBy(_._6).map(_._5).toSeq.sliding(2).foreach { w =>
+        if (w.size == 2) w.head should be >= w(1)
+      }
+    }
+  }
+
+  test("candidate generation is bucket-equi-join — no nested loop, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") % 5 === 0, 3, 4).queryExecution.executedPlan
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j } shouldBe empty
+    plan.collect { case j: CartesianProductExec => j } shouldBe empty
+  }
+}
+
+class SourceOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical sources agree on every component; disjoint ones on (almost) none") {
+    val docs = Seq(
+      (1L, "sa", "alpha beta gamma delta"),
+      (2L, "sb", "alpha beta gamma delta"),   // sb ≡ sa
+      (3L, "sc", "zq1 zq2 zq3 zq4 zq5 zq6")) // disjoint vocabulary
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMinhash(docs, "source", "text", 16)
+      .select("source_a", "source_b", "agree", "jaccard_milli")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got(("sa", "sb")) shouldBe ((16L, 1000L))
+    got(("sa", "sc"))._1 should be < 16L
+    got.keySet shouldBe Set(("sa", "sb"), ("sa", "sc"), ("sb", "sc"))
+  }
+
+  test("group signature equals the signature of the concatenated group text") {
+    // min over the union of doc token sets == min over a single doc
+    // holding all the group's tokens — idempotence of the min-agg
+    val split = Seq((1L, "g", "a b c"), (2L, "g", "c d e"))
+      .toDF("doc_id", "source", "text")
+    val merged = Seq((1L, "g", "a b c c d e")).toDF("doc_id", "source", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceOverlapMinhash(
+        df.union(Seq((9L, "other", "x y z")).toDF("doc_id", "source", "text")),
+        "source", "text", 8)
+        .select("source_a", "source_b", "agree").as[(String, String, Long)]
+        .collect().toSet
+    sig(split) shouldBe sig(merged)
+  }
+}
