@@ -55,9 +55,19 @@ object Graph {
       s"iterations must be in [1,10], got $iterations")
     val ab = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // distinct() leaves the edge list hash-partitioned on (src, dst);
+    // every superstep joins it on src alone, so re-cluster ONCE on src
+    // before caching — the cached scan then satisfies each iteration's
+    // join distribution and the k supersteps never re-exchange the
+    // edge list (k·|E| shuffle rows saved; at 100 TB the edge list is
+    // the big side). deg inherits src-clustering from its groupBy, and
+    // each superstep's dst-sum output is clustered on dst (= the next
+    // join's key after rename), so the only per-iteration shuffle left
+    // is the unavoidable contribution re-key from src to dst.
     val edges = ab
       .union(ab.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
