@@ -536,7 +536,9 @@ object CurationQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val wDir = s"${System.getProperty("java.io.tmpdir")}/graft_q101_dsir_${java.lang.Integer.toHexString(dir.hashCode)}"
-      Importance.writeBucketWeights(docs, "text", col("lang") === "en", 64, wDir)
+      Artifacts.prepare(s, wDir) {
+        Importance.writeBucketWeights(docs, "text", col("lang") === "en", 64, wDir)
+      }
       Importance.scoreWithStoredWeights(docs, "doc_id", "text", wDir)
         .orderBy("doc_id")
     },
@@ -750,15 +752,15 @@ object CurationQueries {
         val (cut1, cut2) = (mx / 3, mx * 2 / 3)
         val sDir = s"${System.getProperty("java.io.tmpdir")}/graft_q122_cs_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        val p = new org.apache.hadoop.fs.Path(sDir)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        CorpusStats.writeStatsSnapshot(
-          s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", "source", sDir)
-        CorpusStats.appendToStatsSnapshot(
-          s, sDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-          "doc_id", "text", "source")
-        CorpusStats.appendToStatsSnapshot(
-          s, sDir, docs.filter(col("doc_id") > cut2), "doc_id", "text", "source")
+        Artifacts.prepare(s, sDir) {
+          CorpusStats.writeStatsSnapshot(
+            s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", "source", sDir)
+          CorpusStats.appendToStatsSnapshot(
+            s, sDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+            "doc_id", "text", "source")
+          CorpusStats.appendToStatsSnapshot(
+            s, sDir, docs.filter(col("doc_id") > cut2), "doc_id", "text", "source")
+        }
         CorpusStats.readStatsSnapshot(s, sDir).orderBy("source")
       },
       Some("""SELECT source,
@@ -805,10 +807,10 @@ object CurationQueries {
         val docs = t(s, dir, "documents")
         val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q124_dc_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        val p = new org.apache.hadoop.fs.Path(aDir)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        Decontaminate.writeDecontamArtifact(
-          s, docs.filter(col("doc_id") % 53 === 0), "text", n, aDir)
+        Artifacts.prepare(s, aDir) {
+          Decontaminate.writeDecontamArtifact(
+            s, docs.filter(col("doc_id") % 53 === 0), "text", n, aDir)
+        }
         Decontaminate.cleanWithStoredArtifact(
             s, aDir, docs.filter(col("doc_id") % 53 =!= 0), "doc_id", "text")
           .select("doc_id", "lang", "source")
@@ -1103,7 +1105,9 @@ object CurationQueries {
       val docs = t(s, dir, "documents")
       val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q113_bm25_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      Retrieval.writeRetrievalIndex(s, docs, "doc_id", "text", iDir)
+      Artifacts.prepare(s, iDir) {
+        Retrieval.writeRetrievalIndex(s, docs, "doc_id", "text", iDir)
+      }
       Retrieval.bm25TopKStored(s, iDir, bmTerms, 25)
         .withColumnRenamed("id", "doc_id")
     },
@@ -1151,7 +1155,9 @@ object CurationQueries {
         val docs = t(s, dir, "documents")
         val vDir = s"${System.getProperty("java.io.tmpdir")}/graft_q115_vocab_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        TextAnalysis.writeVocabArtifact(docs, "text", topN, vDir)
+        Artifacts.prepare(s, vDir) {
+          TextAnalysis.writeVocabArtifact(docs, "text", topN, vDir)
+        }
         TextAnalysis.oovScoreWithStoredVocab(docs, "doc_id", "text", vDir)
           .orderBy("doc_id")
       },
@@ -1181,14 +1187,14 @@ object CurationQueries {
       val docs = t(s, dir, "documents")
       val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q116_bm25_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      // appends accumulate state — start each run from a clean dir
-      val p = new org.apache.hadoop.fs.Path(iDir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
-      Retrieval.writeRetrievalIndex(
-        s, docs.filter(col("doc_id") <= cut), "doc_id", "text", iDir)
-      Retrieval.appendToRetrievalIndex(
-        s, iDir, docs.filter(col("doc_id") > cut), "doc_id", "text")
+      // appends accumulate state — prepare starts from a clean dir
+      Artifacts.prepare(s, iDir) {
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
+        Retrieval.writeRetrievalIndex(
+          s, docs.filter(col("doc_id") <= cut), "doc_id", "text", iDir)
+        Retrieval.appendToRetrievalIndex(
+          s, iDir, docs.filter(col("doc_id") > cut), "doc_id", "text")
+      }
       Retrieval.bm25TopKStored(s, iDir, bmTerms, 25)
         .withColumnRenamed("id", "doc_id")
     },
@@ -1266,11 +1272,13 @@ object CurationQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val posPred = col("source").isin("src0", "src1", "src2", "src3", "src4")
-        val (w, bias) = Classifier.trainNbMicro(
-          docs.filter(col("doc_id") % 3 === 0), "text", posPred, buckets)
         val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q129_clf_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        Classifier.writeModelArtifact(s, mDir, w, bias)
+        Artifacts.prepare(s, mDir) {
+          val (w, bias) = Classifier.trainNbMicro(
+            docs.filter(col("doc_id") % 3 === 0), "text", posPred, buckets)
+          Classifier.writeModelArtifact(s, mDir, w, bias)
+        }
         Classifier.scoreWithStoredModel(
             s, mDir, docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
           .orderBy("doc_id")

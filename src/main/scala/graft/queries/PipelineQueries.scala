@@ -637,13 +637,13 @@ object PipelineQueries {
         val (cut1, cut2) = (mx / 3, mx * 2 / 3)
         val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q118_mh_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        val p = new org.apache.hadoop.fs.Path(iDir)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        Dedup.writeMinhashIndex(
-          s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", iDir, k, n)
-        Dedup.appendToMinhashIndex(
-          s, iDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-          "doc_id", "text")
+        Artifacts.prepare(s, iDir) {
+          Dedup.writeMinhashIndex(
+            s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", iDir, k, n)
+          Dedup.appendToMinhashIndex(
+            s, iDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+            "doc_id", "text")
+        }
         Dedup.screenWithMinhashIndex(
             s, iDir, docs.filter(col("doc_id") > cut2), "doc_id", "text",
             bandSize, thrMilli.toLong)

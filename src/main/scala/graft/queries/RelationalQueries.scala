@@ -300,8 +300,10 @@ object RelationalQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q84_ivf_${java.lang.Integer.toHexString(dir.hashCode)}"
-        graft.operators.Similarity.writeIvfIndexDeterministic(
-          emb, "vec_id", "embedding", idxDir, nCentroids = nC)
+        Artifacts.prepare(s, idxDir) {
+          graft.operators.Similarity.writeIvfIndexDeterministic(
+            emb, "vec_id", "embedding", idxDir, nCentroids = nC)
+        }
         graft.operators.Similarity.probeIvfIndexDeterministic(
           s, idxDir, "vec_id",
           emb.filter(col("vec_id") < 3), "vec_id", "embedding",
@@ -1113,8 +1115,10 @@ object RelationalQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q88_ivfpq_${java.lang.Integer.toHexString(dir.hashCode)}"
-        graft.operators.Similarity.writeIvfPqIndexDeterministic(
-          emb, "vec_id", "embedding", idxDir, nC, m, kc)
+        Artifacts.prepare(s, idxDir) {
+          graft.operators.Similarity.writeIvfPqIndexDeterministic(
+            emb, "vec_id", "embedding", idxDir, nC, m, kc)
+        }
         graft.operators.Similarity.probeIvfPqIndexDeterministic(
           s, idxDir, "vec_id",
           emb.filter(col("vec_id") < 3), "vec_id", "embedding",
@@ -1293,8 +1297,10 @@ object RelationalQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q97_sim_${java.lang.Integer.toHexString(dir.hashCode)}"
-        Dedup.writeSimhashIndex(
-          s, docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", idxDir, bits)
+        Artifacts.prepare(s, idxDir) {
+          Dedup.writeSimhashIndex(
+            s, docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", idxDir, bits)
+        }
         Dedup.screenWithSimhashIndex(
           s, idxDir, docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
           maxHamming, bandBits = 8)

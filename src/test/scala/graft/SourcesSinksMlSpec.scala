@@ -95,6 +95,65 @@ class SchemaReaderSpec extends SparkSpec {
   }
 }
 
+/** Drift guard for the driver-regenerated testdata: `events.ts` has
+  * shipped as TIMESTAMP(NANOS) (read as long under the legacy conf),
+  * then as TIMESTAMP_NTZ (the 2026-08-13 regen, which broke
+  * `unix_micros` in q16/q17/q36), and could ship as a tz-adjusted
+  * TIMESTAMP. `Tables.t` must normalize all three to identical
+  * session-tz TIMESTAMP so every µs-level operator keeps working. */
+class EventsTsEncodingDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{RangeJoin, Sessionize}
+  import graft.queries.Tables
+
+  test("events.ts encoding drift: long-nanos, NTZ, and TIMESTAMP load identically") {
+    val rows = Seq( // (user, id, epoch-micros) with a >30s session gap for u1
+      ("u1", 1L, 1700000000000000L),
+      ("u1", 2L, 1700000010000000L),
+      ("u1", 3L, 1700000100000000L),
+      ("u2", 4L, 1700000005000000L),
+      ("u2", 5L, 1700000006000000L))
+
+    val base = tmpDir("ts_drift")
+    // Encoding 1: nanos-as-long (what the legacy conf hands Spark for TIMESTAMP(NANOS))
+    val longDir = s"$base/long"
+    rows.map { case (u, i, us) => (u, i, us * 1000L) }.toDF("user", "id", "ts")
+      .write.parquet(s"$longDir/events.parquet")
+    // Encoding 2: TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false)
+    val ntzDir = s"$base/ntz"
+    rows.toDF("user", "id", "us")
+      .withColumn("ts", expr("cast(timestamp_micros(us) as timestamp_ntz)")).drop("us")
+      .write.parquet(s"$ntzDir/events.parquet")
+    // Encoding 3: session-tz TIMESTAMP (parquet timestamp[us], isAdjustedToUTC=true)
+    val tzDir = s"$base/tz"
+    rows.toDF("user", "id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.parquet(s"$tzDir/events.parquet")
+
+    val dirs = Seq(longDir, ntzDir, tzDir)
+    val loaded = dirs.map(d => Tables.t(spark, d, "events"))
+    // all three normalize to TIMESTAMP (never NTZ, never long)
+    loaded.foreach(_.schema("ts").dataType shouldBe TimestampType)
+
+    // unix_micros-based operators must run and agree across encodings
+    val sessions = loaded.map(df =>
+      Sessionize.assign(df, "user", "ts", "id", gapSeconds = 30L)
+        .select("user", "id", "session_id").orderBy("id")
+        .as[(String, Long, Long)].collect().toSeq)
+    sessions(0) shouldBe sessions(1)
+    sessions(0) shouldBe sessions(2)
+    sessions(0).map(_._3) shouldBe Seq(0L, 0L, 1L, 0L, 0L) // gap splits u1
+
+    val pairs = loaded.map(df =>
+      RangeJoin.selfWithinTolerance(df, "user", "id", "ts", toleranceSec = 15L)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+        .as[(Long, Long)].collect().toSeq)
+    pairs(0) shouldBe pairs(1)
+    pairs(0) shouldBe pairs(2)
+    pairs(0) shouldBe Seq((1L, 2L), (4L, 5L))
+  }
+}
+
 class ArchiveJobSpec extends SparkSpec {
   import spark.implicits._
 
