@@ -254,6 +254,9 @@ object Clustering {
       .filter(col("_ca") =!= col("_cb"))
     val cc = connectedComponents(contracted, "_ca", "_cb")
       .localCheckpoint() // consumed by two branches
+    // connectedComponents eagerly checkpointed its own copy of the
+    // contracted edges, so p (and everything derived from it) is dead
+    CheckpointBridge.release(p)
     val rootMap = cc.select(col("id").as("_oldroot"), col("cluster_id").as("_newroot"))
     val storedUpd = stored
       .select(col(idCol), col(clusterCol))

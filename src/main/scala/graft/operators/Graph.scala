@@ -86,6 +86,13 @@ object Graph {
         .select(col("src").as("node"), col("deg"),
           (lit(150000L) + expr("(85 * s) div 100")).as("rank_micro"))
     }
-    ranks
+    // Materialize the node-sized result so the edge-sized caches can be
+    // dropped NOW instead of pinning executor storage until the caller's
+    // frame is GC'd — on a long-lived driver the edge list is the big
+    // side and repeated pagerank calls would otherwise accumulate it.
+    val out = ranks.localCheckpoint()
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
   }
 }

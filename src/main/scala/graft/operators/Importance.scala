@@ -156,8 +156,14 @@ object Importance {
     * Scoring is a row-local array fold over a broadcast-literal table —
     * map-only, text never shuffles, same scale shape as [[dsirWeights]]. */
   def bigramXent(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 32): DataFrame = {
-    val wMicro = bigramWeightsMicro(docs, textCol, targetPred, buckets)
+      targetPred: Column, buckets: Int = 32): DataFrame =
+    xentScore(docs, idCol, textCol,
+      bigramWeightsMicro(docs, textCol, targetPred, buckets), buckets)
+
+  /** The row-local xent projection shared by the inline, stored, and
+    * streaming faces: (id, n_tokens, n_bigrams, bigram_xent). */
+  private def xentScore(docs: DataFrame, idCol: String, textCol: String,
+      wMicro: Array[Long], buckets: Int): DataFrame = {
     val wArr = array(wMicro.map(lit(_)): _*)
     val toks = Dedup.tokens(col(textCol))
     docs
@@ -177,6 +183,40 @@ object Importance {
         (-col("_micro")).cast("double") / 10000.0 / col("n_bigrams"))
       .drop("_micro")
       .select(col(idCol), col("n_tokens"), col("n_bigrams"), col("bigram_xent"))
+  }
+
+  /** Persist the hashed-bigram LM as a reusable scoring artifact
+    * (`dir/data`: one row per (ctx, next) bucket pair; `dir/params`:
+    * bucket count) — the [[writeBucketWeights]] discipline applied to
+    * the q105 perplexity filter: train the LM once on a corpus
+    * snapshot's target subset, score every later batch or stream
+    * against the frozen table so a document's quality score can never
+    * drift because the training corpus grew. */
+  def writeBigramModel(docs: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int, dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = bigramWeightsMicro(docs, textCol, targetPred, buckets)
+    w.zipWithIndex.map { case (m, i) => (i, m) }.toSeq.toDF("idx", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Score a batch OR streaming frame against a stored bigram LM. The
+    * B²-row artifact is bounded-collected at plan-build time; scoring
+    * is the same stateless row-local fold, so a stream scores every
+    * micro-batch against the frozen model with no state store. */
+  def bigramXentWithStoredModel(df: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val buckets = spark.read.parquet(s"$dir/params")
+      .head.getAs[Number]("buckets").intValue()
+    val w = Array.fill[Long](buckets * buckets)(0L)
+    spark.read.parquet(s"$dir/data").collect()        // ≤ buckets² rows
+      .foreach(r => w(r.getAs[Number]("idx").intValue()) =
+        r.getAs[Number]("w_micro").longValue())
+    xentScore(df, idCol, textCol, w, buckets)
   }
 
   /** Score a batch OR streaming frame against stored bucket weights.

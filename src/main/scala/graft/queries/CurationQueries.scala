@@ -865,14 +865,10 @@ object CurationQueries {
     * sums are exact long arithmetic and the only float surface is ln
     * over small integers plus two IEEE divisions, shared verbatim with
     * the oracle. */
-  private val q105 = {
-    val b = 32
-    Q(
-      "q105_bigram_xent",
-      (s, dir) => Importance.bigramXent(
-          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", b)
-        .orderBy("doc_id"),
-      Some(s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+  private val bigramBuckets = 32
+  private lazy val bigramXentOracleSql: String = {
+    val b = bigramBuckets
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
           FROM documents WHERE text IS NOT NULL),
         pr AS (SELECT doc_id, lang,
             unnest(list_transform(range(1, len(toks)),
@@ -896,8 +892,37 @@ object CurationQueries {
           FROM tk WHERE len(toks) >= 2)
         SELECT nt.doc_id, nt.n_tokens, nt.n_tokens - 1 AS n_bigrams,
           CAST(-micro AS DOUBLE) / 10000.0 / (nt.n_tokens - 1) AS bigram_xent
-        FROM nt JOIN s USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
+        FROM nt JOIN s USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")
   }
+
+  private val q105 = Q(
+    "q105_bigram_xent",
+    (s, dir) => Importance.bigramXent(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        bigramBuckets)
+      .orderBy("doc_id"),
+    Some(bigramXentOracleSql))
+
+  /** q105 through the persisted LM artifact: train the hashed bigram
+    * model once on the English subset, freeze it, score the corpus
+    * against the stored copy — stored scoring must be indistinguishable
+    * from inline, so q105's oracle serves both (the discipline that
+    * closed the stored-artifact family for DSIR/vocab/decontam/NB:
+    * q101/q115/q124/q129). */
+  private val q132 = Q(
+    "q132_bigram_xent_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q132_lm_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Artifacts.prepare(s, mDir) {
+        Importance.writeBigramModel(
+          docs, "text", col("lang") === "en", bigramBuckets, mDir)
+      }
+      Importance.bigramXentWithStoredModel(docs, "doc_id", "text", mDir)
+        .orderBy("doc_id")
+    },
+    Some(bigramXentOracleSql))
 
   /** k-anonymity by suppression over the (lang, source) quasi-identifier
     * — the release-side privacy gate on top of q85's content-side PII
@@ -1319,5 +1344,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122, q123, q124, q125, q127, q128, q129)
+    q121, q122, q123, q124, q125, q127, q128, q129, q132)
 }

@@ -13,7 +13,15 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointBridge {
   def release(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD =>
+        // Not rdd.unpersist(): that logs a WARN for every locally
+        // checkpointed RDD ("lineage has been truncated and cannot be
+        // recomputed") — a real hazard for a live Dataset, but releasing
+        // a DEAD checkpoint is exactly this bridge's contract, and the
+        // per-round spam buries genuine warnings in iterative-operator
+        // logs. Go straight to the block removal the warning guards.
+        val rdd = l.rdd
+        rdd.sparkContext.unpersistRDD(rdd.id, blocking = false)
       case _ => ()
     }
 }

@@ -487,6 +487,48 @@ class StreamingSpec extends SparkSpec {
     got shouldBe batch
   }
 
+  test("stream scoring against a stored bigram LM equals batch scoring") {
+    import graft.operators.Importance
+    val rnd = new scala.util.Random(132)
+    def doc(id: Long, tgt: Boolean) = {
+      val vocab = if (tgt) (0 until 8).map(i => s"t$i") else (0 until 8).map(i => s"r$i")
+      (id, Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" "), tgt)
+    }
+    val corpus = ((1L to 30L).map(doc(_, true)) ++ (31L to 60L).map(doc(_, false)))
+      .toDF("doc_id", "text", "is_target")
+    val dir = java.nio.file.Files.createTempDirectory("lm_stream").toString
+    Importance.writeBigramModel(corpus, "text", col("is_target"), 16, dir)
+    val labeled = (61L to 80L).map(id => doc(id, id % 2 == 0))
+    val streamDocs = labeled.map { case (id, text, _) => (id, text) }
+    val in = MemoryStream[(Long, String)]
+    val out = Importance.bigramXentWithStoredModel(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = out.writeStream.format("memory").queryName("t_lm_score")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamDocs.take(10): _*)
+    q.processAllAvailable()
+    in.addData(streamDocs.drop(10): _*)   // stateless: model frozen
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_lm_score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, nb, x) => id -> ((n, nb, x)) }.toMap
+    val batch = Importance.bigramXentWithStoredModel(
+      streamDocs.toDF("doc_id", "text"), "doc_id", "text", dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, nb, x) => id -> ((n, nb, x)) }.toMap
+    got shouldBe batch
+    got.values.foreach { case (n, nb, _) => nb shouldBe n - 1 }
+    batch.keySet shouldBe streamDocs.map(_._1).toSet
+    // the frozen LM finds target-vocab docs less perplexing than
+    // raw-vocab docs (it was trained on the target subset only)
+    def meanXent(tgt: Boolean) = {
+      val xs = labeled.filter(_._3 == tgt).map(d => got(d._1)._3)
+      xs.sum / xs.size
+    }
+    meanXent(true) should be < meanXent(false)
+  }
+
   test("streaming near-dup ignores null-text docs instead of colliding them") {
     // regression: a null text naively evaluates to fingerprint 0, which
     // made every null-text doc "identical" to every other one (and to
