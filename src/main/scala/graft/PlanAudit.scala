@@ -115,7 +115,33 @@ object PlanAudit {
         "no shuffle, no RNG state — the append-stable, recomputable " +
         "form of randomSplit (which reshuffles rows whenever the input " +
         "grows). Split boundaries are integer hash cutoffs shared with " +
-        "the oracle."))
+        "the oracle."),
+    "q126_link_pagerank" ->
+      ("Iterative PageRank in exact integer micro-units: the edge list " +
+        "is re-clustered on src ONCE and cached, so each superstep's " +
+        "edges-ranks join reuses that layout and the only per-iteration " +
+        "exchange is the contribution re-key from src to dst " +
+        "(one-shuffle-per-superstep asserted in PlanContractsSpec). " +
+        "Ranks stay node-sized; the final frame is checkpointed so the " +
+        "edge-sized caches free at return."),
+    "q130_hard_negatives" ->
+      ("Contrastive-training negative mining: candidates come from an " +
+        "equi-join on the SimHash sign bucket (hash join, asserted " +
+        "no-NLJ in PlanContractsSpec); label/self inequalities ride as " +
+        "residual conditions; per-anchor top-k is an anchor-keyed " +
+        "window over candidate-sized data. Never anchors x corpus."),
+    "q131_source_overlap" ->
+      ("Source-pair Jaccard governance report: per-source MinHash " +
+        "signatures reduce each source to k longs BEFORE any pairing, " +
+        "so the pair enumeration is |sources|^2 over k-long rows — " +
+        "metadata-sized at any corpus scale; the corpus itself is one " +
+        "aggregation pass."),
+    "q132_bigram_xent_stored" ->
+      ("q105 through the persisted LM artifact: the B^2 weight table " +
+        "is bounded-collected at plan-build time and scoring is the " +
+        "same map-only row-local fold — corpus text never shuffles, " +
+        "and the frozen artifact keeps scores stable as the training " +
+        "corpus grows (stream face covered in StreamingSpec)."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

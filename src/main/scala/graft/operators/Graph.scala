@@ -51,6 +51,24 @@ object Graph {
     */
   def pageRankUndirectedMicro(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int): DataFrame = {
+    val (ranks, edges, deg) = pageRankFrame(pairs, aCol, bCol, iterations)
+    // Materialize the node-sized result so the edge-sized caches can be
+    // dropped NOW instead of pinning executor storage until the caller's
+    // frame is GC'd — on a long-lived driver the edge list is the big
+    // side and repeated pagerank calls would otherwise accumulate it.
+    val out = ranks.localCheckpoint()
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
+  /** The un-materialized superstep pipeline (plus the two persisted
+    * frames backing it), split out so plan contracts can assert the
+    * per-superstep shuffle count on the REAL iteration plan — the
+    * public method checkpoints the result, which truncates the plan to
+    * an opaque scan. */
+  private[graft] def pageRankFrame(pairs: DataFrame, aCol: String,
+      bCol: String, iterations: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10], got $iterations")
     val ab = pairs.select(col(aCol).cast("long").as("src"),
@@ -86,13 +104,6 @@ object Graph {
         .select(col("src").as("node"), col("deg"),
           (lit(150000L) + expr("(85 * s) div 100")).as("rank_micro"))
     }
-    // Materialize the node-sized result so the edge-sized caches can be
-    // dropped NOW instead of pinning executor storage until the caller's
-    // frame is GC'd — on a long-lived driver the edge list is the big
-    // side and repeated pagerank calls would otherwise accumulate it.
-    val out = ranks.localCheckpoint()
-    edges.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    out
+    (ranks, edges, deg)
   }
 }

@@ -128,4 +128,53 @@ class PlanContractsSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("pagerank runs exactly ONE shuffle per superstep") {
+    // q126's contract: the edge list is re-clustered on src once and
+    // cached, deg inherits src-clustering, and each superstep's dst-sum
+    // output re-enters the next join already keyed — so the only
+    // per-iteration exchange is the unavoidable contribution re-key
+    // from src to dst. k·|E| shuffle rows saved at 100 TB; a regression
+    // here (e.g. losing the cache's partitioning) multiplies bench cost
+    // by the iteration count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    def shuffles(p: SparkPlan): Int = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      // collect does not descend into InMemoryRelation's cached plan,
+      // so cached build-side exchanges (paid once) aren't counted
+      root.collect { case e: ShuffleExchangeExec => e }.size
+    }
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val perIter = (1 to 2).map { k =>
+      val (ranks, edges, deg) =
+        graft.operators.Graph.pageRankFrame(pairs, "a", "b", k)
+      edges.count(); deg.count() // materialize caches like a real run
+      val n = shuffles(ranks.queryExecution.executedPlan)
+      edges.unpersist(); deg.unpersist()
+      n
+    }
+    perIter(0) shouldBe 1 // one superstep → one dst re-key
+    perIter(1) - perIter(0) shouldBe 1 // each extra superstep adds one
+  }
+
+  test("hard-negative mining joins on the sign bucket — no nested loop") {
+    // q130's contract: candidates come from an equi-join on the SimHash
+    // sign bucket; the label/self inequalities ride as residual
+    // conditions on the hash join, never as a BroadcastNestedLoopJoin
+    // over anchors×corpus.
+    val df = graft.operators.Similarity.hardNegatives(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", "label",
+      col("vec_id") % 7 === 0, k = 3, nBits = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
