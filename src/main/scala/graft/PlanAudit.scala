@@ -141,7 +141,14 @@ object PlanAudit {
         "is bounded-collected at plan-build time and scoring is the " +
         "same map-only row-local fold — corpus text never shuffles, " +
         "and the frozen artifact keeps scores stable as the training " +
-        "corpus grows (stream face covered in StreamingSpec)."))
+        "corpus grows (stream face covered in StreamingSpec)."),
+    "q133_ivf_index_append" ->
+      ("q84's stored index under incremental ingest: the appended " +
+        "batch routes through the FROZEN stored centroids (broadcast, " +
+        "batch-sized work only) into the existing cell= partition " +
+        "dirs; probes then prune to probed cells exactly as q84 " +
+        "(PartitionFilters asserted in PlanContractsSpec). Append-only " +
+        "id discipline is validated against the stored max-id meta."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -313,6 +313,41 @@ object RelationalQueries {
       Some(ivfOracleSql(kTop, nC, nP)))
   }
 
+  /** q84's index under INCREMENTAL ingest: build the deterministic IVF
+    * index over the first two-thirds of the corpus, route the last
+    * third through the STORED coarse centroids (no retraining — the
+    * inverted-file maintenance move), then probe. The append-only id
+    * discipline makes the result bit-identical to indexing the union
+    * up front — the centroids are the lowest-id vectors, which all sit
+    * in the first write — so q84's full-corpus oracle serves the
+    * appended index unchanged, and the hash match IS the proof that
+    * append preserves probe semantics (the ANN counterpart of q116/
+    * q118's segmented-index round trips). */
+  private val q133 = {
+    val (kTop, nC, nP) = (6, 16, 2)
+    Q(
+      "q133_ivf_index_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q133_ivfapp_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, idxDir) {
+          val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+          graft.operators.Similarity.writeIvfIndexDeterministic(
+            emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir,
+            nCentroids = nC)
+          graft.operators.Similarity.appendToIvfIndexDeterministic(
+            s, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+        }
+        graft.operators.Similarity.probeIvfIndexDeterministic(
+          s, idxDir, "vec_id",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nProbe = nP)
+          .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      },
+      Some(ivfOracleSql(kTop, nC, nP)))
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1344,5 +1379,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106)
+      q106, q133)
 }
