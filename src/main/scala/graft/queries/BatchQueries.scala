@@ -156,6 +156,29 @@ object BatchQueries {
       FROM e WINDOW w AS (ORDER BY ts_unix RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
       ORDER BY event_id""".replaceAll("\\s+", " ")))
 
+  /** q07's 100 TB twin as a DECLARED query: the same forward 1-hour
+    * rolling sum computed by the PARTITIONED scale path — rows bucket
+    * by a 2-hour key, each row feeds the preceding bucket so frames
+    * never cross a boundary unseen, and the window runs per-bucket
+    * (shuffle on bucket + per-bucket sort; no single-task global sort).
+    * The oracle computes the naive global window: same answer,
+    * scalable plan — the q106 discipline applied to W1. */
+  private val q134 = Q(
+    "q134_rolling_partitioned",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ts_unix", TimeOps.unixSeconds(col("ts")))
+      RollingWindow.forwardPartitioned(
+          e, "ts_unix", 3600L, "sum", "value", bucketSeconds = 7200L)
+        .select("event_id", "ts_unix", "sum_value_3600s")
+        .orderBy("event_id")
+    },
+    Some(s"""WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, value FROM events)
+      SELECT event_id, ts_unix,
+      ${PortableRound.sql2("CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)")} AS sum_value_3600s
+      FROM e WINDOW w AS (ORDER BY ts_unix RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+      ORDER BY event_id""".replaceAll("\\s+", " ")))
+
   /** P8: conditional one-hot with residual class (`ML_stock.py:104-119`);
     * 5-LOW is deliberately unlisted to exercise the residual. */
   private val q08 = Q(
@@ -389,5 +412,5 @@ object BatchQueries {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q16, q17, q18, q33)
+      q15, q16, q17, q18, q33, q134)
 }
