@@ -20,6 +20,11 @@ case class SessionOut(key: String, start: Timestamp, end: Timestamp, n: Long)
 
 private case class SessionState(startMs: Long, endMs: Long, n: Long)
 
+/** The per-key state of [[StatefulOps.timeoutSessions]]: every OPEN
+  * sub-session (out-of-order arrivals within the watermark delay can
+  * hold several gap-separated sessions open for one key at once). */
+private case class SessionList(sessions: Seq[SessionState])
+
 /** Custom streaming state beyond built-in windows/joins:
   * `mapGroupsWithState` / `flatMapGroupsWithState` over
   * `KeyValueGroupedDataset` — arbitrary per-key state with explicit
@@ -61,37 +66,69 @@ object StatefulOps {
   }
 
   /** Inactivity sessions with EXPLICIT event-time timeout —
-    * `flatMapGroupsWithState`, Append output mode. Events `gapSec`
-    * apart merge into one session; a session closes (and emits exactly
-    * once) when the watermark passes its end + gap. This is the
-    * hand-rolled equivalent of `session_window`, needed when the closed
+    * `flatMapGroupsWithState`, Append output mode. Events ≤ `gapSec`
+    * apart merge into one session (the same split rule as the batch
+    * `Sessionize.assign`: a strictly-larger gap starts a new session,
+    * INCLUDING gaps between events of one micro-batch); a session
+    * closes (and emits exactly once) when the watermark passes its
+    * end + gap. This is the hand-rolled equivalent of
+    * `session_window` ([[StreamAgg.sessions]]), needed when the closed
     * session must carry custom state (here: exact event count; in
-    * general: anything an aggregate can't hold). */
+    * general: anything an aggregate can't hold).
+    *
+    * State per key is the list of OPEN sub-sessions — out-of-order
+    * arrivals within the watermark delay can hold several
+    * gap-separated sessions open at once, and a late event may BRIDGE
+    * two of them (the interval merge below handles both). Emission
+    * order per key is by session start. */
   def timeoutSessions(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, delay: String, gapSec: Long): Dataset[SessionOut] = {
     require(gapSec > 0, "gapSec must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val gapMs = gapSec * 1000L
+    def out(key: String, closed: Seq[SessionState]): Iterator[SessionOut] =
+      closed.sortBy(_.startMs).iterator
+        .map(s => SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
     events(df, keyCol, tsCol, valCol)
       .withWatermark("ts", delay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, it: Iterator[StateEvent], state: GroupState[SessionState]) =>
+        (key: String, it: Iterator[StateEvent], state: GroupState[SessionList]) =>
           if (state.hasTimedOut) {
-            // watermark passed end + gap: the session is final
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+            // no new data; the watermark passed at least one end + gap
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = state.get.sessions.partition(_.endMs + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionList(open))
+              state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+            }
+            out(key, closed)
           } else {
-            val batch = it.toSeq
-            val prev = state.getOption
-            val startMs = (prev.map(_.startMs).toSeq ++ batch.map(_.ts.getTime)).min
-            val endMs = (prev.map(_.endMs).toSeq ++ batch.map(_.ts.getTime)).max
-            val s = SessionState(startMs, endMs, prev.map(_.n).getOrElse(0L) + batch.size)
-            state.update(s)
-            state.setTimeoutTimestamp(endMs + gapMs)
-            Iterator.empty
+            // interval-merge new events into the open sub-sessions:
+            // sorted by start, fold adjacent-within-gap runs together
+            val evs = it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L))
+            val all = (state.getOption.map(_.sessions).getOrElse(Nil) ++ evs)
+              .sortBy(s => (s.startMs, s.endMs))
+            val merged = all.foldLeft(List.empty[SessionState]) { (acc, s) =>
+              acc match {
+                case h :: t if s.startMs - h.endMs <= gapMs =>
+                  SessionState(h.startMs, math.max(h.endMs, s.endMs), h.n + s.n) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+            // sub-sessions already beyond the watermark close NOW: any
+            // surviving input has ts >= watermark >= their end + gap, so
+            // nothing can merge with them again (late rows beyond the
+            // delay were dropped by the watermark filter)
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+            // open is non-empty here: the batch's own events all have
+            // ts >= wm, so their sub-sessions end + gap > wm
+            state.update(SessionList(open))
+            state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+            out(key, closed)
           }
       }
   }

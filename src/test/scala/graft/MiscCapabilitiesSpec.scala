@@ -121,3 +121,54 @@ class MiscCapabilitiesSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 }
+
+/** The stored-artifact build discipline shared by every stored-index/
+  * model query (q84/q88/q97/q101/q113/q115/q116/q118/q122/q124/q129/
+  * q132/q133): clean-dir rebuild by default; bench pass-2 reuse only
+  * behind the JVM property AND a completion marker. */
+class ArtifactsPrepareSpec extends SparkSpec {
+  import graft.queries.Artifacts
+
+  private def writeMarkerDir(dir: String, tag: String): Unit = {
+    import spark.implicits._
+    Seq(tag).toDF("tag").write.mode("overwrite").parquet(s"$dir/data")
+  }
+  private def readTag(dir: String): String =
+    spark.read.parquet(s"$dir/data").collect().head.getString(0)
+
+  test("prepare rebuilds from a clean dir by default, even when output exists") {
+    val dir = tmpDir("artifacts") + "/a"
+    Artifacts.prepare(spark, dir) { writeMarkerDir(dir, "v1") }
+    readTag(dir) shouldBe "v1"
+    var ran = false
+    Artifacts.prepare(spark, dir) { writeMarkerDir(dir, "v2"); ran = true }
+    ran shouldBe true
+    readTag(dir) shouldBe "v2"
+  }
+
+  test("prepare skips the rebuild only with the bench property AND a marker") {
+    val dir = tmpDir("artifacts") + "/b"
+    Artifacts.prepare(spark, dir) { writeMarkerDir(dir, "v1") }
+    System.setProperty("graft.bench.reuseArtifacts", "true")
+    try {
+      var ran = false
+      Artifacts.prepare(spark, dir) { writeMarkerDir(dir, "v2"); ran = true }
+      ran shouldBe false          // marker present -> artifact reused
+      readTag(dir) shouldBe "v1"
+    } finally System.clearProperty("graft.bench.reuseArtifacts")
+  }
+
+  test("a failed build leaves no marker, so the next run rebuilds even under reuse") {
+    val dir = tmpDir("artifacts") + "/c"
+    an[RuntimeException] should be thrownBy
+      Artifacts.prepare(spark, dir) {
+        writeMarkerDir(dir, "half")           // partial output lands...
+        throw new RuntimeException("boom")    // ...then the build dies
+      }
+    System.setProperty("graft.bench.reuseArtifacts", "true")
+    try {
+      Artifacts.prepare(spark, dir) { writeMarkerDir(dir, "good") }
+      readTag(dir) shouldBe "good"  // half-built artifact was NOT reused
+    } finally System.clearProperty("graft.bench.reuseArtifacts")
+  }
+}

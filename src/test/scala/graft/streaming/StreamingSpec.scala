@@ -343,6 +343,65 @@ class StreamingSpec extends SparkSpec {
     // u2's session is still open (no later watermark advance) — not emitted
   }
 
+  test("timeoutSessions splits gap-separated events arriving in ONE micro-batch") {
+    // regression: the old state (single min/max interval per key) merged
+    // everything a micro-batch delivered — two events 20 min apart with
+    // a 5-min gap came out as one session
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val sessions = StatefulOps.timeoutSessions(
+      in.toDF().toDF("ts", "key", "v"), "key", "ts", "v",
+      delay = "1 minute", gapSec = 300)
+    val q = sessions.toDF().writeStream.format("memory").queryName("t_gap_split")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "u1", 1.0),
+      (ts("2024-01-01 00:02:00"), "u1", 1.0),  // merges (2 min <= gap)
+      (ts("2024-01-01 00:20:00"), "u1", 1.0))  // 18-min gap -> NEW session
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 01:00:00"), "u2", 0.0)) // watermark closes both
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_gap_split")
+      .as[(String, Timestamp, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    rows shouldBe Array(
+      ("u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:00"), 2L),
+      ("u1", ts("2024-01-01 00:20:00"), ts("2024-01-01 00:20:00"), 1L))
+  }
+
+  test("session_window stream aggregation equals the same call on a batch frame") {
+    val data = Seq(
+      (ts("2024-01-01 00:00:00"), "u1", 1.0),
+      (ts("2024-01-01 00:02:00"), "u1", 2.0),
+      (ts("2024-01-01 00:30:00"), "u1", 3.0),   // > 5-min gap -> new session
+      (ts("2024-01-01 00:01:00"), "u2", 4.0))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamAgg.sessions(
+      in.toDF().toDF("ts", "key", "v"), "ts", "1 minute", "5 minutes",
+      Seq("key"), Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    val q = out.writeStream.format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(data.take(2): _*)
+    q.processAllAvailable()
+    in.addData(data.drop(2): _*)
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 02:00:00"), "wm", 0.0)) // close everything real
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_sessions").filter(col("key") =!= "wm")
+      .select("key", "session_start", "session_end", "n", "sv")
+      .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // the SAME operator call on a static frame is the oracle
+    val batch = StreamAgg.sessions(
+      data.toDF("ts", "key", "v"), "ts", "1 minute", "5 minutes",
+      Seq("key"), Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+      .select("key", "session_start", "session_end", "n", "sv")
+      .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+    got shouldBe batch
+    got.map(t => (t._1, t._4)) shouldBe Set(("u1", 2L), ("u1", 1L), ("u2", 1L))
+    // session_end is last event + gap (the expiry instant)
+    got.find(t => t._1 == "u2").get._3 shouldBe ts("2024-01-01 00:06:00")
+  }
+
   test("T8: persisted GBT model scores a streaming frame inside the plan") {
     import graft.ml.MlPipeline
     val train = (1 to 200).map(i => (i.toDouble, i.toDouble * 2 + 1)).toDF("x", "y")
@@ -527,6 +586,43 @@ class StreamingSpec extends SparkSpec {
       xs.sum / xs.size
     }
     meanXent(true) should be < meanXent(false)
+  }
+
+  test("stream scoring against a stored NB classifier equals batch scoring") {
+    import graft.operators.Classifier
+    val rnd = new scala.util.Random(129)
+    def doc(id: Long, pos: Boolean) = {
+      val vocab = if (pos) (0 until 8).map(i => s"g$i") else (0 until 8).map(i => s"b$i")
+      (id, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "), pos)
+    }
+    val train = ((1L to 30L).map(doc(_, true)) ++ (31L to 60L).map(doc(_, false)))
+      .toDF("doc_id", "text", "pos")
+    val dir = java.nio.file.Files.createTempDirectory("clf_stream").toString
+    val (w, bias) = Classifier.trainNbMicro(train, "text", col("pos"), 32)
+    Classifier.writeModelArtifact(spark, dir, w, bias)
+    val streamDocs = (61L to 80L).map(id => doc(id, id % 2 == 0))
+      .map { case (id, text, _) => (id, text) }
+    val in = MemoryStream[(Long, String)]
+    val out = Classifier.scoreWithStoredModel(
+      spark, dir, in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("t_clf_score")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamDocs.take(10): _*)
+    q.processAllAvailable()
+    in.addData(streamDocs.drop(10): _*)   // stateless: model frozen
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_clf_score")
+      .select("doc_id", "clf_score", "keep")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = Classifier.scoreWithStoredModel(
+      spark, dir, streamDocs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "clf_score", "keep")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    got shouldBe batch
+    // the frozen model separates the classes on unseen docs
+    got.filter(_._1 % 2 == 0).foreach { case (_, _, keep) => keep shouldBe true }
+    got.filter(_._1 % 2 == 1).foreach { case (_, _, keep) => keep shouldBe false }
   }
 
   test("streaming near-dup ignores null-text docs instead of colliding them") {
