@@ -114,6 +114,52 @@ class PropertySpec extends SparkSpec {
     run(Seq("a", "b", null), Seq("a", null)) shouldBe 1 // nulls (sorted last) never match
   }
 
+  test("property: streaming timeoutSessions == brute-force gap sessionization") {
+    // any arrival order, any micro-batch split; the watermark delay
+    // exceeds the full time span so no event is ever late-dropped and
+    // every open sub-session shape (out-of-order holds, bridge merges)
+    // is reachable. A far-future sentinel closes everything, so the
+    // emitted sessions must be EXACTLY the batch-model sessions.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapSec = 300L
+    val base = 1700000000000L
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("u1", "u2"), Gen.choose(0L, 4000L))),
+      Gen.choose(0, 100))
+    samples(gen, 5).zipWithIndex.foreach { case ((evts, splitPct), i) =>
+      val rows = evts.map { case (k, s) => (new Timestamp(base + s * 1000L), k, 1.0) }
+      val cut = rows.size * splitPct / 100
+      val in = MemoryStream[(Timestamp, String, Double)]
+      val out = StatefulOps.timeoutSessions(
+        in.toDF().toDF("ts", "key", "v"), "key", "ts", "v",
+        delay = "2 hours", gapSec = gapSec)
+      val q = out.toDF().writeStream.format("memory")
+        .queryName(s"t_prop_sess_$i").outputMode(OutputMode.Append()).start()
+      if (cut > 0) { in.addData(rows.take(cut): _*); q.processAllAvailable() }
+      if (cut < rows.size) { in.addData(rows.drop(cut): _*); q.processAllAvailable() }
+      in.addData((new Timestamp(base + 48L * 3600 * 1000), "wm", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(s"t_prop_sess_$i").filter(col("key") =!= "wm")
+        .as[(String, Timestamp, Timestamp, Long)].collect()
+        .map { case (k, a, b, n) => (k, a.getTime, b.getTime, n) }.toSet
+      val expected = evts.groupBy(_._1).flatMap { case (k, ks) =>
+        val sorted = ks.map(base + _._2 * 1000L).sorted
+        sorted.tail.foldLeft(List((sorted.head, sorted.head, 1L))) {
+          case ((s, e, n) :: t, ts) =>
+            if (ts - e <= gapSec * 1000L) (s, ts, n + 1) :: t
+            else (ts, ts, 1L) :: (s, e, n) :: t
+          case (Nil, _) => Nil // unreachable
+        }.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      withClue(s"evts=$evts split=$splitPct: ") { got shouldBe expected }
+    }
+  }
+
   test("NoEarlierCollision: true iff keys differ at every earlier band") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
