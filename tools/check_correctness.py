@@ -7,7 +7,7 @@ report). Dev tooling only — NOT part of the shipped engine.
 
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob, os
+import sys, json, math, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,6 +41,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no engine output at {res_dir}")
             n_fail += 1
             continue
+        t0 = time.time()
         try:
             ora = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -112,7 +113,7 @@ def main(sf_dir, out_dir):
         # driver sorts columns by name; row order must match our ORDER BYs —
         # compare both as-is AND sorted to spot ordering-only mismatches
         if o_rows == e_rows:
-            print(f"PASS {name} ({len(o_rows)} rows)")
+            print(f"PASS {name} ({len(o_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue
         if sorted(map(repr, o_rows)) == sorted(map(repr, e_rows)):
