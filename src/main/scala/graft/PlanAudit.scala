@@ -148,7 +148,19 @@ object PlanAudit {
         "batch-sized work only) into the existing cell= partition " +
         "dirs; probes then prune to probed cells exactly as q84 " +
         "(PartitionFilters asserted in PlanContractsSpec). Append-only " +
-        "id discipline is validated against the stored max-id meta."))
+        "id discipline is validated against the stored max-id meta."),
+    "q108_inverted_index" ->
+      ("Single token-keyed aggregation — the documented stopword " +
+        "ceiling: a df-heavy token delivers its whole posting stream " +
+        "to one reducer. q135 is the salted two-stage twin that lifts " +
+        "it; this form stays for minDf-filtered vocabularies where no " +
+        "token is hot."),
+    "q135_inverted_index_salted" ->
+      ("q108's skew-proof twin: stage 1 aggregates on (token, salt) " +
+        "so a stopword's postings split across 16 reducers; stage 2 " +
+        "merges 16 partial arrays per token (row-count-uniform " +
+        "shuffle). Bit-identical output, same oracle — the hash match " +
+        "proves the salting is semantics-free."))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

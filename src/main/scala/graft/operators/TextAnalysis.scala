@@ -514,6 +514,37 @@ object TextAnalysis {
       .drop("_post")
   }
 
+  /** [[invertedIndex]]'s skew-proof twin — the lift for the documented
+    * stopword ceiling: a df-heavy token (a stopword indexed at low
+    * minDf) used to deliver its ENTIRE posting stream to one reducer
+    * in the single token-keyed aggregation. Here stage 1 aggregates on
+    * (token, salt = id mod nSalts) — the hot token's stream splits
+    * into nSalts groups, bounding any one reducer's row count at
+    * df/nSalts — and stage 2 merges the nSalts partial arrays
+    * token-keyed (nSalts ROWS per token, so the second shuffle is
+    * row-count-uniform; the merged posting bytes are inherent to the
+    * output format). The array sort + gap encoding run once, array-side,
+    * in stage 2. Output is bit-identical to [[invertedIndex]] —
+    * q135 hash-checks it against q108's oracle. */
+  def invertedIndexSalted(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, nSalts: Int = 16): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val pairs = df.select(
+      col(idCol).cast("long").as("_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    pairs
+      .groupBy(col("token"), pmod(col("_id"), lit(nSalts.toLong)).as("_salt"))
+      .agg(count(lit(1)).as("_n"), collect_list(col("_id")).as("_part"))
+      .groupBy(col("token"))
+      .agg(sum(col("_n")).as("df_t"),
+        array_sort(flatten(collect_list(col("_part")))).as("_post"))
+      .filter(col("df_t") >= minDf)
+      .withColumn("deltas", concat_ws(",",
+        transform(col("_post"), (x, i) =>
+          when(i === 0, x).otherwise(x - col("_post")(i - lit(1))))))
+      .drop("_post")
+  }
+
   /** Collocation mining: adjacent-window co-occurrence pairs scored by
     * the Dice coefficient — 2·n(a,b) / (n(a) + n(b)) — the classic
     * association measure for multi-word expressions. Emitted as

@@ -974,6 +974,21 @@ object CurationQueries {
         ORDER BY token""".replaceAll("\\s+", " ")))
   }
 
+  /** q108's skew-proof twin: the salted two-stage inverted-index build
+    * ([[TextAnalysis.invertedIndexSalted]]) — a df-heavy token's
+    * posting stream splits over (token, salt) reducers instead of
+    * landing on one. Bit-identical output, so q108's oracle serves
+    * both; the hash match is the proof the salting is semantics-free. */
+  private val q135 = {
+    val minDf = 3
+    Q(
+      "q135_inverted_index_salted",
+      (s, dir) => TextAnalysis
+        .invertedIndexSalted(t(s, dir, "documents"), "doc_id", "text", minDf)
+        .orderBy("token"),
+      q108.oracle)
+  }
+
   /** Collocation mining: window-2 co-occurrence pairs scored by the
     * Dice coefficient in integer micro-units — exact int64 arithmetic
     * end to end, so the score is engine-portable (PMI's log would
@@ -1344,5 +1359,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122, q123, q124, q125, q127, q128, q129, q132)
+    q121, q122, q123, q124, q125, q127, q128, q129, q132, q135)
 }

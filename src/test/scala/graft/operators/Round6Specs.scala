@@ -126,6 +126,41 @@ class InvertedIndexSpec extends SparkSpec {
     TextAnalysis.invertedIndex(df, "doc_id", "text", 1)
       .as[(String, Long, String)].collect() shouldBe Array(("x", 2L, "1,1"))
   }
+
+  test("salted two-stage build is bit-identical, including on a hot stopword") {
+    // "the" appears in EVERY doc — the df-heavy shape whose posting
+    // stream the salted build splits across (token, salt) reducers
+    val rnd = new scala.util.Random(108)
+    val vocab = (0 until 20).map(i => s"w$i")
+    val docs = (1L to 200L).map { id =>
+      (id, ("the" +: Seq.fill(6)(vocab(rnd.nextInt(vocab.size)))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (minDf <- Seq(1, 5); salts <- Seq(1, 4, 16)) {
+      val plain = TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf)
+        .orderBy("token").as[(String, Long, String)].collect()
+      val salted = TextAnalysis
+        .invertedIndexSalted(docs, "doc_id", "text", minDf, nSalts = salts)
+        .orderBy("token").as[(String, Long, String)].collect()
+      withClue(s"minDf=$minDf salts=$salts: ") { salted shouldBe plain }
+    }
+    // the plan is genuinely two-stage: two shuffles, first keyed on
+    // (token, salt) so no single reducer sees a stopword's full stream
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = TextAnalysis.invertedIndexSalted(docs, "doc_id", "text", 1, 16)
+      .queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    exchanges should have size 2
+    // stage-1 partitioning (deepest exchange, listed last) carries TWO
+    // keys: token plus the salt (Catalyst shows it as an aliased
+    // grouping expression)
+    exchanges.last.outputPartitioning.toString should fullyMatch regex
+      """hashpartitioning\(token#\d+, [^,]+, \d+\)"""
+  }
 }
 
 class CollocationsSpec extends SparkSpec {
