@@ -43,10 +43,19 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // SPARK_GRAFT_BENCH_PASSES (default 2, min 2): min-of-N. Pass 1
+      // always runs the full declared semantics; passes 2..N reuse
+      // pass-1 artifacts. N=3 tightens the tail against bursty
+      // co-tenant load at +50% wall cost — worth it when regenerating
+      // the committed quiet-box artifact, not for dev loops.
+      val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+        .flatMap(_.toIntOption).getOrElse(2).max(2)
       val (cold, errCold) = once(reuseArtifacts = false)
-      val (second, errWarm) = once(reuseArtifacts = true)
+      val warmRuns = (2 to passes).map(_ => once(reuseArtifacts = true))
       System.clearProperty("graft.bench.reuseArtifacts")
-      R(name, math.min(cold, second), cold, errCold.orElse(errWarm))
+      val warm = (cold +: warmRuns.map(_._1)).min
+      val err = (errCold +: warmRuns.map(_._2)).flatten.headOption
+      R(name, warm, cold, err)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jstr(s: String): String =
