@@ -49,6 +49,11 @@ object Graph {
     * rank_micro) — rank in micro-units after `iterations` damped
     * supersteps from a uniform 10⁶ start.
     */
+  /** The returned frame is backed by a node-sized local checkpoint
+    * (that is what lets the edge-sized caches drop at return instead of
+    * living as long as the caller's plan); a long-lived driver calling
+    * this repeatedly should `CheckpointBridge.release` the frame once
+    * done with it rather than waiting for the ContextCleaner. */
   def pageRankUndirectedMicro(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int): DataFrame = {
     val (ranks, edges, deg) = pageRankFrame(pairs, aCol, bCol, iterations)

@@ -955,8 +955,13 @@ object CurationQueries {
     * array-side in one `transform` after the per-token collect (no
     * second shuffle); the oracle reaches the same gaps via lag() +
     * ordered string_agg. */
+  // shared by q108 and its salted twin q135 — they reuse one oracle, so
+  // the engine parameter must be a single constant (the bigramBuckets
+  // discipline)
+  private val invIndexMinDf = 3
+
   private val q108 = {
-    val minDf = 3
+    val minDf = invIndexMinDf
     Q(
       "q108_inverted_index",
       (s, dir) => TextAnalysis
@@ -980,7 +985,7 @@ object CurationQueries {
     * landing on one. Bit-identical output, so q108's oracle serves
     * both; the hash match is the proof the salting is semantics-free. */
   private val q135 = {
-    val minDf = 3
+    val minDf = invIndexMinDf
     Q(
       "q135_inverted_index_salted",
       (s, dir) => TextAnalysis

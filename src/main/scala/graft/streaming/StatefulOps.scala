@@ -96,9 +96,15 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, it: Iterator[StateEvent], state: GroupState[SessionList]) =>
           if (state.hasTimedOut) {
-            // no new data; the watermark passed at least one end + gap
+            // no new data; the watermark passed at least one end + gap.
+            // STRICT <: if an engine ever delivered a ts == watermark
+            // event (today's late filter drops it — spec-pinned), at
+            // exactly end + gap it must MERGE under the <=-gap rule,
+            // so a session is never closed at equality. Timeouts fire
+            // only when the watermark strictly passes the armed
+            // end + gap, so the strict form still always emits here.
             val wm = state.getCurrentWatermarkMs()
-            val (closed, open) = state.get.sessions.partition(_.endMs + gapMs <= wm)
+            val (closed, open) = state.get.sessions.partition(_.endMs + gapMs < wm)
             if (open.isEmpty) state.remove()
             else {
               state.update(SessionList(open))
@@ -118,12 +124,14 @@ object StatefulOps {
                 case _ => s :: acc
               }
             }.reverse
-            // sub-sessions already beyond the watermark close NOW: any
-            // surviving input has ts >= watermark >= their end + gap, so
+            // sub-sessions strictly beyond the watermark close NOW: any
+            // surviving input has ts >= watermark > their end + gap, so
             // nothing can merge with them again (late rows beyond the
-            // delay were dropped by the watermark filter)
+            // delay were dropped by the watermark filter). STRICT <,
+            // same defensive reason as the timeout branch: never close
+            // a session at exactly end + gap == watermark.
             val wm = state.getCurrentWatermarkMs()
-            val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+            val (closed, open) = merged.partition(_.endMs + gapMs < wm)
             // open is non-empty here: the batch's own events all have
             // ts >= wm, so their sub-sessions end + gap > wm
             state.update(SessionList(open))

@@ -368,6 +368,46 @@ class StreamingSpec extends SparkSpec {
       ("u1", ts("2024-01-01 00:20:00"), ts("2024-01-01 00:20:00"), 1L))
   }
 
+  test("a session at EXACTLY watermark == end + gap is held open, not emitted early") {
+    // watermark-boundary contract: while wm == end + gap the session
+    // must stay OPEN (emitting at equality would be premature if an
+    // engine ever delivered a ts == wm event, which at exactly gap
+    // distance still merges under the <=-gap rule); it closes once the
+    // watermark strictly passes. Also pinned: Spark's late filter
+    // drops a ts == watermark event for stateful ops, so such a merge
+    // is unreachable today — the strict-< close is defensive, not
+    // semantics-changing.
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val sessions = StatefulOps.timeoutSessions(
+      in.toDF().toDF("ts", "key", "v"), "key", "ts", "v",
+      delay = "1 minute", gapSec = 300)
+    val q = sessions.toDF().writeStream.format("memory").queryName("t_wm_edge")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "u1", 1.0),
+      (ts("2024-01-01 00:06:00"), "adv", 0.0)) // -> watermark 00:05:00
+    q.processAllAvailable()
+    // u1 data at 00:05:30 (past the gap, does NOT advance the 00:05:00
+    // watermark) arrives while wm == first session end + gap: the
+    // [00:00] sub-session is NOT emitted at equality
+    in.addData((ts("2024-01-01 00:05:30"), "u1", 1.0))
+    q.processAllAvailable()
+    spark.table("t_wm_edge").filter(col("key") === "u1").count() shouldBe 0L
+    // a ts == watermark event is late-dropped (were it kept, it would
+    // bridge both open sub-sessions into one — the final assert would
+    // catch an engine that starts keeping such rows)
+    in.addData((ts("2024-01-01 00:05:00"), "u1", 1.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 02:00:00"), "adv", 0.0)) // wm strictly past: close
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_wm_edge").filter(col("key") === "u1")
+      .as[(String, Timestamp, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    rows shouldBe Array(
+      ("u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1L),
+      ("u1", ts("2024-01-01 00:05:30"), ts("2024-01-01 00:05:30"), 1L))
+  }
+
   test("session_window stream aggregation equals the same call on a batch frame") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), "u1", 1.0),
