@@ -501,6 +501,25 @@ object Dedup {
       .select(col(idCol), col("dup_of"), col("est_milli"))
   }
 
+  /** Compact a stored signature index's `dir/data` (simhash AND minhash
+    * share the layout — flat signature parquet, params/meta untouched):
+    * each [[appendToSimhashIndex]]/[[appendToMinhashIndex]] ingest adds
+    * batch-sized files, and a screen's corpus-side scan eventually pays
+    * more in file-open fan-in than in signature bytes. Compaction
+    * rewrites the data into `nFiles` files with row content untouched,
+    * so screens before and after are identical (DedupSpec asserts it).
+    * The rewrite IS a full data pass — but the data is the signature
+    * shadow (~0.01% of corpus bytes), so even at 100 TB of corpus this
+    * touches ~10 GB; run it on the retrieval-compaction cadence. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nFiles: Int = 1): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val merged = spark.read.parquet(s"$dir/data")
+      .repartition(nFiles)
+      .localCheckpoint() // materialize before the overwrite deletes input
+    merged.write.mode("overwrite").parquet(s"$dir/data")
+  }
+
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

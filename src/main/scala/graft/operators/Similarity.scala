@@ -919,4 +919,38 @@ object Similarity {
       .filter(col("_r") <= topK)
       .drop("_r")
   }
+
+  /** Compact the `cell=` data directories of a stored IVF / IVF-PQ
+    * index (any of the four writers — deterministic/trained, plain/PQ:
+    * they share the `dir/data` partitioned-by-cell layout). Repeated
+    * [[appendToIvfIndexDeterministic]]-family ingests leave one file
+    * per batch per cell; past a point the probe's scan pays more in
+    * file-open fan-in than in bytes. This is the merge half of that
+    * log-structured design, and it is CELL-SELECTIVE: only cells whose
+    * file count exceeds `maxFilesPerCell` are rewritten (dynamic
+    * partition overwrite — untouched cells' files are not read, not
+    * rewritten), so at 100 TB a compaction pass costs the crowded
+    * cells only, not an index rewrite. Row content is untouched —
+    * probes before and after are identical (SimilaritySpec asserts
+    * bit-equality), centroids/codebook/meta are not involved. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crowded = fs.listStatus(dataPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+    if (crowded.nonEmpty) {
+      val merged = spark.read.parquet(s"$dir/data")
+        .filter(col("cell").isin(crowded: _*)) // partition-pruned read
+        .repartition(col("cell")) // one writer task per cell → one file
+        .localCheckpoint() // materialize before the overwrite deletes input
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // replace ONLY crowded cells
+        .partitionBy("cell").parquet(s"$dir/data")
+    }
+  }
 }

@@ -139,9 +139,13 @@ object CurationQueries {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")))
 
-  /** Boilerplate 5-grams: shingles shared by ≥5 distinct documents. */
+  /** Boilerplate 5-grams: shingles shared by ≥3 distinct documents.
+    * minDocs=3 (not 5) so the oracle is NON-VACUOUS at every test SF —
+    * df_g ≥ 5 yields 0 rows at sf0.01, which hash-matches trivially and
+    * verifies nothing (round-7 verdict item); at ≥3 the sf0.001/0.01/0.1
+    * oracles return 91/74/550 rows. Operator semantics unchanged. */
   private val q50 = {
-    val (n, minDocs) = (5, 5L)
+    val (n, minDocs) = (5, 3L)
     Q(
       "q50_repeated_ngrams",
       (s, dir) => TextAnalysis.repeatedNgrams(t(s, dir, "documents"), "doc_id", "text", n, minDocs)

@@ -22,7 +22,14 @@ private case class SessionState(startMs: Long, endMs: Long, n: Long)
 
 /** The per-key state of [[StatefulOps.timeoutSessions]]: every OPEN
   * sub-session (out-of-order arrivals within the watermark delay can
-  * hold several gap-separated sessions open for one key at once). */
+  * hold several gap-separated sessions open for one key at once).
+  *
+  * STATE-SCHEMA BREAK: the per-key state type was `SessionState`
+  * (one open session) before it became `SessionList`. A streaming
+  * query restarted from a checkpoint written by the old encoder will
+  * fail or misbehave on state deserialization — there is no migration
+  * path. Long-lived checkpoints that predate the change must be
+  * discarded (start the query at a fresh checkpoint location). */
 private case class SessionList(sessions: Seq[SessionState])
 
 /** Custom streaming state beyond built-in windows/joins:
@@ -79,8 +86,19 @@ object StatefulOps {
     * State per key is the list of OPEN sub-sessions — out-of-order
     * arrivals within the watermark delay can hold several
     * gap-separated sessions open at once, and a late event may BRIDGE
-    * two of them (the interval merge below handles both). Emission
-    * order per key is by session start. */
+    * two of them (the interval merge below handles both). Sessions
+    * closed within ONE `flatMapGroupsWithState` invocation are emitted
+    * in session-start order; across micro-batches no order is promised
+    * (a data-branch close and a later timeout close can reach an
+    * Append sink out of start order for the same key — Append-mode
+    * consumers must not rely on row order).
+    *
+    * Gap-boundary semantics vs the built-in `session_window`
+    * ([[StreamAgg.sessions]]): this operator (and batch
+    * `Sessionize.assign`) MERGES events exactly `gapSec` apart;
+    * Spark's `session_window` merges only strictly-closer-than-gap.
+    * See `docs/ARCHITECTURE.md` ("Sessionization: which operator") for
+    * the choice table. */
   def timeoutSessions(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, delay: String, gapSec: Long): Dataset[SessionOut] = {
     require(gapSec > 0, "gapSec must be positive")

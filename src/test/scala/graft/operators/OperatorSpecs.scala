@@ -334,6 +334,20 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.appendToSimhashIndex(spark, dir,
         (50L to 55L).map(doc).toDF("doc_id", "text"), "doc_id", "text")
+    // compaction: screen-identical, data files merged, params/meta kept
+    def dataFiles() = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    dataFiles().size should be > 1 // the append really fragmented data
+    Dedup.compactSignatureIndex(spark, dir, nFiles = 1)
+    dataFiles().size shouldBe 1
+    val recompacted = Dedup.screenWithSimhashIndex(spark, dir, batch3,
+      "doc_id", "text", maxHamming = 3, bandBits = 4)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    recompacted shouldBe grown
+    // meta survives: the id discipline still refuses overlaps
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.appendToSimhashIndex(spark, dir,
+        (50L to 55L).map(doc).toDF("doc_id", "text"), "doc_id", "text")
   }
 
   test("stored minhash index screen == brute-force signature comparison; appends validated") {
@@ -753,6 +767,45 @@ class SimilaritySpec extends SparkSpec {
     inc shouldBe rows(fullDir)
     // appended rows are reachable (some hit beyond the base id range)
     inc.map(_._2).exists(_ >= 50L) shouldBe true
+  }
+
+  test("IVF compaction is probe-identical, cell-selective, and reduces files") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf_compact")
+    Similarity.writeIvfIndexDeterministic(batch(0, 60), "vec_id", "embedding",
+      dir, nCentroids = 4)
+    Similarity.appendToIvfIndexDeterministic(spark, dir, batch(60, 90), "vec_id", "embedding")
+    Similarity.appendToIvfIndexDeterministic(spark, dir, batch(90, 120), "vec_id", "embedding")
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$dir/data")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName ->
+          c.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = cellFiles()
+    val crowded = before.filter(_._2.size > 1).keySet
+    val quiet = before.keySet -- crowded
+    crowded should not be empty // appends really did fragment cells
+    val queries = batch(0, 3)
+    def probe() =
+      Similarity.probeIvfIndexDeterministic(spark, dir, "vec_id",
+        queries, "vec_id", "embedding", k = 10, nProbe = 3)
+        .select("query_id", "vec_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val pre = probe()
+    Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 1)
+    val after = cellFiles()
+    probe() shouldBe pre // bit-identical probe
+    crowded.foreach(c => after(c).size shouldBe 1) // crowded cells merged
+    // cell-selective: quiet cells' files are untouched, not rewritten
+    quiet.foreach(c => after(c) shouldBe before(c))
+    // idempotent: nothing left to compact → file layout unchanged
+    Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 1)
+    cellFiles() shouldBe after
   }
 
   test("rerankExact over a full-coverage shortlist equals brute-force top-k") {
