@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Deterministic ×N upscaler for the driver testdata — the local stand-in
+  * for "the same workload at 10× the data" (VERDICT round-7 item 1).
+  *
+  * Each replica k ∈ [0, factor) is the source data with every surrogate
+  * key shifted by k·(max(key)+1), so intra-replica join cardinalities,
+  * group sizes, dup rates, and skew are EXACTLY the source's, while
+  * replicas are disjoint — row counts, distinct keys, and join outputs
+  * all grow ×factor. Two columns need more than a key shift to keep the
+  * scaled corpus statistically representative rather than degenerate:
+  *
+  *  - `documents.text`: replica k>0 suffixes one replica-specific letter
+  *    to every whitespace token. Token/shingle vocabularies become
+  *    disjoint across replicas (no cross-replica MinHash/LSH or n-gram
+  *    collisions), while within a replica the dup/near-dup structure is
+  *    byte-for-byte the source's. A naive exact copy would instead make
+  *    every doc a 10-way near-dup group — candidate-pair counts would
+  *    grow ~×45 for distribution (not engine) reasons, poisoning the
+  *    scaling measurement.
+  *  - `embeddings.embedding`: replica k rotates the 64-dim vector by k
+  *    positions. Rotation preserves every intra-replica dot product and
+  *    norm bit-for-bit (so per-replica ANN/near-dup structure is
+  *    unchanged) while cross-replica cosines decorrelate.
+  *
+  * Fixed dimensions (`region`, `nation`, and FK columns into them) are
+  * copied unshifted — at 10× the fact data the dimension tables of a
+  * star schema do NOT grow, which is exactly the broadcast-join
+  * assumption the engine's plans rely on.
+  *
+  * Output parquet uses plain session-tz TIMESTAMP for `events.ts`
+  * (one of the three encodings `Tables.t` normalizes). A `_SCALE_OK`
+  * marker stamps a completed build; `ensure` reuses a marked dir. */
+object ScaleGen {
+
+  private def keyBase(df: DataFrame, col0: String): Long =
+    df.agg(max(col(col0))).head().getLong(0) + 1L
+
+  /** Shift `cols` of `df` by `rep * base(col)`; `rep` must exist. */
+  private def shifted(df: DataFrame, bases: Map[String, Long]): DataFrame =
+    bases.foldLeft(df) { case (d, (c, b)) =>
+      d.withColumn(c, col(c) + col("rep") * lit(b))
+    }
+
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(spark_range(df.sparkSession, factor))
+
+  private def spark_range(s: SparkSession, n: Int): DataFrame =
+    s.range(n.toLong).select(col("id").cast("int").as("rep"))
+
+  /** Generate `outDir` as a ×`factor` upscale of `srcDir`. Overwrites. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+
+    def src(name: String): DataFrame = Tables.t(spark, srcDir, name)
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // fixed dims: copied as-is (star-schema dims don't grow with facts)
+    write("region", src("region"), 1)
+    write("nation", src("nation"), 1)
+
+    // key bases from the source maxima (FK offsets == PK offsets)
+    val custB = keyBase(src("customer"), "c_custkey")
+    val suppB = keyBase(src("supplier"), "s_suppkey")
+    val partB = keyBase(src("part"), "p_partkey")
+    val ordB = keyBase(src("orders"), "o_orderkey")
+    val evB = keyBase(src("events"), "event_id")
+    val userB = keyBase(src("events"), "user_id")
+    val docB = keyBase(src("documents"), "doc_id")
+    val vecB = keyBase(src("embeddings"), "vec_id")
+
+    write("customer",
+      shifted(replicate(src("customer"), factor), Map("c_custkey" -> custB))
+        .drop("rep"), factor)
+    write("supplier",
+      shifted(replicate(src("supplier"), factor), Map("s_suppkey" -> suppB))
+        .drop("rep"), 1)
+    write("part",
+      shifted(replicate(src("part"), factor), Map("p_partkey" -> partB))
+        .drop("rep"), factor)
+    write("orders",
+      shifted(replicate(src("orders"), factor),
+        Map("o_orderkey" -> ordB, "o_custkey" -> custB)).drop("rep"), factor)
+    write("lineitem",
+      shifted(replicate(src("lineitem"), factor),
+        Map("l_orderkey" -> ordB, "l_partkey" -> partB, "l_suppkey" -> suppB))
+        .drop("rep"), factor * 2)
+    // events: same time window, ×factor traffic (more users, same rate
+    // per user) — sessionization group sizes stay the source's
+    write("events",
+      shifted(replicate(src("events"), factor),
+        Map("event_id" -> evB, "user_id" -> userB)).drop("rep"), factor)
+
+    // documents: per-replica token suffix keeps replicas non-near-dup
+    val sfxes = "qzjxvkwyb" // 9 suffix letters cover factor <= 10
+    require(factor <= sfxes.length + 1,
+      s"factor ${factor} > ${sfxes.length + 1} suffix alphabet")
+    val sfxCol = array((lit("") +: sfxes.map(c => lit(c.toString))): _*)
+    write("documents",
+      replicate(src("documents"), factor)
+        .withColumn("sfx", element_at(sfxCol, col("rep") + 1))
+        .withColumn("text",
+          when(col("rep") === 0 || col("text").isNull, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "),
+                w => when(w === "", w).otherwise(concat(w, col("sfx")))),
+              " ")))
+        .withColumn("n_chars",
+          when(col("text").isNull, col("n_chars"))
+            .otherwise(length(col("text")).cast("long")))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(docB))
+        .drop("rep", "sfx"), factor)
+
+    // embeddings: rotate by rep — intra-replica dot products preserved
+    val dims = src("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    write("embeddings",
+      replicate(src("embeddings"), factor)
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(dims)),
+            i => element_at(col("embedding"),
+              ((i - 1 + col("rep")) % dims) + 1)))
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(vecB))
+        .drop("rep"), 2)
+
+    fs.create(new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK"), true).close()
+  }
+
+  /** Generate unless a completed build is already at `outDir`. */
+  def ensure(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK")))
+      generate(spark, srcDir, outDir, factor)
+  }
+}

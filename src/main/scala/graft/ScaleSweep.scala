@@ -1,0 +1,94 @@
+package graft
+
+/** Empirical scale validation (VERDICT round-7 item 1): run the heaviest
+  * declared queries at the bench SF and at a ScaleGen ×10 upscale of it,
+  * and record the runtime growth. The engine's 100 TB arguments are plan
+  * contracts (banded candidates, partition-pruned indexes, broadcast
+  * dims, salted skew paths); this main converts them into measured
+  * evidence — near-linear growth (ratio ≲ factor, with slack for fixed
+  * overheads amortizing differently) — committed as
+  * docs/SCALE_SWEEP.json.
+  *
+  * Timing discipline mirrors Bench: pass 1 cold (full declared
+  * semantics, stored-artifact builds included), passes 2..N with
+  * graft.bench.reuseArtifacts, per-SF min-of-N. The ratio is
+  * warm-vs-warm (steady-state probe scaling) with cold ratios kept
+  * alongside (build scaling). SPARK_GRAFT_SWEEP_PASSES (default 3)
+  * tightens the min against co-tenant noise. */
+object ScaleSweep {
+
+  /** The 15 most expensive queries of docs/BENCH_FULL.json, as named in
+    * the round-7 verdict. */
+  val heavy: Seq[String] = Seq(
+    "q126_link_pagerank", "q117_incremental_clusters",
+    "q104_cluster_keep_best", "q103_containment_pairs",
+    "q44_decontaminate", "q04_join_chain", "q50_repeated_ngrams",
+    "q90_ann_rerank", "q87_pq_adc", "q30_lsh_verified_pairs",
+    "q124_decontam_stored", "q22_minhash_lsh_pairs", "q40_simhash_neardup",
+    "q131_source_overlap", "q132_bigram_xent_stored")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.get("SPARK_GRAFT_SCALE_FACTOR")
+      .flatMap(_.toIntOption).getOrElse(10)
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "target/testdata/sf1.0")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.get("SPARK_GRAFT_SWEEP_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3).max(2)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleGen.ensure(spark, baseDir, bigDir, factor)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val qs = SparkEntry.queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = heavy.filter(n =>
+      only.forall(_.exists(n.startsWith)) && qs.contains(n))
+
+    def time(name: String, dir: String): (Double, Double) = {
+      def once(reuse: Boolean): Double = {
+        System.setProperty("graft.bench.reuseArtifacts", reuse.toString)
+        val t0 = System.nanoTime()
+        qs(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(reuse = false)
+      val warms = (2 to passes).map(_ => once(reuse = true))
+      System.clearProperty("graft.bench.reuseArtifacts")
+      (cold, (cold +: warms).min)
+    }
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val (cb, wb) = time(n, baseDir)
+      val (cB, wB) = time(n, bigDir)
+      val line =
+        s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
+        s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
+        s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}}"""
+      System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
+        s"ratio=${fmt(wB / wb)}")
+      (n, wb, wB, line)
+    }
+    val maxRatio = rows.map(r => r._3 / r._2).max
+    val json =
+      s"""{"factor":$factor,"base":"$baseDir","big":"$bigDir",""" +
+      s""""passes":$passes,"cpus":$cpus,""" +
+      s""""total_base_warm":${fmt(rows.map(_._2).sum)},""" +
+      s""""total_big_warm":${fmt(rows.map(_._3).sum)},""" +
+      s""""max_ratio_warm":${fmt(maxRatio)},""" +
+      s""""queries":{${rows.map(_._4).mkString(",")}}}"""
+    val out = if (only.isEmpty) "docs/SCALE_SWEEP.json"
+      else "target/SCALE_SWEEP.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -113,6 +113,77 @@ object Sampling {
       .withColumnRenamed("_nt", "n_tokens")
   }
 
+  /** [[tokenBudgetPerGroup]]'s skew-proof twin — the pre-filter the
+    * plain version's scaladoc declares, implemented: the giant-group
+    * window ceiling (one source with 90% of the corpus funnels its
+    * whole row stream into ONE window task) is lifted by bounding the
+    * window's input per group BEFORE the shuffle, exactly.
+    *
+    * Soundness: every doc with ≥ 1 token consumes ≥ 1 token of budget,
+    * so at most B+1 nonzero-token docs per group can precede the
+    * cutoff — any doc with > B nonzero-token docs ahead of it in
+    * (hash, id) priority order is dropped no matter what. The
+    * md5-derived priority hash is uniform on [0, 2³²), so a per-group
+    * hash cutoff of ~safety·(B+1)/n_nz captures those first B+1
+    * nonzero docs w.h.p.; the candidate set is then
+    * ~safety·(B+1) rows per group (plus the group's under-cutoff
+    * zero-token docs) instead of the whole group. Exactness NEVER
+    * rests on the probability: a group whose cutoff failed to capture
+    * min(n_nz, B+1) nonzero docs (hash clustering, P ≈ e^(−cB)) falls
+    * back to its full row set. Kept docs see every prior nonzero doc
+    * (prior in (hash, id) order ⇒ smaller hash ⇒ also under cutoff),
+    * so running sums — and therefore the selection and the emitted
+    * `tokens_before` — are bit-identical to [[tokenBudgetPerGroup]];
+    * q136 hash-checks that against q110's oracle.
+    *
+    * Cost: one extra group-cardinality aggregate (broadcast back) and
+    * one candidate-count check, both group-sized; the corpus-sized
+    * stages are one map-side filter and a window over the bounded
+    * candidate set. Degenerate caveat: zero-token docs can't be
+    * pre-bounded (they consume no budget), so a group made mostly of
+    * empty texts degrades toward the plain window — empty docs are a
+    * curation-input pathology to drop upstream, not a budget concern. */
+  def tokenBudgetPerGroupBounded(df: DataFrame, groupCol: String,
+      idCol: String, textCol: String, budgetTokens: Long,
+      safety: Int = 4): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(safety >= 2, "safety must be >= 2")
+    require((budgetTokens + 1) * safety.toLong < (1L << 30),
+      "budget*safety beyond cutoff-arith range")
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val base = df
+      .withColumn("_nt", graft.operators.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("_h", pri)
+    val bPlus = budgetTokens + 1
+    val full = 1L << 32
+    val stats = base.filter(col("_nt") >= 1).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n_nz"))
+      .withColumn("_cutoff",
+        when(col("_n_nz") <= lit(bPlus), lit(full))
+          .otherwise(least(lit(full),
+            expr(s"${bPlus * safety.toLong}L * ${full}L DIV _n_nz + 1L"))))
+    // groups with no nonzero docs miss from stats → null cutoff → keep all
+    val cand = base.join(broadcast(stats), Seq(groupCol), "left")
+      .filter(col("_cutoff").isNull || col("_h") < col("_cutoff"))
+    val unsound = cand.filter(col("_nt") >= 1).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_m"))
+      .join(stats, Seq(groupCol))
+      .filter(col("_m") < least(col("_n_nz"), lit(bPlus)))
+      .select(col(groupCol))
+    val inScope = cand.drop("_n_nz", "_cutoff")
+      .join(broadcast(unsound), Seq(groupCol), "left_anti")
+      .unionByName(base.join(broadcast(unsound), Seq(groupCol), "left_semi"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val outCols = df.columns.map(col) ++ Seq(col("n_tokens"), col("tokens_before"))
+    inScope
+      .withColumn("tokens_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+      .withColumnRenamed("_nt", "n_tokens")
+      .select(outCols: _*)
+  }
+
   /** Temperature-sampled source-mixture weights (α = 0.5): per group,
     * weight_i = √t_i / Σ_j √t_j where t is the group's token mass —
     * the up-weight-the-tail mixing computation training pipelines run

@@ -1035,8 +1035,13 @@ object CurationQueries {
     * into an actual row subset (greedy prefix, may overshoot by one doc,
     * same contract as q51's packing). Selection is stable under appends:
     * a new doc never reorders the kept prefix hashed before it. */
+  // shared by q110 and its bounded twin q136 — one oracle, so the
+  // engine parameter must be a single constant (the invIndexMinDf
+  // discipline)
+  private val tokenBudget = 800L
+
   private val q110 = {
-    val budget = 800L
+    val budget = tokenBudget
     Q(
       "q110_token_budget",
       (s, dir) => Sampling
@@ -1055,6 +1060,22 @@ object CurationQueries {
         FROM c WHERE tokens_before < $budget
         ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
+
+  /** q110's skew-proof twin: the bounded token-budget selection
+    * ([[Sampling.tokenBudgetPerGroupBounded]]) — a giant source's row
+    * stream is hash-cutoff pre-filtered to ~budget-sized candidates
+    * per group before the running-sum window, with an exact per-group
+    * fallback if the cutoff under-captures. Bit-identical output, so
+    * q110's oracle serves both; the hash match is the proof the
+    * pre-filter is semantics-free. */
+  private val q136 = Q(
+    "q136_token_budget_bounded",
+    (s, dir) => Sampling
+      .tokenBudgetPerGroupBounded(t(s, dir, "documents"), "source",
+        "doc_id", "text", tokenBudget)
+      .select("doc_id", "source", "n_tokens", "tokens_before")
+      .orderBy("doc_id"),
+    q110.oracle)
 
   /** Within-document repetition metrics (Gopher-style quality gates):
     * top-token multiplicity, longest consecutive run, repeated n-gram
@@ -1368,5 +1389,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122, q123, q124, q125, q127, q128, q129, q132, q135)
+    q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136)
 }
