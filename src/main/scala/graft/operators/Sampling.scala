@@ -146,11 +146,30 @@ object Sampling {
   def tokenBudgetPerGroupBounded(df: DataFrame, groupCol: String,
       idCol: String, textCol: String, budgetTokens: Long,
       safety: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inScope =
+      budgetCandidates(df, groupCol, idCol, textCol, budgetTokens, safety)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val outCols = df.columns.map(col) ++ Seq(col("n_tokens"), col("tokens_before"))
+    inScope
+      .withColumn("tokens_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+      .withColumnRenamed("_nt", "n_tokens")
+      .select(outCols: _*)
+  }
+
+  /** [[tokenBudgetPerGroupBounded]]'s pre-filter stage, exposed so the
+    * skew-stress spec can assert the window-input bound directly: the
+    * returned frame (df columns + `_nt` token count + `_h` priority
+    * hash) is exactly what the running-sum window consumes. */
+  private[operators] def budgetCandidates(df: DataFrame, groupCol: String,
+      idCol: String, textCol: String, budgetTokens: Long,
+      safety: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(safety >= 2, "safety must be >= 2")
     require((budgetTokens + 1) * safety.toLong < (1L << 30),
       "budget*safety beyond cutoff-arith range")
-    import org.apache.spark.sql.expressions.Window
     val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
     val base = df
       .withColumn("_nt", graft.operators.TextAnalysis.tokenCount(col(textCol)))
@@ -171,17 +190,9 @@ object Sampling {
       .join(stats, Seq(groupCol))
       .filter(col("_m") < least(col("_n_nz"), lit(bPlus)))
       .select(col(groupCol))
-    val inScope = cand.drop("_n_nz", "_cutoff")
+    cand.drop("_n_nz", "_cutoff")
       .join(broadcast(unsound), Seq(groupCol), "left_anti")
       .unionByName(base.join(broadcast(unsound), Seq(groupCol), "left_semi"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val outCols = df.columns.map(col) ++ Seq(col("n_tokens"), col("tokens_before"))
-    inScope
-      .withColumn("tokens_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
-      .filter(col("tokens_before") < budgetTokens)
-      .withColumnRenamed("_nt", "n_tokens")
-      .select(outCols: _*)
   }
 
   /** Temperature-sampled source-mixture weights (α = 0.5): per group,

@@ -348,6 +348,43 @@ object RelationalQueries {
       Some(ivfOracleSql(kTop, nC, nP)))
   }
 
+  /** q133's TRAINED twin (round-7 verdict item 5): the k-means IVF
+    * index — `writeIvfIndex` (MLlib KMeans quantizer, seed-pinned,
+    * trained on a deterministic 25% sample) — with a frozen-centroid
+    * `appendToIvfIndex` batch, then probed. k-means centroids aren't
+    * DuckDB-mirrorable, so this query has NO oracle: the driver
+    * records the weaker rows-only check, and the hard evidence lives
+    * in SimilaritySpec's floors (probe recall@5 vs brute force ≥ 0.70
+    * documented floor, measured 1.000 at sf0.01 nProbe=2/8; appended
+    * vectors immediately probe-visible at rank 1 for identity queries)
+    * plus the BENCH_FULL timing row this declaration buys. Same scale shape as q133: probes read
+    * nProbe/nCentroids of a partition-pruned index. */
+  private val q137 = {
+    val (kTop, nC, nP) = (6, 8, 2)
+    Q(
+      "q137_ivf_trained_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q137_ivftr_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, idxDir) {
+          val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+          graft.operators.Similarity.writeIvfIndex(
+            emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir,
+            nCentroids = nC)
+          graft.operators.Similarity.appendToIvfIndex(
+            s, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+        }
+        graft.operators.Similarity.probeIvfIndex(
+          s, idxDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nProbe = nP)
+          .select("query_id", "vec_id", "cos_sim")
+          .orderBy(col("query_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      },
+      None)
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1379,5 +1416,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133)
+      q106, q133, q137)
 }

@@ -927,6 +927,82 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     pqGot.exists(_ >= 60L) shouldBe true
   }
+
+  // ---- trained-IVF quality floors on the driver testdata (q137) ------
+  // The deterministic IVF/PQ family is hash-checked against DuckDB
+  // oracles (q84/q87/q88/q90/q133); the trained family (q137) can't be
+  // — MLlib k-means centroids aren't oracle-mirrorable — so its quality
+  // contract lives here as measured floors (round-7 verdict item 5).
+
+  private val realDir = "/root/testdata/sf0.01"
+  private val (tNC, tNProbe, tK) = (8, 2, 5)
+
+  // build once: trained IVF on the first 2/3, frozen-centroid append of
+  // the remaining 1/3 — the q137 artifact shape
+  private lazy val trainedIdxDir: String = {
+    val d = tmpDir("ivf_trained_recall")
+    val emb = graft.queries.Tables.t(spark, realDir, "embeddings")
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+    Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") <= cut), "vec_id", "embedding", d,
+      nCentroids = tNC)
+    Similarity.appendToIvfIndex(
+      spark, d, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+    d
+  }
+
+  test("trained IVF probe recall@5 >= 0.70 floor vs exact brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.queries.Tables.t(spark, realDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 10 === 0) // 20 query vectors
+    def topSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = res
+      .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("_r") <= tK)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+    val truth = topSet(Similarity.scoreAgainst(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding"))
+    val approx = topSet(Similarity.probeIvfIndex(
+      spark, trainedIdxDir, "vec_id", "embedding", queries, "vec_id",
+      "embedding", tK, tNProbe))
+    val recalls = truth.map { case (qid, ts) =>
+      approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / tK
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"trained IVF recall@$tK at nProbe=$tNProbe/$tNC: $mean%.3f")
+    // random cell assignment would score ≈ nProbe/nCentroids = 0.25;
+    // the floor leaves seed/box headroom under the measured value
+    mean should be >= 0.70
+  }
+
+  test("appended vectors are immediately probe-visible in the trained index") {
+    val emb = graft.queries.Tables.t(spark, realDir, "embeddings")
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+    val appended = emb.filter(col("vec_id") > cut).limit(5)
+    val res = Similarity.probeIvfIndex(
+      spark, trainedIdxDir, "vec_id", "embedding", appended, "vec_id",
+      "embedding", k = 3, nProbe = 1)
+    // identity query: the appended row lives in exactly the cell its
+    // own vector probes first (same frozen centroids, same metric), so
+    // even nProbe=1 must surface it — rank 1 up to exact-dup ties
+    res.filter(col("query_id") === col("vec_id")).count() shouldBe 5L
+  }
+
+  test("the trained index probe partition-prunes to the probed cells") {
+    val emb = graft.queries.Tables.t(spark, realDir, "embeddings")
+    val probe = Similarity.probeIvfIndex(
+      spark, trainedIdxDir, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", tK, tNProbe)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    scan should include("PartitionFilters: [")
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains(" IN ")),
+      s"expected a cell IN (...) partition filter in:\n$scan")
+  }
 }
 
 class SnapshotDiffSpec extends SparkSpec {
