@@ -98,8 +98,11 @@ object Bench {
       if (failed.isEmpty) "" else s""","errors":${errObj(identity)}"""
     val errPartShort =
       if (failed.isEmpty) "" else s""","errors":${errObj(shortKey)}"""
+    // cpus recorded for comparability: the CPU-heavy pair/ANN queries
+    // scale near-linearly with threads, so a local[4] number is not
+    // comparable to a local[32] one (the round-8 baseline confusion)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
     // docs/BENCH_FULL.json is the committed quiet-box baseline the judge
     // reads against BENCH_r{N}.json. Driver/CI invocations run on a
     // co-tenant-noisy box and were clobbering it every round — so the

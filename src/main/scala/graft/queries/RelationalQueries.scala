@@ -357,8 +357,13 @@ object RelationalQueries {
     * in SimilaritySpec's floors (probe recall@5 vs brute force ≥ 0.70
     * documented floor, measured 1.000 at sf0.01 nProbe=2/8; appended
     * vectors immediately probe-visible at rank 1 for identity queries)
-    * plus the BENCH_FULL timing row this declaration buys. Same scale shape as q133: probes read
-    * nProbe/nCentroids of a partition-pruned index. */
+    * plus the BENCH_FULL timing row this declaration buys. Same scale
+    * shape as q133: probes read nProbe/nCentroids of a
+    * partition-pruned index. Determinism caveat: seed-pinned k-means
+    * is repeatable for a FIXED input partitioning, but its init sample
+    * varies with partition count, so (unlike q133) bit-equality across
+    * cluster widths is not the trained path's contract — the recall
+    * floor is. */
   private val q137 = {
     val (kTop, nC, nP) = (6, 8, 2)
     Q(
