@@ -101,11 +101,19 @@ object ScaleGen {
       shifted(replicate(src("events"), factor),
         Map("event_id" -> evB, "user_id" -> userB)).drop("rep"), factor)
 
-    // documents: per-replica token suffix keeps replicas non-near-dup
-    val sfxes = "qzjxvkwyb" // 9 suffix letters cover factor <= 10
-    require(factor <= sfxes.length + 1,
-      s"factor ${factor} > ${sfxes.length + 1} suffix alphabet")
-    val sfxCol = array((lit("") +: sfxes.map(c => lit(c.toString))): _*)
+    // documents: per-replica token suffix keeps replicas non-near-dup.
+    // Suffixes are FIXED-LENGTH within a run (1 letter through factor
+    // 10, 2 letters beyond): with equal lengths, w1+s1 == w2+s2 forces
+    // w1 == w2 AND s1 == s2, so suffixed vocabularies can never collide
+    // across replicas (a variable-length scheme could: "x"+"qq" ==
+    // "xq"+"q").
+    val letters = "qzjxvkwyb" // 9 letters: 1-char ≤ ×10, 2-char ≤ ×82
+    require(factor <= letters.length * letters.length + 1,
+      s"factor ${factor} > ${letters.length * letters.length + 1} suffix space")
+    def sfx(k: Int): String =
+      if (factor <= letters.length + 1) letters(k - 1).toString
+      else s"${letters((k - 1) / letters.length)}${letters((k - 1) % letters.length)}"
+    val sfxCol = array((lit("") +: (1 until factor).map(k => lit(sfx(k)))): _*)
     write("documents",
       replicate(src("documents"), factor)
         .withColumn("sfx", element_at(sfxCol, col("rep") + 1))

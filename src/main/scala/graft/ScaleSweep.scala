@@ -47,9 +47,11 @@ object ScaleSweep {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val qs = SparkEntry.queries
+    // default sweep = the heavy list; an explicit SPARK_GRAFT_ONLY may
+    // name ANY declared query (dev probes of non-heavy scale shapes)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = heavy.filter(n =>
-      only.forall(_.exists(n.startsWith)) && qs.contains(n))
+    val pool = if (only.isDefined) qs.keys.toSeq.sorted else heavy
+    val names = pool.filter(n => only.forall(_.exists(n.startsWith)))
 
     def time(name: String, dir: String): (Double, Double) = {
       def once(reuse: Boolean): Double = {
