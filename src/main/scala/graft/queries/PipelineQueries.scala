@@ -366,6 +366,58 @@ object PipelineQueries {
     },
     Some(ccClustersOracleSql))
 
+  /** q117's SCALE-PATH twin (the ×30 curvature probe's finding,
+    * SURVEY §14.4): incremental cluster maintenance where the pair
+    * generator is the sign-BUCKETED candidate join (q83/q89's
+    * corpus-scale shape) instead of q117's parity-mandated all-pairs
+    * verify (which measured 72× at ×30 data while q89's bucketed
+    * chain measured 2.4×). The bucket function is data-independent
+    * (sign pattern of the leading dims), so bucketed-pairs(base) ==
+    * bucketed-pairs(full) ∩ base×base — the same decomposition that
+    * makes q117's merge exact — and the oracle mirrors the bucketed
+    * pair predicate EXACTLY (q83's bucket SQL + the recursive-CTE
+    * fixpoint), so incremental maintenance over the bucketed graph is
+    * hash-checked against a full recompute, end to end, at the same
+    * exactness bar as q117. */
+  private val q138 = {
+    val (nBits, thr) = (8, 0.4)
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q138_incremental_clusters_bucketed",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+        val base = emb.filter(col("vec_id") <= cut)
+        val batch = emb.filter(col("vec_id") > cut)
+        val stored = graft.operators.Clustering.assignClusters(
+          base, "vec_id",
+          Similarity.bucketedNearDupPairs(base, "vec_id", "embedding", thr, nBits),
+          "id_a", "id_b")
+        val newPairs = Similarity
+          .bucketedNearDupPairs(emb, "vec_id", "embedding", thr, nBits)
+          .filter(col("id_a") > cut || col("id_b") > cut)
+        graft.operators.Clustering.mergeIncremental(
+            stored, "vec_id", "cluster_id", newPairs, "id_a", "id_b",
+            batch, "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        reach AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
+        FROM c LEFT JOIN m ON c.vec_id = m.src
+        ORDER BY c.vec_id""".replaceAll("\\s+", " ")))
+  }
+
   /** Deterministic hash sampling: the same ~30% of documents selected
     * regardless of partitioning or cluster size — recomputable from the
     * raw corpus, unlike Bernoulli sample(). Exact oracle via the same
@@ -773,5 +825,6 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-      q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131)
+      q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
+      q138)
 }
