@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * The measured growth curves live in docs/SCALE_SWEEP.json
   * (`runMain graft.ScaleSweep`, min-of-3): all 15 heaviest queries
-  * grew ≤ ~10× warm for ×10 data on the round-8 box. */
+  * grew ≤ 8.5× warm for ×10 data on the quiet round-8 box, and the
+  * ×30 probe (docs/SCALE_SWEEP_30X.json) confines the quadratic tail
+  * to the documented all-pairs parity shapes (q29/q32/q117) whose
+  * declared scale twins (q89, q138) measure ≤ 2.4× there. */
 class ScaleSweepSpec extends SparkSpec {
 
   private val baseDir = "/root/testdata/sf0.1"
