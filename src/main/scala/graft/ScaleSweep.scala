@@ -17,15 +17,18 @@ package graft
   * tightens the min against co-tenant noise. */
 object ScaleSweep {
 
-  /** The 15 most expensive queries of docs/BENCH_FULL.json, as named in
-    * the round-7 verdict. */
+  /** The 15 most expensive queries of docs/BENCH_FULL.json (as named
+    * in the round-7 verdict) plus the declared scale-path twins of the
+    * parity-mandated shapes (q89, q138 — the pairs the ×30 curvature
+    * probe contrasts), so every sweep tracks both sides. */
   val heavy: Seq[String] = Seq(
     "q126_link_pagerank", "q117_incremental_clusters",
     "q104_cluster_keep_best", "q103_containment_pairs",
     "q44_decontaminate", "q04_join_chain", "q50_repeated_ngrams",
     "q90_ann_rerank", "q87_pq_adc", "q30_lsh_verified_pairs",
     "q124_decontam_stored", "q22_minhash_lsh_pairs", "q40_simhash_neardup",
-    "q131_source_overlap", "q132_bigram_xent_stored")
+    "q131_source_overlap", "q132_bigram_xent_stored",
+    "q89_semantic_dedup", "q138_incremental_clusters_bucketed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
