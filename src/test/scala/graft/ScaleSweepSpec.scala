@@ -79,6 +79,23 @@ class ScaleSweepSpec extends SparkSpec {
       .count() shouldBe 100L
   }
 
+  test("ScaleGen factor > 10 uses collision-free fixed-length-2 suffixes") {
+    val out = tmpDir("scalegen_f12")
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 12)
+    val base = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val docs = graft.queries.Tables.t(spark, out, "documents")
+    docs.count() shouldBe base.count() * 12
+    // replicas may not share a single token: every token carries its
+    // replica's suffix, and fixed-length suffixes cannot collide
+    // (w1+s1 == w2+s2 with |s1| == |s2| forces s1 == s2)
+    val nBase = base.count()
+    docs
+      .select((col("doc_id") / lit(nBase)).cast("long").as("rep"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(countDistinct(col("rep")).as("reps"))
+      .agg(max(col("reps"))).head().getLong(0) shouldBe 1L
+  }
+
   test("plan contracts hold against the sf1.0 files") {
     gen
     import graft.queries.Tables.t
