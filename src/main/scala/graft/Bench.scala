@@ -120,7 +120,7 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"queries":${obj(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
