@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
-import graft.functions.{CosineSimilarity, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, Md5Hash32, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // table) would otherwise be read through getDouble as garbage
         CosineSimilarity(
           Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
+      }: Expression))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash32"),
+      info("md5_hash32",
+        "md5_hash32(s) - first 8 hex chars of md5(s) as a BIGINT in [0, 2^32) (the engine's portable hash)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_hash32 takes exactly 1 argument")
+        Md5Hash32(Cast(args(0), StringType))
       }: Expression))
   }
 }

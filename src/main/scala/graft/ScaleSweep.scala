@@ -28,7 +28,10 @@ object ScaleSweep {
     "q90_ann_rerank", "q87_pq_adc", "q30_lsh_verified_pairs",
     "q124_decontam_stored", "q22_minhash_lsh_pairs", "q40_simhash_neardup",
     "q131_source_overlap", "q132_bigram_xent_stored",
-    "q89_semantic_dedup", "q138_incremental_clusters_bucketed")
+    "q89_semantic_dedup", "q138_incremental_clusters_bucketed",
+    // round-8 additions: the winnowing family (q140 is in the expensive
+    // cohort; q142 is its stored screen) and the KMV sketch
+    "q139_kmv_distinct", "q140_winnowed_pairs", "q142_winnow_index_screen")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

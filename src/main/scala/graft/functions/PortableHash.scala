@@ -21,9 +21,15 @@ object PortableHash {
     * a*(h%P)+b stays < 2^61 — no 64-bit overflow in either engine. */
   val P: Long = 1000000007L
 
-  /** First 8 hex chars of md5 as a long in [0, 2^32). */
+  /** First 8 hex chars of md5 as a long in [0, 2^32) — computed by the
+    * native [[Md5Hash32]] expression (digest bytes → long directly; the
+    * composed `conv(substring(md5(x),1,8),16,10)` form allocates a hex
+    * string and radix-parses it per call, which dominated the
+    * token-loop hot path). Same values, same oracle mirror. */
   def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Md5Hash32(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+        c.cast("string"))))
 
   /** DuckDB mirror of [[md5Hash32]] — `x` is a SQL expression string. */
   def md5Hash32Sql(x: String): String =

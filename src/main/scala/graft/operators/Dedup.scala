@@ -795,4 +795,146 @@ object Dedup {
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
         coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
   }
+
+  /** Position multiplier for the winnowing (hash, pos) encoding:
+    * comb = h·2^31 + pos packs (min hash, tie → leftmost pos) into one
+    * BIGINT so a single window `min` implements the lexicographic rule
+    * in any engine. h < 2^32 ⇒ comb < 2^63 (no overflow); positions are
+    * bounded at 2^31 tokens per document — beyond any real document. */
+  private val WinnowPosMul = 2147483648L // 2^31
+
+  /** Row-local winnowed fingerprint array of ONE document (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    * k-token gram, slide a window of `w` consecutive gram hashes, keep
+    * each window's minimum (ties → leftmost, via the h·2^31+pos
+    * packing), dedupe. Entirely array higher-order functions — no
+    * explode, no per-document window exchange — so the fingerprint
+    * step is a codegen'd projection, usable unchanged in streaming
+    * selects (the [[simhashExpr]] property). Documents with fewer than
+    * `w` grams contribute their single overall minimum (one clipped
+    * window); documents shorter than a gram contribute none. */
+  def winnowFingerprintArray(text: Column, kGram: Int, w: Int): Column =
+    graft.functions.ArrayOps.bind(tokens(text)) { toks =>
+      val combs = when(size(toks) >= kGram,
+        transform(sequence(lit(0), size(toks) - kGram),
+          i => PortableHash.md5Hash32(concat_ws(" ", slice(toks, i + 1, lit(kGram))))
+            * WinnowPosMul + i.cast("long")))
+        .otherwise(array().cast("array<bigint>"))
+      graft.functions.ArrayOps.bind(combs) { cs =>
+        val ng = size(cs)
+        val starts = when(ng >= w, sequence(lit(0), ng - w))
+          .otherwise(when(ng >= 1, array(lit(0)))
+            .otherwise(array().cast("array<int>")))
+        array_distinct(transform(starts,
+          s => shiftright(array_min(slice(cs, s + 1, lit(w))), 31)))
+      }
+    }
+
+  /** Winnowed fingerprints as rows: (idCol, fp), distinct per document.
+    * Guarantees: any shared run of ≥ w+k-1 tokens between two documents
+    * yields a shared fingerprint, while only ~2/(w+1) of the grams are
+    * kept — the SAMPLED scale twin of [[dupSpans]]' exhaustive
+    * every-gram join. Scale shape: fingerprinting is map-only
+    * ([[winnowFingerprintArray]] is row-local; the per-doc dedupe is
+    * `array_distinct` inside the projection), so the first exchange in
+    * any winnowing pipeline is the one keyed on the fingerprint. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(winnowFingerprintArray(col(textCol), k, w)).as("fp"))
+  }
+
+  /** Persist a corpus's winnowed fingerprints as a stored append-only
+    * index — the substring-robust member of the signature-index family
+    * (simhash screens by Hamming distance, minhash by estimated Jaccard,
+    * winnowing by SHARED FINGERPRINT COUNT, which detects a long copied
+    * span inside an otherwise-different document — the case whole-doc
+    * signatures dilute away). `dir/data` = (idCol, fp), `dir/params` =
+    * (k_gram, w), `dir/meta` = max indexed id. The fingerprint shadow is
+    * ~2/(w+1) longs per gram — a small fraction of corpus bytes. */
+  def writeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      kGram: Int = 3, w: Int = 4): Unit = {
+    winnowFingerprints(corpus, idCol, textCol, kGram, w)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    spark.range(1).select(lit(kGram).as("k_gram"), lit(w).as("w"))
+      .write.mode("overwrite").parquet(s"$dir/params")
+    StoredIndex.writeMaxIdMeta(spark, dir,
+      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+  }
+
+  /** Incremental ingest into the stored winnow index: fingerprint the
+    * batch with the STORED geometry and append (batch-sized work;
+    * existing files untouched; append-only id discipline validated). */
+  def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val p = spark.read.parquet(s"$dir/params").head
+      winnowFingerprints(batch, idCol, textCol,
+          p.getAs[Number]("k_gram").intValue(), p.getAs[Number]("w").intValue())
+        .write.mode("append").parquet(s"$dir/data")
+      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
+    }
+
+  /** Screen a batch against the STORED winnow index: fingerprints whose
+    * corpus document frequency exceeds `maxDf` are cut (boilerplate,
+    * bounding the join at maxDf per key), then each batch doc reports
+    * its best corpus match — most shared fingerprints, ties to the
+    * lowest corpus id — or nulls. Corpus side reads only the
+    * fingerprint shadow; batch text never joins corpus text. */
+  def screenWithWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, minShared: Int): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").head
+    val corpus = spark.read.parquet(s"$dir/data")
+      .select(col(idCol).as("_cid"), col("fp"))
+    val rare = corpus.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("fp")
+    val cs = corpus.join(rare, Seq("fp"), "left_semi")
+    val bs = winnowFingerprints(batch, idCol, textCol,
+      p.getAs[Number]("k_gram").intValue(), p.getAs[Number]("w").intValue())
+    val best = bs.join(cs, Seq("fp"))
+      .groupBy(col(idCol), col("_cid"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_shared")).as("_n"), col("_cid"))).as("_b"))
+      .select(col(idCol), col("_b._cid").as("dup_of"), (-col("_b._n")).as("shared"))
+    batch.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"), col("shared"))
+  }
+
+  /** Cross-document near-dup pairs from winnowed fingerprints: documents
+    * sharing ≥ `minShared` fingerprints, with fingerprints appearing in
+    * more than `maxDf` documents dropped first (boilerplate/stopword
+    * grams — the standard MOSS common-fingerprint cut, and the bound
+    * that keeps the fingerprint self-join ≤ maxDf² per key at any
+    * corpus size). Output: (doc_a, doc_b, shared), doc_a < doc_b.
+    *
+    * Scale shape vs [[dupSpans]]: the same hash-keyed join discipline,
+    * but over the ~2/(w+1) winnowed sample instead of every gram — the
+    * shuffle shrinks by the sampling factor while matches of length
+    * ≥ w+k-1 tokens are still guaranteed to collide. */
+  def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+    // referenced three times below (df cut + both join sides) — without
+    // a checkpoint the md5 fingerprint projection re-runs per reference
+    // and dominates the whole pipeline (~3x measured at sf0.1)
+    val fp = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint()
+    // fp is distinct per (doc, fp) so count(*) is the document frequency
+    val rare = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select("fp")
+    val keep = fp.join(rare, Seq("fp"), "left_semi")
+    val a = keep.select(col("fp"), col(idCol).as("doc_a"))
+    val b = keep.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

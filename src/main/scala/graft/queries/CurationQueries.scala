@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Bpe, Classifier, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, Sketches, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -1386,8 +1386,86 @@ object CurationQueries {
         FROM ds CROSS JOIN bs ORDER BY ds.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** KMV distinct-cardinality sketch: per-source estimate of the
+    * distinct 3-gram universe from the k=128 smallest portable hashes —
+    * the ORACLE-EXACT mergeable twin of HLL approx-distinct (whose
+    * binary registers no second engine can reproduce; see
+    * [[graft.operators.Sketches]]). The estimate itself hash-matches
+    * DuckDB: sketch state is plain integers, the estimator is one IEEE
+    * division of exactly-representable ints. Salted two-stage top-k
+    * bounds every per-task sort (q135's discipline). */
+  private val q139 = {
+    val k = 128
+    Q(
+      "q139_kmv_distinct",
+      (s, dir) => Sketches.kmvDistinct(t(s, dir, "documents"), "source", "text", 3, k)
+        .orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT source, unnest(${shingleListSql("toks", 3)}) AS gram FROM t),
+        h AS (SELECT DISTINCT source, ${PortableHash.md5Hash32Sql("gram")} AS hv FROM g),
+        rk AS (SELECT source, hv,
+            row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+        sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+            CAST(max(hv) AS BIGINT) AS kth_min
+          FROM rk WHERE rn <= $k GROUP BY source)
+        SELECT source, k_used, kth_min,
+          CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(${(k - 1).toLong * (1L << 32)} AS DOUBLE) / CAST(kth_min AS DOUBLE)
+            END AS est_distinct
+        FROM sk ORDER BY source""".replaceAll("\\s+", " ")))
+  }
+
+  /** Stored KMV sketch snapshot — q139's incremental form under the
+    * q122 log-structured segment discipline: sketch the first third,
+    * fold two more batches in as appended segments, read the merged
+    * estimate. Merge ≡ sketch-of-union (KmvSketchSpec), so the folded
+    * output hash-matches the oracle's FULL recompute — the stored path
+    * proves per-day partials at 100 TB estimate cardinality without
+    * ever re-reading raw text. Bigram universe, k=64 (distinct geometry
+    * from q139's 3-gram/k=128). */
+  private val q141 = {
+    val (n, k) = (2, 64)
+    Q(
+      "q141_kmv_sketch_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (cut1, cut2) = (mx / 3, mx * 2 / 3)
+        val sDir = s"${System.getProperty("java.io.tmpdir")}/graft_q141_kmv_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, sDir) {
+          Sketches.writeKmvSnapshot(
+            s, docs.filter(col("doc_id") <= cut1), "doc_id", "source", "text",
+            n, k, sDir)
+          Sketches.appendToKmvSnapshot(
+            s, sDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+            "doc_id", "source", "text")
+          Sketches.appendToKmvSnapshot(
+            s, sDir, docs.filter(col("doc_id") > cut2),
+            "doc_id", "source", "text")
+        }
+        Sketches.readKmvSnapshot(s, sDir, "source").orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT source, unnest(${shingleListSql("toks", n)}) AS gram FROM t),
+        h AS (SELECT DISTINCT source, ${PortableHash.md5Hash32Sql("gram")} AS hv FROM g),
+        rk AS (SELECT source, hv,
+            row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+        sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+            CAST(max(hv) AS BIGINT) AS kth_min
+          FROM rk WHERE rn <= $k GROUP BY source)
+        SELECT source, k_used, kth_min,
+          CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(${(k - 1).toLong * (1L << 32)} AS DOUBLE) / CAST(kth_min AS DOUBLE)
+            END AS est_distinct
+        FROM sk ORDER BY source""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
-    q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136)
+    q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
+    q141)
 }

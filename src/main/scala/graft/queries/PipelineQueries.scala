@@ -823,8 +823,101 @@ object PipelineQueries {
         FROM pairs ORDER BY source_a, source_b""".replaceAll("\\s+", " ")
     })
 
+  /** Winnowed fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken's
+    * MOSS winnowing) — the SAMPLED scale twin of q99's exhaustive
+    * every-k-gram dup-span join: each document keeps only each
+    * w-window's minimum gram hash (~2/(w+1) of the grams), yet any
+    * shared run of ≥ w+k-1 tokens is still guaranteed a fingerprint
+    * collision. Fingerprints in > maxDf docs are cut (boilerplate
+    * grams), bounding the hash-keyed self-join at any corpus size. */
+  private val q140 = {
+    val (kGram, w, maxDf, minShared) = (3, 4, 20, 3)
+    Q(
+      "q140_winnowed_pairs",
+      (s, dir) => Dedup.winnowedDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          kGram, w, maxDf, minShared)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            ${PortableHash.md5Hash32Sql("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS hv
+          FROM t, unnest(range(len(toks) - 2)) u(i) WHERE len(toks) >= $kGram),
+        c AS (SELECT doc_id, pos, hv * 2147483648 + pos AS comb,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng FROM g),
+        wm AS (SELECT doc_id, pos, ng,
+            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM c),
+        fps AS (SELECT DISTINCT doc_id, sel // 2147483648 AS fpv
+          FROM wm WHERE pos = 0 OR pos <= ng - $w),
+        rare AS (SELECT fpv FROM fps GROUP BY fpv HAVING count(*) <= $maxDf),
+        kp AS (SELECT doc_id, fpv FROM fps JOIN rare USING (fpv)),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM kp a JOIN kp b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared FROM pr WHERE shared >= $minShared
+        ORDER BY doc_a, doc_b""".replaceAll("\\s+", " ")))
+  }
+
+  /** Winnow-index batch screening — q140's stored-index form, the
+    * substring-robust member of the q97/q118 signature-screen family:
+    * index the first two thirds (build + one append), screen the last
+    * third; each batch doc reports its best corpus match by shared
+    * winnowed fingerprints (ties → lowest corpus id) or nulls. Corpus
+    * side reads only the fingerprint shadow (~2/(w+1) longs per gram);
+    * the corpus-df cut (maxDf) bounds the join fanout per key. */
+  private val q142 = {
+    val (kGram, w, maxDf, minShared) = (3, 4, 20, 2)
+    Q(
+      "q142_winnow_index_screen",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (cut1, cut2) = (mx / 3, mx * 2 / 3)
+        val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q142_wn_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, iDir) {
+          Dedup.writeWinnowIndex(
+            s, docs.filter(col("doc_id") <= cut1), "doc_id", "text", iDir, kGram, w)
+          Dedup.appendToWinnowIndex(
+            s, iDir, docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+            "doc_id", "text")
+        }
+        Dedup.screenWithWinnowIndex(
+            s, iDir, docs.filter(col("doc_id") > cut2), "doc_id", "text",
+            maxDf, minShared)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            ${PortableHash.md5Hash32Sql("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS hv
+          FROM t, unnest(range(len(toks) - 2)) u(i) WHERE len(toks) >= $kGram),
+        c0 AS (SELECT doc_id, pos, hv * 2147483648 + pos AS comb,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng FROM g),
+        wm AS (SELECT doc_id, pos, ng,
+            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM c0),
+        fps AS (SELECT DISTINCT doc_id, sel // 2147483648 AS fpv
+          FROM wm WHERE pos = 0 OR pos <= ng - $w),
+        cut AS (SELECT (2 * max(doc_id)) // 3 AS c2 FROM documents),
+        cfp AS (SELECT fps.* FROM fps, cut WHERE doc_id <= c2),
+        bfp AS (SELECT fps.* FROM fps, cut WHERE doc_id > c2),
+        rare AS (SELECT fpv FROM cfp GROUP BY fpv HAVING count(*) <= $maxDf),
+        kc AS (SELECT doc_id, fpv FROM cfp JOIN rare USING (fpv)),
+        cand AS (SELECT b.doc_id, k.doc_id AS cid, CAST(count(*) AS BIGINT) AS shared
+          FROM bfp b JOIN kc k ON b.fpv = k.fpv GROUP BY 1, 2),
+        best AS (SELECT doc_id, cid, shared,
+            row_number() OVER (PARTITION BY doc_id ORDER BY shared DESC, cid) AS rn
+          FROM cand WHERE shared >= $minShared)
+        SELECT d.doc_id, best.cid AS dup_of, best.shared
+        FROM (SELECT doc_id FROM documents, cut WHERE doc_id > c2) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) best USING (doc_id)
+        ORDER BY d.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138)
+      q138, q140, q142)
 }

@@ -33,6 +33,10 @@ class ExtensionsSpec extends SparkSpec {
       // codegen'd null semantics: mismatched lengths → null
       s.sql("SELECT cosine_similarity(array(1.0d), array(1.0d, 2.0d)) AS c")
         .collect().head.isNullAt(0) shouldBe true
+      // md5_hash32 matches DuckDB's mirror value for a known input:
+      // md5('abc') = 900150983cd24fb0..., first 8 hex = 0x90015098
+      s.sql("SELECT md5_hash32('abc') AS h")
+        .collect().head.getLong(0) shouldBe 0x90015098L
       // the plain session must NOT have the function (registration is
       // per-session, not global)
       intercept[Exception] {

@@ -57,6 +57,37 @@ class PlanContractsSpec extends SparkSpec {
     plan should include("HashAggregate")
   }
 
+  test("winnowing fingerprints are a map-only projection — zero exchanges") {
+    val df = graft.operators.Dedup.winnowFingerprints(
+      t(spark, dir, "documents"), "doc_id", "text", 3, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    // and the pair pipeline joins on the fingerprint key — never a
+    // nested loop / cartesian over documents
+    val pairs = graft.operators.Dedup.winnowedDupPairs(
+      t(spark, dir, "documents"), "doc_id", "text", 3, 4, 20, 3)
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    pairPlan should not include "CartesianProduct"
+    pairPlan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("the KMV sketch never sorts a group whole: top-k is salted two-stage") {
+    val df = graft.operators.Sketches.kmvDistinct(
+      t(spark, dir, "documents"), "source", "text", 3, 128, salt = 32)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // stage-1 window partitions on (group, salt-bucket) — the bounded
+    // per-task sort — before the group-keyed stage 2
+    plan should include("pmod")
+    plan should not include "CartesianProduct"
+    // the distinct-hash aggregate combines map-side before its shuffle
+    plan should include("HashAggregate")
+    // both row_number stages push the k-limit below their sorts
+    // (WindowGroupLimit), so no task ever materializes an unbounded
+    // per-group ordering
+    plan.split("WindowGroupLimit").length should be >= 3
+  }
+
   test("bucketed embedding near-dup pairs never plan a nested loop over the corpus") {
     // q83's contract: candidates come from an equi-join on the sign
     // bucket (hash join), so pair enumeration is bucket-local — the

@@ -31,6 +31,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native Md5Hash32 == conv(substring(md5,1,8),16,10) in codegen and lambda paths") {
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOfN(6, Gen.oneOf("€", "ß", "中", "🙂", "a", " ")).map(_.mkString)))
+    samples(gen, 5).foreach { strs =>
+      val df = (strs :+ "").toDF("s")
+      // codegen'd projection path
+      val proj = df.select(
+        graft.functions.PortableHash.md5Hash32(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("composed"))
+      proj.collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+      // interpreted path: inside a higher-order lambda (the hot loop the
+      // native expression exists for)
+      val lam = df.select(
+        element_at(transform(array(col("s")),
+          v => graft.functions.PortableHash.md5Hash32(v)), 1).as("native"),
+        element_at(transform(array(col("s")),
+          v => conv(substring(md5(v), 1, 8), 16, 10).cast("long")), 1).as("composed"))
+      lam.collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    }
+    // null in → null out
+    Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.PortableHash.md5Hash32(col("s")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("property: rolling forward range sum == per-row filtered sums") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0L, 500L))
     samples(gen, 8).foreach { ts =>
