@@ -32,6 +32,16 @@ private case class SessionState(startMs: Long, endMs: Long, n: Long)
   * discarded (start the query at a fresh checkpoint location). */
 private case class SessionList(sessions: Seq[SessionState])
 
+/** Per-group KMV sketch estimate emitted each micro-batch by
+  * [[StatefulOps.kmvDistinctStream]] (Update mode: latest row per
+  * group wins; (kUsed, −kthMin) is monotone). */
+case class KmvUpdate(g: String, kUsed: Long, kthMin: Long, estDistinct: Double)
+
+/** The bounded per-group state of [[StatefulOps.kmvDistinctStream]]:
+  * the ≤k smallest distinct hashes seen — k longs, stream-length
+  * independent. */
+private case class KmvState(mins: Seq[Long])
+
 /** Custom streaming state beyond built-in windows/joins:
   * `mapGroupsWithState` / `flatMapGroupsWithState` over
   * `KeyValueGroupedDataset` — arbitrary per-key state with explicit
@@ -156,6 +166,43 @@ object StatefulOps {
             state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
             out(key, closed)
           }
+      }
+  }
+
+  /** Streaming KMV distinct-cardinality estimate — the ingest-time face
+    * of [[graft.operators.Sketches.kmvDistinct]]. Per-group state is
+    * the ≤k smallest distinct hashes of the shingle universe: k longs,
+    * BOUNDED regardless of stream length (contrast the unbounded state
+    * an exact streaming countDistinct would need). Each micro-batch
+    * folds its hashes in (KMV insert ≡ union merge, so fold order
+    * doesn't matter) and emits the group's refreshed estimate — Update
+    * output mode; the latest row per group is the stream-so-far
+    * estimate, and it equals the BATCH sketch over the same prefix
+    * (StreamingSpec pins stream ≡ batch). (kUsed, −kthMin) is
+    * monotone over a group's emissions: the min-set only improves. */
+  def kmvDistinctStream(df: DataFrame, groupCol: String, textCol: String,
+      shingleN: Int, k: Int): Dataset[KmvUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(graft.operators.Dedup.distinctShingles(col(textCol), shingleN)).as("_u"))
+      .select(col("_g"),
+        graft.functions.PortableHash.md5Hash32(col("_u")).as("_h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.mins).getOrElse(Seq.empty)
+          val merged = (prev.toSet ++ it.map(_._2)).toSeq.sorted.take(k)
+          state.update(KmvState(merged))
+          val kUsed = merged.size.toLong
+          val est =
+            if (kUsed < k) kUsed.toDouble
+            else ((k - 1).toLong * graft.operators.Sketches.KmvHashSpace).toDouble /
+              merged.last.toDouble
+          KmvUpdate(g, kUsed, merged.last, est)
       }
   }
 }

@@ -21,6 +21,12 @@ case class BandEventT(docId: Long, sim: Long, bandId: Int, bandVal: Long,
   * row per document take the min per docId downstream. */
 case class Collision(docId: Long, dupOf: Long, hamming: Long, bandId: Int)
 
+/** A shared rare winnowed fingerprint between a stream document and an
+  * indexed corpus document ([[StreamNearDup.screenAgainstWinnowIndex]]).
+  * One row per shared fingerprint — shared-count aggregation and
+  * best-match selection happen downstream. */
+case class FpMatch(docId: Long, matchId: Long, fp: Long)
+
 /** STREAMING near-duplicate suppression — the ingest-time face of the
   * batch SimHash pipeline (`Dedup.simhashNearDupPairs`): detect
   * documents within `maxHamming` bits of anything already seen on the
@@ -232,5 +238,39 @@ object StreamNearDup {
           }
           out.result().iterator
       }
+  }
+
+  /** STORED-INDEX winnow screening for streams — the streaming face of
+    * the batch [[Dedup.screenWithWinnowIndex]] and the substring-robust
+    * sibling of [[screenAgainstIndex]]: stream documents fingerprint
+    * ROW-LOCALLY ([[Dedup.winnowFingerprintArray]] — array expressions,
+    * no aggregation precedes the join) and equi-join the PERSISTED
+    * fingerprint index on the fingerprint value. Stateless: no state
+    * store; the corpus side is the stored shadow (re-read per restart;
+    * appends land on the next query start). The corpus-df cut (> maxDf
+    * docs ⇒ boilerplate) is computed once from the stored data at query
+    * build. Emits one [[FpMatch]] per shared rare fingerprint;
+    * consumers aggregate shared counts / best match downstream (e.g. in
+    * foreachBatch), exactly like [[Collision]] consumers. */
+  def screenAgainstWinnowIndex(stream: DataFrame, indexDir: String,
+      idCol: String, textCol: String, maxDf: Int,
+      broadcastIndex: Boolean = true): Dataset[FpMatch] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val p = spark.read.parquet(s"$indexDir/params").head
+    val (kGram, w) =
+      (p.getAs[Number]("k_gram").intValue(), p.getAs[Number]("w").intValue())
+    val corpus = spark.read.parquet(s"$indexDir/data")
+      .select(col(idCol).cast("long").as("matchId"), col("fp"))
+    val rare = corpus.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("fp")
+    val kept = corpus.join(rare, Seq("fp"), "left_semi")
+    stream
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("docId"),
+        explode(Dedup.winnowFingerprintArray(col(textCol), kGram, w)).as("fp"))
+      .join(graft.functions.Plans.maybeBroadcast(kept, broadcastIndex), Seq("fp"))
+      .select(col("docId"), col("matchId"), col("fp"))
+      .as[FpMatch]
   }
 }

@@ -553,6 +553,88 @@ class StreamingSpec extends SparkSpec {
     got.size shouldBe spark.table("t_idx_screen").count()   // no pair dups
   }
 
+  test("stream screen against the stored winnow index equals the batch screen") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(73)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpus = (1L to 60L).map(doc)
+    // half the stream docs embed a 6-token span copied from a corpus doc
+    val streamDocs = (61L to 80L).map { id =>
+      val (sid, stext) = doc(id)
+      if (id % 2 == 0) {
+        val src = corpus((id % 60).toInt)._2.split(" ").take(6).mkString(" ")
+        (sid, s"$stext $src")
+      } else (sid, stext)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("winidx_stream").toString
+    Dedup.writeWinnowIndex(spark, corpus.toDF("doc_id", "text"),
+      "doc_id", "text", dir, kGram = 3, w = 4)
+    val in = MemoryStream[(Long, String)]
+    val out = StreamNearDup.screenAgainstWinnowIndex(
+      in.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", maxDf = 10)
+    val q = out.toDF().writeStream.format("memory").queryName("t_win_screen")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamDocs.take(10): _*)
+    q.processAllAvailable()
+    in.addData(streamDocs.drop(10): _*)   // stateless: batches independent
+    q.processAllAvailable()
+    q.stop()
+    // aggregate the per-fingerprint matches to best-per-doc, the
+    // convention the batch screen applies internally
+    val got = spark.table("t_win_screen")
+      .as[(Long, Long, Long)].collect().toSeq
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1)
+      .map { case (d, m) =>
+        d -> m.map { case ((_, c), n) => (c, n) }
+          .maxBy { case (c, n) => (n, -c) }
+      }
+    val batch = Dedup.screenWithWinnowIndex(spark, dir,
+        streamDocs.toDF("doc_id", "text"), "doc_id", "text",
+        maxDf = 10, minShared = 1)
+      .collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2).toInt))).toMap
+    got shouldBe batch
+    // every copied-span stream doc found a match (the detection guarantee)
+    streamDocs.map(_._1).filter(_ % 2 == 0).foreach { id =>
+      batch.keySet should contain(id)
+    }
+  }
+
+  test("streaming KMV sketch equals the batch sketch with bounded per-group state") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(59)
+    def doc(id: Long) = (if (id % 2 == 0) "a" else "b",
+      Seq.fill(15)(s"w${rnd.nextInt(500)}").mkString(" "))
+    val docs = (1L to 300L).map(doc)
+    val in = MemoryStream[(String, String)]
+    val out = StatefulOps.kmvDistinctStream(
+      in.toDF().toDF("source", "text"), "source", "text", 3, 64)
+    val q = out.toDF().writeStream.format("memory").queryName("t_kmv")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(docs.take(100): _*); q.processAllAvailable()
+    in.addData(docs.slice(100, 200): _*); q.processAllAvailable()
+    in.addData(docs.drop(200): _*); q.processAllAvailable()
+    // state is one ≤k-longs row per group, not per distinct value
+    q.lastProgress.stateOperators.map(_.numRowsTotal).sum shouldBe 2L
+    q.stop()
+    // latest emission per group — (kUsed, -kthMin) is monotone, so the
+    // max over emissions IS the final state
+    val got = spark.table("t_kmv").as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        val best = rows.maxBy(r => (r._2, -r._3))
+        g -> ((best._2, best._3, best._4))
+      }
+    val batch = Sketches.kmvDistinct(
+        docs.toDF("source", "text"), "source", "text", 3, 64)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got shouldBe batch
+  }
+
   test("stream scoring against stored DSIR weights equals batch scoring") {
     import graft.operators.Importance
     val rnd = new scala.util.Random(91)
