@@ -76,13 +76,19 @@ object Sketches {
   val KmvHashSpace: Long = 1L << 32
 
   /** Distinct md5-derived hashes of the n-token shingle universe per
-    * group — the input stream a KMV sketch summarizes. */
+    * group — the input stream a KMV sketch summarizes. The row-local
+    * dedupe runs on the HASHES (array_distinct over longs), not the
+    * shingle strings: the pipeline's next step is `distinct` on
+    * (group, hash) anyway, so hash-level dedupe is exactly equivalent
+    * — and skips materializing a per-document string array. */
   private def shingleHashes(df: DataFrame, groupCol: String, textCol: String,
       shingleN: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(groupCol).as("g"),
-        explode(Dedup.distinctShingles(col(textCol), shingleN)).as("u"))
-      .select(col("g"), PortableHash.md5Hash32(col("u")).as("h"))
+        explode(graft.functions.ArrayOps.bind(Dedup.tokens(col(textCol))) { toks =>
+          array_distinct(transform(Dedup.shinglesOf(toks, shingleN),
+            g => PortableHash.md5Hash32(g)))
+        }).as("h"))
       .distinct()
 
   /** The ≤k smallest distinct hashes per group, as rows. Salted two-stage
