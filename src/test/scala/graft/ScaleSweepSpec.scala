@@ -79,6 +79,36 @@ class ScaleSweepSpec extends SparkSpec {
       .count() shouldBe 100L
   }
 
+  test("round-8 families at sf1.0: winnowed pairs ×10-proportional, KMV estimate ×10") {
+    gen
+    // Winnowing: replica token vocabularies are disjoint (every token
+    // carries its replica suffix), so all pairs are intra-replica; the
+    // per-replica hash values differ, so the window minima select
+    // slightly different fingerprint subsets per replica — the same
+    // recall-variance band as the LSH chain. An all-pairs or df-cut
+    // regression is a step change that cannot hide in [×8, ×14].
+    val basePairs = SparkEntry.queries("q140_winnowed_pairs")(spark, baseDir).count()
+    val bigPairs = SparkEntry.queries("q140_winnowed_pairs")(spark, bigDir).count()
+    withClue(s"q140 pairs at ×10 ($basePairs → $bigPairs): ") {
+      bigPairs should be >= basePairs * 8
+      bigPairs should be <= basePairs * 14
+    }
+    // KMV: each replica contributes a disjoint gram universe, so the
+    // per-source distinct cardinality is exactly ×10 — the estimate
+    // must track it within sketch error (rsd ≈ 1/√128 ≈ 8.8%; the
+    // ratio of two independent estimates gets ~3σ·√2 headroom).
+    import spark.implicits._
+    val baseEst = SparkEntry.queries("q139_kmv_distinct")(spark, baseDir)
+      .select("source", "est_distinct").as[(String, Double)].collect().toMap
+    val bigEst = SparkEntry.queries("q139_kmv_distinct")(spark, bigDir)
+      .select("source", "est_distinct").as[(String, Double)].collect().toMap
+    baseEst.foreach { case (src, est) =>
+      withClue(s"q139 $src estimate ×10 ratio: ") {
+        bigEst(src) / est shouldBe 10.0 +- 4.0
+      }
+    }
+  }
+
   test("ScaleGen factor > 10 uses collision-free fixed-length-2 suffixes") {
     val out = tmpDir("scalegen_f12")
     ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 12)
