@@ -912,6 +912,10 @@ object Dedup {
     * grams — the standard MOSS common-fingerprint cut, and the bound
     * that keeps the fingerprint self-join ≤ maxDf² per key at any
     * corpus size). Output: (doc_a, doc_b, shared), doc_a < doc_b.
+    * The fingerprint frame is locally checkpointed (three consumers);
+    * at corpus scale prefer the STORED form — [[writeWinnowIndex]] +
+    * [[screenWithWinnowIndex]] — which persists that frame as the
+    * reusable index instead of re-materializing it per run.
     *
     * Scale shape vs [[dupSpans]]: the same hash-keyed join discipline,
     * but over the ~2/(w+1) winnowed sample instead of every gram — the
