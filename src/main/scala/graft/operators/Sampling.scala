@@ -68,6 +68,37 @@ object Sampling {
     * hash < cutoff (cutoff from a coarse per-group count) bounds the
     * window input to ~maxPerGroup rows per group before the shuffle;
     * the same hash-priority makes that pre-filter sound. */
+  /** Semantic diversity sampling (the SemDeDup/DCLM "cluster then take
+    * a few per cluster" stage): stratify the embedding space into
+    * deterministic sign-cells ([[Similarity.signBucket]] — a narrow
+    * map-only projection, so the strata are oracle-reproducible, unlike
+    * trained k-means cells) and keep at most `quota` vectors per cell
+    * in deterministic hash-priority order — a coverage-balanced subset
+    * in which dense regions can't crowd out sparse ones. Output:
+    * (idCol, cell, cell_n, pick_rank).
+    *
+    * Scale shape: the rank is one cell-keyed window whose limit pushes
+    * down as WindowGroupLimit (no task materializes an unbounded
+    * per-cell ordering — deliberately NOT a `count(*) over (cell)`,
+    * which would force full-partition buffering and kill the pushdown);
+    * the cell population comes from a map-combined aggregate whose
+    * output is ≤ 2^nBits rows, broadcast back onto the survivors. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, quota: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"need 1 <= nBits <= 62, got $nBits")
+    require(quota > 0, "quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val cells = df.withColumn("cell", Similarity.signBucket(col(vecCol), nBits))
+    val pops = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val rankW = Window.partitionBy(col("cell")).orderBy(pri.asc, col(idCol).asc)
+    cells
+      .withColumn("pick_rank", row_number().over(rankW).cast("long"))
+      .filter(col("pick_rank") <= quota)
+      .join(broadcast(pops), Seq("cell"))
+      .select(col(idCol), col("cell"), col("cell_n"), col("pick_rank"))
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, "maxPerGroup must be positive")

@@ -916,8 +916,36 @@ object PipelineQueries {
         ORDER BY d.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Semantic diversity sampling (SemDeDup/DCLM's cluster-then-sample
+    * stage): deterministic sign-cell strata over the embedding space,
+    * at most `quota` vectors per cell by hash priority — the
+    * coverage-balanced subset in which dense regions can't crowd out
+    * sparse ones. Distinct from q45 (per-SOURCE quota): the strata here
+    * are semantic, not provenance. Rank limit pushes down as
+    * WindowGroupLimit; cell populations ride a ≤2^nBits-row broadcast. */
+  private val q143 = {
+    val (nBits, quota) = (6, 3)
+    val bucketSql = (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q143_diversity_sample",
+      (s, dir) => graft.operators.Sampling.diversitySample(
+          t(s, dir, "embeddings"), "vec_id", "embedding", nBits, quota)
+        .orderBy("cell", "pick_rank"),
+      Some(s"""WITH c AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS cell
+          FROM embeddings),
+        p AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY ${PortableHash.md5Hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id)
+            AS pick_rank FROM c),
+        n AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n FROM c GROUP BY 1)
+        SELECT p.vec_id, p.cell, n.cell_n, CAST(p.pick_rank AS BIGINT) AS pick_rank
+        FROM p JOIN n USING (cell) WHERE pick_rank <= $quota
+        ORDER BY cell, pick_rank""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142)
+      q138, q140, q142, q143)
 }

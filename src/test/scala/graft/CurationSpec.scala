@@ -75,6 +75,34 @@ class CurationSpec extends SparkSpec {
     a.groupBy("grp").count().select("count").as[Long].collect().foreach(_ shouldBe 10L)
   }
 
+  test("diversitySample covers every non-empty cell and caps dense ones") {
+    val rnd = new scala.util.Random(83)
+    // skewed embedding space: 70% of vectors share one sign pattern
+    val rows = (1L to 400L).map { id =>
+      val v =
+        if (id <= 280) Array(1f, 1f, 1f, 1f) // the dense cell (bits 0-3 set)
+        else Array.fill(4)(rnd.nextFloat() * 2 - 1)
+      (id, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Sampling.diversitySample(df, "vec_id", "embedding", 4, 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val byCell = got.groupBy(_._2)
+    // cap holds everywhere, including the dense cell
+    byCell.values.foreach(_.length should be <= 3)
+    byCell(15L).length shouldBe 3 // dense cell (all 4 bits) present, capped
+    byCell(15L).head._3 should be >= 280L // its population is reported
+    // every non-empty cell is represented — the diversity property
+    val allCells = df
+      .select(graft.operators.Similarity.signBucket(col("embedding"), 4).as("c"))
+      .distinct().as[Long].collect().toSet
+    byCell.keySet shouldBe allCells
+    // deterministic across partitionings
+    val again = Sampling.diversitySample(df.repartition(7), "vec_id", "embedding", 4, 3)
+      .as[(Long, Long, Long, Long)].collect()
+    again.sortBy(r => (r._2, r._4)) shouldBe got.sortBy(r => (r._2, r._4))
+  }
+
   test("hashSplit is stable across partitionings and append-invariant") {
     import org.apache.spark.sql.functions.col
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
