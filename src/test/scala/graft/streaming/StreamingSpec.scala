@@ -19,6 +19,12 @@ object CountingKvStore extends graft.sinks.KvStore {
 
 /** Capabilities T1–T8 (SURVEY.md §2.8) driven through real
   * MicroBatchExecution with MemoryStream sources. */
+/** Driver-side sink for the KMV checkpoint-restart test (foreachBatch
+  * runs on the driver; a singleton survives the query restart). */
+object KmvEmissions {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double)]()
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -232,6 +238,44 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     InMemoryKvStore.data.keySet shouldBe Set("2024-03-05_14-01") // 14-00 NOT rewritten
+  }
+
+  test("streaming KMV state survives a checkpoint restart") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(61)
+    def doc(id: Long) = ("g0", Seq.fill(12)(s"w${rnd.nextInt(400)}").mkString(" "))
+    val docs = (1L to 200L).map(doc)
+    val chk = tmpDir("kmv_chk")
+    val in = MemoryStream[(String, String)]
+    // memory sink refuses checkpoint recovery; collect via foreachBatch
+    KmvEmissions.rows.clear()
+    def startQuery() = StatefulOps.kmvDistinctStream(
+        in.toDF().toDF("source", "text"), "source", "text", 3, 64)
+      .toDF().writeStream
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => KmvEmissions.rows.add(
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }
+      .start()
+    val q1 = startQuery()
+    in.addData(docs.take(120): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart FROM THE SAME CHECKPOINT: the restored min-set must fold
+    // the remaining data into the estimate the batch sketch produces
+    // over the WHOLE stream
+    val q2 = startQuery()
+    in.addData(docs.drop(120): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val last = KmvEmissions.rows.asScala.toSeq.maxBy(r => (r._2, -r._3))
+    val batch = Sketches.kmvDistinct(
+        docs.toDF("source", "text"), "source", "text", 3, 64)
+      .as[(String, Long, Long, Double)].head()
+    (last._2, last._3, last._4) shouldBe ((batch._2, batch._3, batch._4))
   }
 
   test("S10b: writeBatch chunks mutate calls at batchSize") {
