@@ -104,9 +104,14 @@ object ScaleGen {
     // documents: per-replica token suffix keeps replicas non-near-dup.
     // Suffixes are FIXED-LENGTH within a run (1 letter through factor
     // 10, 2 letters beyond): with equal lengths, w1+s1 == w2+s2 forces
-    // w1 == w2 AND s1 == s2, so suffixed vocabularies can never collide
+    // w1 == w2 AND s1 == s2, so SUFFIXED vocabularies can never collide
     // across replicas (a variable-length scheme could: "x"+"qq" ==
-    // "xq"+"q").
+    // "xq"+"q"). Replica 0 keeps the UNSUFFIXED source text, so the
+    // proof does not cover replica-0-vs-k collisions: those need the
+    // source vocabulary to contain both w and w+suffixLetter (e.g.
+    // "no"/"now") — verified absent from the driver vocabulary, and
+    // ScaleSweepSpec's no-token-spans-two-replicas assertion is the
+    // per-dataset guard if the generator is ever fed other text.
     val letters = "qzjxvkwyb" // 9 letters: 1-char ≤ ×10, 2-char ≤ ×82
     require(factor <= letters.length * letters.length + 1,
       s"factor ${factor} > ${letters.length * letters.length + 1} suffix space")
@@ -135,9 +140,13 @@ object ScaleGen {
     write("embeddings",
       replicate(src("embeddings"), factor)
         .withColumn("embedding",
-          transform(sequence(lit(1), lit(dims)),
-            i => element_at(col("embedding"),
-              ((i - 1 + col("rep")) % dims) + 1)))
+          // null guard (text has the same one): transform over a NULL
+          // array would otherwise yield a non-null array of NULLs for
+          // replicas k>0, silently changing null semantics at scale
+          when(col("embedding").isNull, col("embedding"))
+            .otherwise(transform(sequence(lit(1), lit(dims)),
+              i => element_at(col("embedding"),
+                ((i - 1 + col("rep")) % dims) + 1))))
         .withColumn("vec_id", col("vec_id") + col("rep") * lit(vecB))
         .drop("rep"), 2)
 

@@ -58,6 +58,10 @@ object ScaleSweep {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val pool = if (only.isDefined) qs.keys.toSeq.sorted else heavy
     val names = pool.filter(n => only.forall(_.exists(n.startsWith)))
+    // fail with a clear message: an empty match (SPARK_GRAFT_ONLY typo)
+    // would otherwise run zero queries and crash on the empty .max
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no queries: ${only.map(_.mkString(","))}")
 
     def time(name: String, dir: String): (Double, Double) = {
       def once(reuse: Boolean): Double = {

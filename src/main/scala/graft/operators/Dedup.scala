@@ -514,10 +514,13 @@ object Dedup {
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, nFiles: Int = 1): Unit = {
     require(nFiles >= 1, "nFiles must be >= 1")
-    val merged = spark.read.parquet(s"$dir/data")
-      .repartition(nFiles)
-      .localCheckpoint() // materialize before the overwrite deletes input
-    merged.write.mode("overwrite").parquet(s"$dir/data")
+    // durable swap: the replacement is fully on disk before the old
+    // copy is deleted (a checkpoint-then-overwrite would hold the only
+    // copy in non-durable executor blocks mid-rewrite)
+    StoredIndex.swapRewrite(spark, s"$dir/data") { tmp =>
+      spark.read.parquet(s"$dir/data").repartition(nFiles)
+        .write.parquet(tmp)
+    }
   }
 
   /** SimHash fingerprint over the low `bits` bits of the token hash:

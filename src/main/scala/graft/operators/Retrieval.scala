@@ -218,11 +218,12 @@ object Retrieval {
               col("_post")(i - lit(1)).getField("id")).as("gap"),
           x.getField("tf").as("tf"))))
       .select(col("token"), col("df_t"), col("postings"))
-      .localCheckpoint() // materialize before the overwrite deletes its input
-    val fs = new org.apache.hadoop.fs.Path(s"$dir/postings")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
-    seg.write.mode("overwrite").parquet(s"$dir/postings/seg=0")
+    // durable swap: the merged segment is fully on disk before the old
+    // postings are deleted (the previous checkpoint-then-delete held
+    // the only copy in non-durable executor blocks mid-rewrite)
+    StoredIndex.swapRewrite(spark, s"$dir/postings") { tmp =>
+      seg.write.parquet(s"$tmp/seg=0")
+    }
   }
 
   /** Rebuild (token, id, tf) from stored segments: per-token running

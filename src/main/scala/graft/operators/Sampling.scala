@@ -68,6 +68,17 @@ object Sampling {
     * hash < cutoff (cutoff from a coarse per-group count) bounds the
     * window input to ~maxPerGroup rows per group before the shuffle;
     * the same hash-priority makes that pre-filter sound. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(pri.asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerGroup)
+      .drop("_rn")
+  }
+
   /** Semantic diversity sampling (the SemDeDup/DCLM "cluster then take
     * a few per cluster" stage): stratify the embedding space into
     * deterministic sign-cells ([[Similarity.signBucket]] — a narrow
@@ -97,17 +108,6 @@ object Sampling {
       .filter(col("pick_rank") <= quota)
       .join(broadcast(pops), Seq("cell"))
       .select(col(idCol), col("cell"), col("cell_n"), col("pick_rank"))
-  }
-
-  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
-      maxPerGroup: Int): DataFrame = {
-    require(maxPerGroup > 0, "maxPerGroup must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(pri.asc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxPerGroup)
-      .drop("_rn")
   }
 
   /** Token-budget selection per group: keep documents in deterministic
@@ -216,10 +216,14 @@ object Sampling {
     // groups with no nonzero docs miss from stats → null cutoff → keep all
     val cand = base.join(broadcast(stats), Seq(groupCol), "left")
       .filter(col("_cutoff").isNull || col("_h") < col("_cutoff"))
-    val unsound = cand.filter(col("_nt") >= 1).groupBy(col(groupCol))
+    // driven FROM stats with a left join: a group whose cutoff captured
+    // ZERO nonzero docs has no row in the candidate-count aggregate at
+    // all, and an inner join would silently skip exactly the group most
+    // in need of the fallback (coalesce(_m, 0) marks it unsound)
+    val candNz = cand.filter(col("_nt") >= 1).groupBy(col(groupCol))
       .agg(count(lit(1)).as("_m"))
-      .join(stats, Seq(groupCol))
-      .filter(col("_m") < least(col("_n_nz"), lit(bPlus)))
+    val unsound = stats.join(candNz, Seq(groupCol), "left")
+      .filter(coalesce(col("_m"), lit(0L)) < least(col("_n_nz"), lit(bPlus)))
       .select(col(groupCol))
     cand.drop("_n_nz", "_cutoff")
       .join(broadcast(unsound), Seq(groupCol), "left_anti")

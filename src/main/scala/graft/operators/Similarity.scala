@@ -947,7 +947,14 @@ object Similarity {
       val merged = spark.read.parquet(s"$dir/data")
         .filter(col("cell").isin(crowded: _*)) // partition-pruned read
         .repartition(col("cell")) // one writer task per cell → one file
-        .localCheckpoint() // materialize before the overwrite deletes input
+        .localCheckpoint() // stable snapshot of the cells being replaced
+      // Durability note: dynamic partition overwrite STAGES the
+      // replacement files on durable storage first and deletes the
+      // matched cell dirs only at job commit — unlike a plain
+      // delete-then-write, a crash mid-compaction leaves either the old
+      // cells (pre-commit) or the staged replacements on disk, never
+      // memory-only state. (The flat signature/postings compactions
+      // get the same guarantee via StoredIndex.swapRewrite.)
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // replace ONLY crowded cells
         .partitionBy("cell").parquet(s"$dir/data")

@@ -95,6 +95,10 @@ object Sketches {
     * top-k: the per-task sort is bounded by |universe|/salt (stage 1)
     * then salt·k (stage 2) — no group-sized single-task sort. */
   private def kmvMinRows(hashes: DataFrame, k: Int, salt: Int): DataFrame = {
+    // k=1 would make the estimator (k-1)·M/U_k ≡ 0 and k<=0 an empty
+    // frame — both silently wrong rather than failing
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val s1 = Window.partitionBy(col("g"), pmod(col("h"), lit(salt))).orderBy(col("h"))
     val s2 = Window.partitionBy(col("g")).orderBy(col("h"))
     hashes
@@ -133,6 +137,7 @@ object Sketches {
     * ≤ k·segments rows reach any group. Merge ≡ sketch-of-union by
     * construction (KmvSketchSpec proves it on random splits). */
   def kmvMerge(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
     sketches
       .select(col(groupCol), explode(col("mins")).as("h"))

@@ -26,6 +26,26 @@ object StoredIndex {
       .getOrElse(spark.read.parquet(s"$dir/data")
         .agg(max(col(idCol).cast("long"))).head.getLong(0))
 
+  /** Crash-durable in-place rewrite of an index data directory: the
+    * replacement is FULLY written to `<path>_tmp` before the old copy
+    * is touched, then swapped in via delete + rename. At every instant
+    * a complete copy of the data exists on durable storage — the
+    * localCheckpoint-then-overwrite pattern this replaces held the only
+    * copy in non-durable executor blocks while the overwrite deleted
+    * its input, so a crash mid-rewrite lost the index. A crash here
+    * leaves either the old data (before the swap) or a complete `_tmp`
+    * (finish by renaming); never neither. */
+  def swapRewrite(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $path failed")
+  }
+
   /** Enforce the append-only id discipline: all batch ids must exceed
     * every indexed id (else stored deterministic structures — centers,
     * codebooks, band tables — would have differed from a rebuild's,

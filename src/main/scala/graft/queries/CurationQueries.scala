@@ -1386,6 +1386,25 @@ object CurationQueries {
         FROM ds CROSS JOIN bs ORDER BY ds.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** Shared KMV oracle: per-source k-minimum-values over the n-gram
+    * universe — q139 and q141 differ only in geometry (n, k); one
+    * template keeps the twins in lockstep. */
+  private def kmvOracleSql(n: Int, k: Int): String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT source, unnest(${shingleListSql("toks", n)}) AS gram FROM t),
+      h AS (SELECT DISTINCT source, ${PortableHash.md5Hash32Sql("gram")} AS hv FROM g),
+      rk AS (SELECT source, hv,
+          row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+      sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+          CAST(max(hv) AS BIGINT) AS kth_min
+        FROM rk WHERE rn <= $k GROUP BY source)
+      SELECT source, k_used, kth_min,
+        CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+          ELSE CAST(${(k - 1).toLong * (1L << 32)} AS DOUBLE) / CAST(kth_min AS DOUBLE)
+          END AS est_distinct
+      FROM sk ORDER BY source""".replaceAll("\\s+", " ")
+
   /** KMV distinct-cardinality sketch: per-source estimate of the
     * distinct 3-gram universe from the k=128 smallest portable hashes —
     * the ORACLE-EXACT mergeable twin of HLL approx-distinct (whose
@@ -1400,20 +1419,7 @@ object CurationQueries {
       "q139_kmv_distinct",
       (s, dir) => Sketches.kmvDistinct(t(s, dir, "documents"), "source", "text", 3, k)
         .orderBy("source"),
-      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
-          FROM documents WHERE text IS NOT NULL),
-        g AS (SELECT source, unnest(${shingleListSql("toks", 3)}) AS gram FROM t),
-        h AS (SELECT DISTINCT source, ${PortableHash.md5Hash32Sql("gram")} AS hv FROM g),
-        rk AS (SELECT source, hv,
-            row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
-        sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
-            CAST(max(hv) AS BIGINT) AS kth_min
-          FROM rk WHERE rn <= $k GROUP BY source)
-        SELECT source, k_used, kth_min,
-          CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
-            ELSE CAST(${(k - 1).toLong * (1L << 32)} AS DOUBLE) / CAST(kth_min AS DOUBLE)
-            END AS est_distinct
-        FROM sk ORDER BY source""".replaceAll("\\s+", " ")))
+      Some(kmvOracleSql(3, k)))
   }
 
   /** Stored KMV sketch snapshot — q139's incremental form under the
@@ -1447,20 +1453,7 @@ object CurationQueries {
         }
         Sketches.readKmvSnapshot(s, sDir, "source").orderBy("source")
       },
-      Some(s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
-          FROM documents WHERE text IS NOT NULL),
-        g AS (SELECT source, unnest(${shingleListSql("toks", n)}) AS gram FROM t),
-        h AS (SELECT DISTINCT source, ${PortableHash.md5Hash32Sql("gram")} AS hv FROM g),
-        rk AS (SELECT source, hv,
-            row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
-        sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
-            CAST(max(hv) AS BIGINT) AS kth_min
-          FROM rk WHERE rn <= $k GROUP BY source)
-        SELECT source, k_used, kth_min,
-          CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
-            ELSE CAST(${(k - 1).toLong * (1L << 32)} AS DOUBLE) / CAST(kth_min AS DOUBLE)
-            END AS est_distinct
-        FROM sk ORDER BY source""".replaceAll("\\s+", " ")))
+      Some(kmvOracleSql(n, k)))
   }
 
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,

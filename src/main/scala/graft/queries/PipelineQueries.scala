@@ -24,6 +24,15 @@ object PipelineQueries {
     s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
        h AS (SELECT doc_id, ${PortableHash.md5Hash32Sql("tok")} AS hv FROM toks)"""
 
+  /** DuckDB mirror of [[Similarity.signBucket]]: sign-pattern bucket id
+    * from the leading nBits embedding components — shared by every
+    * bucketed-ANN oracle (q26/q83/q89/q130/q138/q143) so the bucket
+    * convention can't drift between twins. */
+  private def signBucketSql(nBits: Int): String =
+    (0 until nBits)
+      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
   /** Exact dedup by content digest. */
   private val q20 = Q(
     "q20_dedup_exact",
@@ -132,9 +141,7 @@ object PipelineQueries {
   /** Sign-bucketed ANN (IVF/LSH hybrid): probe only the query's bucket. */
   private val q26 = {
     val nBits = 8
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q26_ann_bucketed",
       (s, dir) => {
@@ -381,9 +388,7 @@ object PipelineQueries {
     * exactness bar as q117. */
   private val q138 = {
     val (nBits, thr) = (8, 0.4)
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q138_incremental_clusters_bucketed",
       (s, dir) => {
@@ -443,9 +448,7 @@ object PipelineQueries {
     * compute grows with bucket occupancy, not corpus². */
   private val q83 = {
     val (nBits, thr) = (8, 0.4)
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q83_embedding_neardup_bucketed",
       (s, dir) => Similarity
@@ -470,9 +473,7 @@ object PipelineQueries {
     * selection is one aggregate. */
   private val q89 = {
     val (nBits, thr) = (8, 0.4)
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q89_semantic_dedup",
       (s, dir) => {
@@ -771,9 +772,7 @@ object PipelineQueries {
     * vec_id % 7 = 0 slice. */
   private val q130 = {
     val (nBits, k) = (8, 3)
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q130_hard_negatives",
       (s, dir) => Similarity.hardNegatives(
@@ -823,6 +822,28 @@ object PipelineQueries {
         FROM pairs ORDER BY source_a, source_b""".replaceAll("\\s+", " ")
     })
 
+  /** Shared winnowing-fingerprint oracle CTEs (t → g → c → wm → fps):
+    * q140 (pair detection) and q142 (stored-index screen) consume the
+    * same fingerprint derivation — one template keeps them in lockstep.
+    * Mirrors Dedup.winnowFingerprintArray: k-token gram hashes packed
+    * as h·2^31+pos, per-window min (ties → leftmost), distinct. */
+  private def winnowFpsCtes(kGram: Int, w: Int): String = {
+    val gram = (1 to kGram).map(j => s"toks[i+$j]").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ${PortableHash.md5Hash32Sql(s"concat_ws(' ', $gram)")} AS hv
+        FROM t, unnest(range(len(toks) - ${kGram - 1})) u(i)
+        WHERE len(toks) >= $kGram),
+      c AS (SELECT doc_id, pos, hv * 2147483648 + pos AS comb,
+          CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng FROM g),
+      wm AS (SELECT doc_id, pos, ng,
+          min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM c),
+      fps AS (SELECT DISTINCT doc_id, sel // 2147483648 AS fpv
+        FROM wm WHERE pos = 0 OR pos <= ng - $w)"""
+  }
+
   /** Winnowed fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken's
     * MOSS winnowing) — the SAMPLED scale twin of q99's exhaustive
     * every-k-gram dup-span join: each document keeps only each
@@ -837,18 +858,7 @@ object PipelineQueries {
       (s, dir) => Dedup.winnowedDupPairs(t(s, dir, "documents"), "doc_id", "text",
           kGram, w, maxDf, minShared)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-          FROM documents WHERE text IS NOT NULL),
-        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-            ${PortableHash.md5Hash32Sql("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS hv
-          FROM t, unnest(range(len(toks) - 2)) u(i) WHERE len(toks) >= $kGram),
-        c AS (SELECT doc_id, pos, hv * 2147483648 + pos AS comb,
-            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng FROM g),
-        wm AS (SELECT doc_id, pos, ng,
-            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM c),
-        fps AS (SELECT DISTINCT doc_id, sel // 2147483648 AS fpv
-          FROM wm WHERE pos = 0 OR pos <= ng - $w),
+      Some(s"""WITH ${winnowFpsCtes(kGram, w)},
         rare AS (SELECT fpv FROM fps GROUP BY fpv HAVING count(*) <= $maxDf),
         kp AS (SELECT doc_id, fpv FROM fps JOIN rare USING (fpv)),
         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -888,18 +898,7 @@ object PipelineQueries {
             maxDf, minShared)
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-          FROM documents WHERE text IS NOT NULL),
-        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-            ${PortableHash.md5Hash32Sql("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS hv
-          FROM t, unnest(range(len(toks) - 2)) u(i) WHERE len(toks) >= $kGram),
-        c0 AS (SELECT doc_id, pos, hv * 2147483648 + pos AS comb,
-            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng FROM g),
-        wm AS (SELECT doc_id, pos, ng,
-            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM c0),
-        fps AS (SELECT DISTINCT doc_id, sel // 2147483648 AS fpv
-          FROM wm WHERE pos = 0 OR pos <= ng - $w),
+      Some(s"""WITH ${winnowFpsCtes(kGram, w)},
         cut AS (SELECT (2 * max(doc_id)) // 3 AS c2 FROM documents),
         cfp AS (SELECT fps.* FROM fps, cut WHERE doc_id <= c2),
         bfp AS (SELECT fps.* FROM fps, cut WHERE doc_id > c2),
@@ -925,9 +924,7 @@ object PipelineQueries {
     * WindowGroupLimit; cell populations ride a ≤2^nBits-row broadcast. */
   private val q143 = {
     val (nBits, quota) = (6, 3)
-    val bucketSql = (0 until nBits)
-      .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucketSql = signBucketSql(nBits)
     Q(
       "q143_diversity_sample",
       (s, dir) => graft.operators.Sampling.diversitySample(

@@ -92,6 +92,38 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("fallback fires when the cutoff captures ZERO nonzero docs (regression)") {
+    // Adversarial id-set: every id hashes ABOVE the cutoff, so the
+    // candidate set for the group holds no nonzero-token doc at all.
+    // The unsound-group check must be driven from the stats side (left
+    // join) — the original inner join had no candidate row to match and
+    // silently skipped exactly this group, emitting an empty selection
+    // instead of the plain operator's.
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    }
+    val (budget, safety) = (1L, 2) // cutoff = 4·2^32/n_nz + 1
+    val nNz = 16
+    val cutoff = 4L * (1L << 32) / nNz + 1
+    val ids = (1L to 5000L).filter(id => h32(id.toString) > cutoff).take(nNz)
+    ids should have size nNz
+    import spark.implicits._
+    val df = ids.map(id => (id, "g", "tok tok tok")).toSeq
+      .toDF("doc_id", "source", "text")
+    val plain = Sampling
+      .tokenBudgetPerGroup(df, "source", "doc_id", "text", budget)
+      .select("doc_id", "n_tokens", "tokens_before")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bounded = Sampling
+      .tokenBudgetPerGroupBounded(df, "source", "doc_id", "text", budget, safety)
+      .select("doc_id", "n_tokens", "tokens_before")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    plain.size shouldBe 1 // budget 1 keeps exactly the first doc
+    bounded shouldBe plain
+  }
+
   test("pre-filter bounds the hot source's window input at ~safety*(budget+1)") {
     val (budget, safety) = (50L, 4)
     val hotGroupRows = hotSourceDocs.filter(col("source") === "hot").count()
