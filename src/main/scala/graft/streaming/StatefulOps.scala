@@ -56,7 +56,12 @@ object StatefulOps {
       valCol: String): Dataset[StateEvent] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).as("key"), col(tsCol).as("ts"), col(valCol).as("value"))
+    // null guards: a null value NPEs the non-nullable StateEvent
+    // encoding, and a null ts slips past the watermark late-filter
+    // (null comparisons aren't "late") only to NPE at ts.getTime
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("ts"), col(valCol).as("value"))
       .as[StateEvent]
   }
 
@@ -182,6 +187,9 @@ object StatefulOps {
     * monotone over a group's emissions: the min-set only improves. */
   def kmvDistinctStream(df: DataFrame, groupCol: String, textCol: String,
       shingleN: Int, k: Int): Dataset[KmvUpdate] = {
+    // same guard as the batch twin (Sketches.kmvMinRows): k=1 makes the
+    // estimator identically 0.0 and k<=0 crashes on the empty min-set
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.explode

@@ -16,8 +16,12 @@ object StreamDedup {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicates(keys :+ eventTimeCol)
 
-  /** Spark 3.5+ variant that keeps duplicates arriving within the
-    * watermark window but outside exact event-time equality. */
+  /** Spark 3.5+ variant that dedups by KEY ALONE within the watermark
+    * horizon: same-key rows are dropped even when their event times
+    * differ ([[dedup]] keys on (keys, eventTime), so it KEEPS same-key
+    * rows at different times). Use this when redeliveries carry drifted
+    * timestamps; use [[dedup]] when same-key-different-time rows are
+    * distinct events. */
   def dedupWithinWatermark(df: DataFrame, eventTimeCol: String, delay: String,
       keys: Seq[String]): DataFrame =
     df.withWatermark(eventTimeCol, delay)

@@ -50,6 +50,31 @@ case class FpMatch(docId: Long, matchId: Long, fp: Long)
   */
 object StreamNearDup {
 
+  /** Banding expression shared by every face: one (bandId, bandVal)
+    * struct per band of the `sim` column. */
+  private def bandStructsFor(sim: org.apache.spark.sql.Column,
+      nBands: Int, bandBits: Int): org.apache.spark.sql.Column = {
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("bandId"),
+        shiftright(sim, b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
+    }: _*)
+  }
+
+  /** Shared stream-side projection: row-local simhash, banded. Null
+    * text (no fingerprint) and null/uncastable ids are dropped — either
+    * would NPE the non-nullable BandEvent/Collision encodings. */
+  private def bandedStream(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, bandBits: Int): DataFrame =
+    df.filter(col(textCol).isNotNull && col(idCol).cast("long").isNotNull)
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.simhashExpr(col(textCol), bits).as("sim"))
+      .select(col("docId"), col("sim"),
+        explode(bandStructsFor(col("sim"), bits / bandBits, bandBits)).as("band"))
+      .select(col("docId"), col("sim"),
+        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
+
+
   def collisions(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
       maxKeptPerBucket: Int = 64): Dataset[Collision] = {
@@ -59,22 +84,7 @@ object StreamNearDup {
       s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
-    val mask = (1L << bandBits) - 1
-    val bandStructs = array((0 until nBands).map { b =>
-      struct(lit(b).as("bandId"),
-        shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
-    }: _*)
-    val events = df
-      // null text has no fingerprint (simhashExpr propagates null):
-      // such docs can't be near-duplicates of anything, and letting
-      // them through would NPE the non-nullable BandEvent encoding
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("docId"),
-        Dedup.simhashExpr(col(textCol), bits).as("sim"))
-      .select(col("docId"), col("sim"), explode(bandStructs).as("band"))
-      .select(col("docId"), col("sim"),
-        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
-      .as[BandEvent]
+    val events = bandedStream(df, idCol, textCol, bits, bandBits).as[BandEvent]
     events
       .groupByKey(e => (e.bandId, e.bandVal))
       .flatMapGroupsWithState[List[(Long, Long)], Collision](
@@ -85,6 +95,10 @@ object StreamNearDup {
           // docId order makes within-batch matching deterministic
           it.toSeq.sortBy(_.docId).foreach { e =>
             val hit = seen.iterator
+              // id0 != docId: an at-least-once source redelivering a doc
+              // must not match it against its own stored fingerprint
+              // (a self-collision would suppress the only copy)
+              .filter { case (id0, _) => id0 != e.docId }
               .map { case (id0, sim0) =>
                 (id0, java.lang.Long.bitCount(e.sim ^ sim0).toLong) }
               .filter(_._2 <= maxHamming)
@@ -92,7 +106,8 @@ object StreamNearDup {
                 if (a._2 < b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b)
             hit.foreach { case (id0, d) =>
               out += Collision(e.docId, id0, d, e.bandId) }
-            if (seen.size < maxKeptPerBucket) seen = seen :+ ((e.docId, e.sim))
+            if (seen.size < maxKeptPerBucket && !seen.exists(_._1 == e.docId))
+              seen = seen :+ ((e.docId, e.sim))
           }
           state.update(seen)
           out.result().iterator
@@ -126,23 +141,13 @@ object StreamNearDup {
     require(maxHamming < nBands,
       s"pigeonhole completeness needs maxHamming < $nBands bands; got $maxHamming")
     val mask = (1L << bandBits) - 1
-    def bandStructs(sim: org.apache.spark.sql.Column) =
-      array((0 until nBands).map { b =>
-        struct(lit(b).as("bandId"),
-          shiftright(sim, b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
-      }: _*)
     val corpus = spark.read.parquet(s"$indexDir/data")
       .select(col(idCol).cast("long").as("_cid"), col("simhash").as("_csim"))
-      .select(col("_cid"), col("_csim"), explode(bandStructs(col("_csim"))).as("band"))
+      .select(col("_cid"), col("_csim"),
+        explode(bandStructsFor(col("_csim"), nBands, bandBits)).as("band"))
       .select(col("_cid"), col("_csim"),
         col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
-    val events = stream
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("docId"),
-        Dedup.simhashExpr(col(textCol), bits).as("sim"))
-      .select(col("docId"), col("sim"), explode(bandStructs(col("sim"))).as("band"))
-      .select(col("docId"), col("sim"),
-        col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"))
+    val events = bandedStream(stream, idCol, textCol, bits, bandBits)
     val noEarlierAgreement = (0 until nBands - 1)
       .map(j => lit(j) >= col("bandId") ||
         shiftright(col("sim"), j * bandBits).bitwiseAND(lit(mask)) =!=
@@ -188,13 +193,9 @@ object StreamNearDup {
     val spark = df.sparkSession
     import spark.implicits._
     val retMs = retention.toMillis
-    val mask = (1L << bandBits) - 1
-    val bandStructs = array((0 until nBands).map { b =>
-      struct(lit(b).as("bandId"),
-        shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("bandVal"))
-    }: _*)
     val events = df
-      .filter(col(textCol).isNotNull && col(tsCol).isNotNull)
+      .filter(col(textCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).cast("long").isNotNull)
       .select(col(idCol).cast("long").as("docId"),
         Dedup.simhashExpr(col(textCol), bits).as("sim"),
         col(tsCol).cast("timestamp").as("ts"))
@@ -202,7 +203,8 @@ object StreamNearDup {
       // strips its event-time metadata and the stateful op would reject
       // the EventTimeTimeout ("not supported without watermark")
       .withWatermark("ts", s"${watermarkDelay.toMillis} milliseconds")
-      .select(col("docId"), col("sim"), col("ts"), explode(bandStructs).as("band"))
+      .select(col("docId"), col("sim"), col("ts"),
+        explode(bandStructsFor(col("sim"), nBands, bandBits)).as("band"))
       .select(col("docId"), col("sim"),
         col("band.bandId").as("bandId"), col("band.bandVal").as("bandVal"),
         col("ts"))
@@ -219,6 +221,8 @@ object StreamNearDup {
           val out = List.newBuilder[Collision]
           it.toSeq.sortBy(_.docId).foreach { e =>
             val hit = seen.iterator
+              // same self-collision guard as [[collisions]]
+              .filter { case (id0, _, _) => id0 != e.docId }
               .map { case (id0, sim0, _) =>
                 (id0, java.lang.Long.bitCount(e.sim ^ sim0).toLong) }
               .filter(_._2 <= maxHamming)
@@ -226,7 +230,7 @@ object StreamNearDup {
                 if (a._2 < b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b)
             hit.foreach { case (id0, d) =>
               out += Collision(e.docId, id0, d, e.bandId) }
-            if (seen.size < maxKeptPerBucket)
+            if (seen.size < maxKeptPerBucket && !seen.exists(_._1 == e.docId))
               seen = seen :+ ((e.docId, e.sim, e.ts.getTime))
           }
           if (seen.isEmpty) state.remove()
@@ -248,8 +252,8 @@ object StreamNearDup {
     * fingerprint index on the fingerprint value. Stateless: no state
     * store; the corpus side is the stored shadow (re-read per restart;
     * appends land on the next query start). The corpus-df cut (> maxDf
-    * docs ⇒ boilerplate) is computed once from the stored data at query
-    * build. Emits one [[FpMatch]] per shared rare fingerprint;
+    * docs ⇒ boilerplate) is MATERIALIZED once at query build
+    * (localCheckpoint), so no per-trigger full-index aggregation runs. Emits one [[FpMatch]] per shared rare fingerprint;
     * consumers aggregate shared counts / best match downstream (e.g. in
     * foreachBatch), exactly like [[Collision]] consumers. */
   def screenAgainstWinnowIndex(stream: DataFrame, indexDir: String,
@@ -264,9 +268,13 @@ object StreamNearDup {
       .select(col(idCol).cast("long").as("matchId"), col("fp"))
     val rare = corpus.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("fp")
-    val kept = corpus.join(rare, Seq("fp"), "left_semi")
+    // materialize the cut ONCE at query build: stream-static sides are
+    // re-executed per micro-batch, so without this the full-index
+    // groupBy + semi-join would re-run on every trigger (restart the
+    // query to refresh appends — same contract as the re-read note)
+    val kept = corpus.join(rare, Seq("fp"), "left_semi").localCheckpoint()
     stream
-      .filter(col(textCol).isNotNull)
+      .filter(col(textCol).isNotNull && col(idCol).cast("long").isNotNull)
       .select(col(idCol).cast("long").as("docId"),
         explode(Dedup.winnowFingerprintArray(col(textCol), kGram, w)).as("fp"))
       .join(graft.functions.Plans.maybeBroadcast(kept, broadcastIndex), Seq("fp"))

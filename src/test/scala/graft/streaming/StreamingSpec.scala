@@ -56,6 +56,33 @@ class StreamingSpec extends SparkSpec {
     rows.count(_._1 == null) shouldBe 1 // malformed JSON → all-null row
   }
 
+  test("T2b: nested fields parse at their real type; junk scalars still degrade") {
+    // the all-string lenient schema failed ANALYSIS for any nested
+    // target (string is not castable to struct/array) — nested fields
+    // now keep their real type and PERMISSIVE from_json nulls bad ones
+    val target = StructType(Seq(
+      StructField("sym", org.apache.spark.sql.types.StringType),
+      StructField("price", DoubleType),
+      StructField("tags", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val in = MemoryStream[String]
+    val parsed = StreamParse.parse(in.toDF().withColumnRenamed("value", "payload"),
+      "payload", target)
+    val q = parsed.writeStream.format("memory").queryName("t2b_parse")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      """{"sym":"A","price":"1.5","tags":["x","y"]}""",
+      """{"sym":"B","price":"oops","tags":"not-an-array"}""")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t2b_parse")
+      .as[(String, Option[Double], Option[Seq[String]])].collect()
+      .sortBy(_._1)
+    rows shouldBe Seq(
+      ("A", Some(1.5), Some(Seq("x", "y"))),
+      ("B", None, None)) // junk double AND junk array both degrade
+  }
+
   test("T5: watermarked dropDuplicates emits each key once") {
     val in = MemoryStream[(Timestamp, String)]
     val dedup = StreamDedup.dedup(
@@ -557,6 +584,28 @@ class StreamingSpec extends SparkSpec {
     byDoc(3L).length shouldBe 4                        // collides in all 16/4 bands
     byDoc(4L).map(_._2).toSet shouldBe Set(1L)
     all(byDoc(4L).map(_._3)) should be <= 3L           // within maxHamming
+  }
+
+  test("a redelivered document never collides with itself (at-least-once sources)") {
+    val in = MemoryStream[(Long, String)]
+    val out = StreamNearDup.collisions(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bits = 16, bandBits = 4, maxHamming = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("t_redeliver")
+      .outputMode(OutputMode.Append()).start()
+    val doc = (7L, "alpha beta gamma delta epsilon zeta")
+    in.addData(doc)
+    q.processAllAvailable()
+    in.addData(doc) // redelivery in a later micro-batch
+    in.addData(doc) // and a third copy in the same batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_redeliver")
+      .as[(Long, Long, Long, Int)].collect()
+    // no self-collision rows, and no state duplication turning the
+    // redelivery into a phantom match
+    rows.filter(r => r._1 == r._2) shouldBe empty
+    rows shouldBe empty // nothing else streamed, so nothing collides
   }
 
   test("stream screen against the stored signature index matches brute force") {
