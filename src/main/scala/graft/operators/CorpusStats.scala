@@ -39,17 +39,16 @@ object CorpusStats {
     partials(df, idCol, textCol, srcCol)
       .write.mode("overwrite").parquet(s"$dir/data")
     StoredIndex.writeMaxIdMeta(spark, dir,
-      df.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(df, idCol))
   }
 
   /** Fold one new batch into the snapshot: batch-sized work, a new
     * segment appended, existing files untouched. */
   def appendToStatsSnapshot(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, srcCol: String): Unit =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
       partials(batch, idCol, textCol, srcCol)
         .write.mode("append").parquet(s"$dir/data")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Current snapshot: segments folded by re-aggregation (sum-of-sums,

@@ -389,7 +389,7 @@ object Dedup {
     spark.range(1).select(lit(bits).as("bits"))
       .write.mode("overwrite").parquet(s"$dir/params")
     StoredIndex.writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   /** Incremental ingest into a stored signature index: fingerprint the
@@ -399,11 +399,10 @@ object Dedup {
     * stored meta, mirroring the ANN index appends. */
   def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
       val bits = spark.read.parquet(s"$dir/params").head.getAs[Number]("bits").intValue()
       simhash(batch, idCol, textCol, bits)
         .write.mode("append").parquet(s"$dir/data")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** [[incrementalNearDup]] against the STORED signature index: the
@@ -437,7 +436,7 @@ object Dedup {
     spark.range(1).select(lit(k).as("k"), lit(shingleN).as("shingle_n"))
       .write.mode("overwrite").parquet(s"$dir/params")
     StoredIndex.writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   /** Incremental ingest into the stored minhash index: sign the batch
@@ -445,12 +444,11 @@ object Dedup {
     * files untouched; append-only id discipline validated). */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
       val p = spark.read.parquet(s"$dir/params").head
       minhashSignatureShingled(batch, idCol, textCol,
           p.getAs[Number]("k").intValue(), p.getAs[Number]("shingle_n").intValue())
         .write.mode("append").parquet(s"$dir/data")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Screen a batch against the STORED minhash index: banded equi-join
@@ -870,7 +868,7 @@ object Dedup {
     spark.range(1).select(lit(kGram).as("k_gram"), lit(w).as("w"))
       .write.mode("overwrite").parquet(s"$dir/params")
     StoredIndex.writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   /** Incremental ingest into the stored winnow index: fingerprint the
@@ -878,12 +876,11 @@ object Dedup {
     * existing files untouched; append-only id discipline validated). */
   def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
       val p = spark.read.parquet(s"$dir/params").head
       winnowFingerprints(batch, idCol, textCol,
           p.getAs[Number]("k_gram").intValue(), p.getAs[Number]("w").intValue())
         .write.mode("append").parquet(s"$dir/data")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Screen a batch against the STORED winnow index: fingerprints whose

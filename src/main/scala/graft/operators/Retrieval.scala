@@ -164,8 +164,8 @@ object Retrieval {
     base.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(size(col("_toks"))).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    val maxId = base.agg(max(col("id"))).head.getLong(0)
-    StoredIndex.writeMaxIdMeta(spark, dir, maxId)
+    StoredIndex.writeMaxIdMeta(spark, dir,
+      StoredIndex.requiredMaxId(base, "id"))
   }
 
   /** Incremental ingest: index `batch` as a NEW segment — existing
@@ -178,7 +178,7 @@ object Retrieval {
   def appendToRetrievalIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val base = tokensFrame(batch, idCol, textCol)
-    StoredIndex.validateAppendBatch(spark, dir, base, "id").foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, base, "id") {
       val segs = new java.io.File(s"$dir/postings").listFiles()
         .map(_.getName).filter(_.startsWith("seg="))
         .map(_.stripPrefix("seg=").toLong)
@@ -193,7 +193,6 @@ object Retrieval {
           lit(old.getAs[Long]("n_docs") + add.getLong(0)).as("n_docs"),
           lit(old.getAs[Long]("sum_dl") + add.getLong(1)).as("sum_dl"))
         .write.mode("overwrite").parquet(s"$dir/stats")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
   }
 

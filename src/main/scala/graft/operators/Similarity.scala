@@ -69,12 +69,19 @@ object Similarity {
         PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
 
   /** Brute-force top-k: TakeOrderedAndProject — no full sort, no big
-    * collect. Deterministic tie-break on id. */
+    * collect. Deterministic tie-break on id. SINGLE-query shape: the
+    * global limit would silently return rows for the lowest query_id
+    * only in a multi-query batch — enforced loudly; use [[ivfTopK]] /
+    * [[rerankExact]] (per-query windows) for batches. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame =
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    require(queries.limit(2).count() == 1L,
+      "bruteForceTopK takes exactly ONE query row (global top-k); " +
+        "use ivfTopK or rerankExact for multi-query batches")
     scoreAgainst(df, idCol, vecCol, queries, qIdCol, qVecCol)
       .orderBy(col("query_id").asc, col("cos_sim").desc, col(idCol).asc)
       .limit(k)
+  }
 
   /** Sign-pattern bucket id from the leading `nBits` components:
     * bit j set iff vec[j] > 0. Narrow projection, no shuffle. */
@@ -128,15 +135,12 @@ object Similarity {
     // centers frame is centroids-sized, the probe list queries×nProbe
     val centers = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("_cell", "_center")
-    val l2sq = aggregate(
-      zip_with(asDouble(col("_qvec")), col("_center"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
     val probeRank = Window.partitionBy(col("query_id"))
       .orderBy(col("_d2").asc, col("_cell").asc)
     val probes = queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("_qvec"))
       .crossJoin(broadcast(centers))
-      .withColumn("_d2", l2sq)
+      .withColumn("_d2", l2sq(asDouble(col("_qvec")), col("_center")))
       .withColumn("_pr", row_number().over(probeRank))
       .filter(col("_pr") <= nProbe)
       .select("query_id", "_qvec", "_cell")
@@ -204,16 +208,23 @@ object Similarity {
     * negatives, which for HARD-negative mining is the tolerable end to
     * lose. */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, anchorPred: Column, k: Int, nBits: Int = 8): DataFrame = {
+      labelCol: String, anchorPred: Column, k: Int, nBits: Int = 8,
+      broadcastBuild: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same stream-repartition + optional-broadcast discipline as
+    // bucketedNearDupPairs: the cosine verify is tiny-bytes/CPU-heavy,
+    // and without the explicit-N spread AQE coalesces it onto a few
+    // bucket-key tasks at scale
+    val nPart = graft.functions.Plans.shufflePartitions(df)
     val a = df.filter(anchorPred).select(
       signBucket(col(vecCol), nBits).as("_bucket"),
       col(idCol).as("anchor_id"), col(vecCol).as("vec_a"),
-      col(labelCol).as("label_a"))
-    val b = df.select(
+      col(labelCol).as("label_a")).repartition(nPart)
+    val b0 = df.select(
       signBucket(col(vecCol), nBits).as("_bucket"),
       col(idCol).as("cand_id"), col(vecCol).as("vec_b"),
       col(labelCol).as("label_b"))
+    val b = graft.functions.Plans.maybeBroadcast(b0, broadcastBuild)
     val sim = PortableRound.round4(cosine(col("vec_a"), col("vec_b")))
     val rank = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
@@ -328,7 +339,22 @@ object Similarity {
     centers.select(col("_cell").as("cell"), col("_center").as("center"))
       .write.mode("overwrite").parquet(s"$dir/centers")
     writeMaxIdMeta(corpus.sparkSession, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
+  }
+
+  /** Collect a probes frame ((query_id, _qvec, _cell) rows) ONCE and
+    * rebuild it as a small local DataFrame: the collected rows drive
+    * BOTH the isin partition filter and the broadcast join, so a
+    * non-deterministic queries frame (sample, unordered limit) cannot
+    * probe a cell missing from its own pruning list — and the probe
+    * lineage runs once, not twice. */
+  private def materializeProbes(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame): (DataFrame, Seq[Int]) = {
+    val schema = probes.schema
+    val rows = probes.collect()
+    val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val cellIdx = schema.fieldIndex("_cell")
+    (local, rows.map(_.getInt(cellIdx)).distinct.toSeq)
   }
 
   /** Probe a deterministic IVF index written by
@@ -346,12 +372,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val centers = spark.read.parquet(s"$dir/centers")
       .select(col("cell").as("_cell"), col("center").as("_center"))
-    val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
     // The probed cell set is tiny (≤ |queries| × nProbe); materializing
     // it as literals is what turns the probe into directory-level
     // partition pruning on the data scan — the stored-index payoff.
-    val probedCells = probes.select("_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (probes, probedCells) = materializeProbes(spark,
+      detProbes(queries, qIdCol, qVecCol, centers, nProbe))
     val hitRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     spark.read.parquet(s"$dir/data")
@@ -395,7 +420,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
       .write.mode("overwrite").parquet(s"$dir/centers")
     writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query are
@@ -409,22 +434,41 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
     val centers = spark.read.parquet(s"$dir/centers")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val qs = queries.select(col(qIdCol), col(qVecCol)).collect()
-      .map(r => (r.get(0), r.getSeq[Any](1).map(_.toString.toDouble).toArray))
-    val probed = qs.flatMap { case (_, qv) =>
+    // typed widening cast, NOT toString parsing: float→double must route
+    // queries exactly as the append path's cast did, and a null element
+    // must surface as a null, not a NumberFormatException
+    val qs = queries
+      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("_qv"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    // PER-QUERY probe cells: each query joins only ITS OWN nProbe cells
+    // (a union-of-all-cells cross join would score every query
+    // near-brute-force in a batch and make results depend on what else
+    // was in the batch). The collected rows drive BOTH the partition
+    // filter and the join, so nothing is evaluated twice.
+    val probeRows = qs.flatMap { case (qid, qv) =>
       centers.sortBy { case (_, c) =>
         var d = 0.0; var i = 0
         while (i < c.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
         d
-      }.take(nProbe).map(_._1)
-    }.distinct.toSeq
+      }.take(nProbe).map { case (cell, _) => Row(qid, qv.toSeq, cell) }
+    }
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(
+        StructField("query_id", queries.schema(qIdCol).dataType),
+        StructField("_qvec", ArrayType(DoubleType)),
+        StructField("_cell", IntegerType))))
+    val probedCells = probeRows.map(_.getInt(2)).distinct.toSeq
     val hitRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     spark.read.parquet(s"$dir/data")
-      .filter(col("cell").isin(probed: _*))
-      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qvec"))))
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), col("cell") === col("_cell"))
       .select(col("query_id"), col(idCol),
         PortableRound.round4(cosine(col(vecCol), col("_qvec"))).as("cos_sim"))
       .withColumn("_r", row_number().over(hitRank))
@@ -438,6 +482,10 @@ object Similarity {
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nBits: Int = 8): DataFrame = {
+    // same SINGLE-query contract as bruteForceTopK (global limit)
+    require(queries.limit(2).count() == 1L,
+      "bucketedTopK takes exactly ONE query row (global top-k); " +
+        "use ivfTopK or rerankExact for multi-query batches")
     val corpus = df.withColumn("_bucket", signBucket(col(vecCol), nBits))
     val q = queries.select(
       col(qIdCol).as("query_id"),
@@ -535,7 +583,6 @@ object Similarity {
     val rows = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol), asDouble(col(vecCol)))
       .collect()
-      .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     require(rows.length == k, s"corpus has fewer than $k vectors")
     val centroids = Array.tabulate(m)(j =>
@@ -678,7 +725,7 @@ object Similarity {
     cb.toDF("j", "code", "center")
       .write.mode("overwrite").parquet(s"$dir/codebook")
     writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   // Max-id meta + append-only id-discipline validation are shared
@@ -687,9 +734,9 @@ object Similarity {
       dir: String, maxId: Long): Unit =
     StoredIndex.writeMaxIdMeta(spark, dir, maxId)
 
-  private def validateAppendBatch(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, idCol: String): Option[Long] =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol)
+  private def guardedAppend(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String)(write: => Unit): Unit =
+    StoredIndex.guardedAppend(spark, dir, batch, idCol)(write)
 
   /** Incremental ingest into a stored deterministic IVF index: assign a
     * NEW batch of vectors to cells through the STORED coarse centroids
@@ -707,14 +754,13 @@ object Similarity {
     * fast instead of silently corrupting probe results. */
   def appendToIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    guardedAppend(spark, dir, batch, idCol) {
       val centers = spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
       detAssign(batch, idCol, vecCol, centers)
         .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-      writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** TRAINED twin of [[appendToIvfIndexDeterministic]]: the new batch
@@ -727,7 +773,7 @@ object Similarity {
     * projections). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    guardedAppend(spark, dir, batch, idCol) {
       val centers = spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
       val carried = batch.columns.map(col) :+ col("_cell").as("cell")
@@ -739,7 +785,6 @@ object Similarity {
         .select(col("_m.*"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-      writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Load a stored PQ codebook back into a [[PqModel]] — m*k rows, a
@@ -796,7 +841,7 @@ object Similarity {
     cb.toDF("j", "code", "center")
       .write.mode("overwrite").parquet(s"$dir/codebook")
     writeMaxIdMeta(spark, dir,
-      corpus.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(corpus, idCol))
   }
 
   /** Probe a TRAINED composed index: L2 routing to the `nProbe` nearest
@@ -822,10 +867,9 @@ object Similarity {
       .withColumn("_pr", row_number().over(probeRank))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_qvec"), col("_cell"))
-    val tables = probes.select(col("query_id"), col("_cell"),
+    val (probesLocal, probedCells) = materializeProbes(spark, probes)
+    val tables = probesLocal.select(col("query_id"), col("_cell"),
       adcTable(col("_qvec"), model, rounded = false).as("_tab"))
-    val probedCells = tables.select("_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_approx").asc, col(idCol).asc)
     spark.read.parquet(s"$dir/data")
@@ -847,7 +891,7 @@ object Similarity {
     * indexing the union up front. */
   def appendToIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    guardedAppend(spark, dir, batch, idCol) {
       val model = loadPqCodebook(spark, dir)
       val centers = spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
@@ -857,7 +901,6 @@ object Similarity {
         .select(col(idCol), col("codes"), col("cell"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-      writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** TRAINED twin of [[appendToIvfPqIndexDeterministic]]: squared-L2
@@ -867,7 +910,7 @@ object Similarity {
     * production IVFADC index. Same id-discipline validation. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    guardedAppend(spark, dir, batch, idCol) {
       val model = loadPqCodebook(spark, dir)
       val centers = spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
@@ -883,7 +926,6 @@ object Similarity {
         .select(col(idCol), col("codes"), col("cell"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
-      writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Probe a composed IVF+PQ index: queries route to their `nProbe`
@@ -903,11 +945,10 @@ object Similarity {
     val model = loadPqCodebook(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers")
       .select(col("cell").as("_cell"), col("center").as("_center"))
-    val probes = detProbes(queries, qIdCol, qVecCol, centers, nProbe)
-    val tables = probes.select(col("query_id"), col("_cell"),
+    val (probesLocal, probedCells) = materializeProbes(spark,
+      detProbes(queries, qIdCol, qVecCol, centers, nProbe))
+    val tables = probesLocal.select(col("query_id"), col("_cell"),
       adcTable(col("_qvec"), model, rounded = true).as("_tab"))
-    val probedCells = tables.select("_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_approx").asc, col(idCol).asc)
     spark.read.parquet(s"$dir/data")
@@ -949,12 +990,15 @@ object Similarity {
         .repartition(col("cell")) // one writer task per cell → one file
         .localCheckpoint() // stable snapshot of the cells being replaced
       // Durability note: dynamic partition overwrite STAGES the
-      // replacement files on durable storage first and deletes the
-      // matched cell dirs only at job commit — unlike a plain
-      // delete-then-write, a crash mid-compaction leaves either the old
-      // cells (pre-commit) or the staged replacements on disk, never
-      // memory-only state. (The flat signature/postings compactions
-      // get the same guarantee via StoredIndex.swapRewrite.)
+      // replacement files on durable storage before job commit, so no
+      // point in the rewrite holds the data in memory only. The commit
+      // itself is per-partition delete-then-rename, so a crash MID
+      // COMMIT can leave a cell deleted with its replacement still in
+      // the dot-prefixed staging dir (probes skip it silently) —
+      // recover by finishing the rename from .spark-staging-*, or
+      // re-run the compaction. The flat signature/postings compactions
+      // use StoredIndex.swapRewrite, whose failure mode is loud
+      // instead (complete copy always at path or path_tmp).
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // replace ONLY crowded cells
         .partitionBy("cell").parquet(s"$dir/data")

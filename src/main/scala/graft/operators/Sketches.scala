@@ -172,19 +172,18 @@ object Sketches {
     spark.range(1).select(lit(shingleN).as("shingle_n"), lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$dir/params")
     StoredIndex.writeMaxIdMeta(spark, dir,
-      df.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      StoredIndex.requiredMaxId(df, idCol))
   }
 
   /** Fold one new batch into the stored sketch: sketch the batch with
     * the STORED geometry, append one segment, never rewrite. */
   def appendToKmvSnapshot(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, groupCol: String, textCol: String): Unit =
-    StoredIndex.validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
       val p = spark.read.parquet(s"$dir/params").head
       kmvSketch(batch, groupCol, textCol,
           p.getAs[Number]("shingle_n").intValue(), p.getAs[Number]("k").intValue())
         .write.mode("append").parquet(s"$dir/data")
-      StoredIndex.writeMaxIdMeta(spark, dir, newMax)
     }
 
   /** Current estimate per group: fold all stored segments with

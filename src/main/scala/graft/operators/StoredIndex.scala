@@ -15,8 +15,51 @@ object StoredIndex {
     * is validated against (reading it back is a footer-sized pull, not
     * a corpus scan). */
   def writeMaxIdMeta(spark: SparkSession, dir: String, maxId: Long): Unit =
-    spark.range(1).select(lit(maxId).as("max_id"))
+    writeMaxIdMeta(spark, dir, maxId, pending = false)
+
+  /** [[writeMaxIdMeta]] with the two-phase append flag ([[guardedAppend]]):
+    * `pending = true` marks an append in flight; a meta left pending
+    * makes the NEXT append fail loudly instead of silently
+    * double-ingesting against a stale watermark. */
+  def writeMaxIdMeta(spark: SparkSession, dir: String, maxId: Long,
+      pending: Boolean): Unit =
+    spark.range(1).select(lit(maxId).as("max_id"), lit(pending).as("pending"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+
+  /** Max id of a frame, REQUIRED non-null — writers call this BEFORE
+    * committing any files, so an empty corpus or non-numeric id column
+    * fails loudly instead of NPE-ing after a half-written index. */
+  def requiredMaxId(df: DataFrame, idCol: String): Long = {
+    val r = df.agg(max(col(idCol).cast("long"))).head
+    require(!r.isNullAt(0),
+      s"cannot derive a max id from '$idCol': empty input or ids that " +
+        "do not cast to long — refusing to write an index")
+    r.getLong(0)
+  }
+
+  private def metaPending(spark: SparkSession, dir: String): Boolean =
+    scala.util.Try {
+      val df = spark.read.parquet(s"$dir/meta")
+      df.columns.contains("pending") && df.head.getAs[Boolean]("pending")
+    }.getOrElse(false)
+
+  /** The append protocol every stored artifact shares: validate the
+    * id discipline, mark the meta PENDING at the new watermark, run the
+    * data append, clear the flag. A crash between any two steps leaves
+    * the meta pending, so the next append FAILS LOUDLY (see
+    * [[validateAppendBatch]]) instead of the two silent failure modes
+    * the naive order has — replaying a batch against a stale watermark
+    * (duplicate rows) or advancing the watermark over rows that never
+    * landed (silent loss). Repair: check whether the pending batch's
+    * rows are in `dir/data`, then clear with `writeMaxIdMeta(dir, max)`
+    * at the verified watermark. */
+  def guardedAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String)(write: => Unit): Unit =
+    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      writeMaxIdMeta(spark, dir, newMax, pending = true)
+      write
+      writeMaxIdMeta(spark, dir, newMax, pending = false)
+    }
 
   /** Max id already in the stored index: from `dir/meta` when present,
     * else (indexes written before meta existed) one column-pruned agg
@@ -55,6 +98,10 @@ object StoredIndex {
     * value), or None for an empty batch (a no-op append). */
   def validateAppendBatch(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String): Option[Long] = {
+    require(!metaPending(spark, dir),
+      s"a previous append to $dir did not complete (meta is marked " +
+        "pending): verify whether its rows landed in data, then clear " +
+        "the marker with writeMaxIdMeta at the verified watermark")
     val r = batch.agg(
       min(col(idCol).cast("long")), max(col(idCol).cast("long")),
       count(lit(1)), count_distinct(col(idCol))).head
