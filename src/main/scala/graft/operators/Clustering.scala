@@ -132,7 +132,19 @@ object Clustering {
     case LongType | IntegerType | ShortType | ByteType =>
       Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
     case StringType =>
-      Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      // compare UTF-8 BYTES unsigned, matching Spark's UTF8_BINARY min():
+      // Java String ordering compares UTF-16 units, which disagrees for
+      // supplementary characters — the driver and distributed paths
+      // would pick different cluster minima on such ids
+      Some(Ordering.fromLessThan[Any] { (a, b) =>
+        val x = a.asInstanceOf[String].getBytes("UTF-8")
+        val y = b.asInstanceOf[String].getBytes("UTF-8")
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+        if (r != 0) r < 0 else x.length < y.length
+      })
     case _ => None
   }
 
@@ -190,7 +202,14 @@ object Clustering {
     * a single max(struct) (id negated so asc tie-break survives max),
     * so no window / no second pass over the members. */
   def keepBestPerCluster(members: DataFrame, idCol: String,
-      clusterCol: String, scoreCol: String): DataFrame =
+      clusterCol: String, scoreCol: String): DataFrame = {
+    // the negated-id tie-break needs a numeric id (a long cast would
+    // crash on string ids under ANSI mode, or silently null the whole
+    // survivor manifest with ANSI off) — fail loudly instead
+    require(members.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestPerCluster needs a numeric '$idCol' for its tie-break; " +
+        "got " + members.schema(idCol).dataType.simpleString)
     members
       .groupBy(col(clusterCol).as("cluster_id"))
       .agg(
@@ -202,6 +221,7 @@ object Clustering {
         (-col("_best._negid")).as("keep_id"),
         col("_best._s").as(s"kept_$scoreCol"),
         col("n_members"))
+  }
 
   /** Incremental cluster maintenance under append-only ingest: fold a
     * batch's new near-dup pairs into a STORED (id, cluster_id)
@@ -234,9 +254,15 @@ object Clustering {
     // append-only discipline: without it contracted min-labels can
     // disagree with a full recompute (a small new id could become a
     // component's minimum without ever meeting the old root directly)
-    val mx = stored.agg(max(col(idCol).cast("long"))).head
-    val mn = batchIds.agg(min(col(batchIdCol).cast("long"))).head
-    require(mx.isNullAt(0) || mn.isNullAt(0) || mn.getLong(0) > mx.getLong(0),
+    // compared with the id column's OWN Spark ordering (a long cast
+    // crashes on string ids under ANSI mode and silently disables the
+    // guard with ANSI off)
+    val mx = stored.agg(max(col(idCol))).head
+    val mn = batchIds.agg(min(col(batchIdCol))).head
+    val ordered = mx.isNullAt(0) || mn.isNullAt(0) ||
+      stored.sparkSession.range(1)
+        .select(lit(mn.get(0)) > lit(mx.get(0))).head.getBoolean(0)
+    require(ordered,
       s"append-only id discipline violated: batch min id ${mn.get(0)} <= " +
         s"max stored id ${mx.get(0)}; run a full recompute instead")
     val endpoints = p.select(explode(array(col("_a"), col("_b"))).as("_rid"))
@@ -244,6 +270,8 @@ object Clustering {
     val touched = stored
       .select(col(idCol).as("_rid"), col(clusterCol).as("_root"))
       .join(broadcast(endpoints), Seq("_rid")) // corpus streams, no shuffle
+      .localCheckpoint() // delta-sized; feeds two broadcast builds — without
+      // this the corpus-sized semi-join behind it would run once per build
     val contracted = p
       .join(broadcast(touched.select(col("_rid").as("_a"), col("_root").as("_ra"))),
         Seq("_a"), "left")
@@ -252,11 +280,16 @@ object Clustering {
       .select(coalesce(col("_ra"), col("_a")).as("_ca"),
         coalesce(col("_rb"), col("_b")).as("_cb"))
       .filter(col("_ca") =!= col("_cb"))
+    // no extra checkpoint on cc: both connectedComponents paths return
+    // recompute-free frames (the distributed path a narrow select over
+    // its final-round checkpoint, the driver path local rows) — a second
+    // localCheckpoint would copy the data and orphan the inner blocks
     val cc = connectedComponents(contracted, "_ca", "_cb")
-      .localCheckpoint() // consumed by two branches
+    cc.count() // materialize before releasing its inputs
     // connectedComponents eagerly checkpointed its own copy of the
-    // contracted edges, so p (and everything derived from it) is dead
+    // contracted edges, so p and touched (delta-sized) are dead
     CheckpointBridge.release(p)
+    CheckpointBridge.release(touched)
     val rootMap = cc.select(col("id").as("_oldroot"), col("cluster_id").as("_newroot"))
     val storedUpd = stored
       .select(col(idCol), col(clusterCol))

@@ -78,6 +78,10 @@ object Graph {
       s"iterations must be in [1,10], got $iterations")
     val ab = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+      // a null endpoint would inflate the partner's degree and leak its
+      // rank share to a phantom node that vanishes at the next join —
+      // silently wrong centrality (Clustering filters the same way)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     // distinct() leaves the edge list hash-partitioned on (src, dst);
     // every superstep joins it on src alone, so re-cluster ONCE on src
     // before caching — the cached scan then satisfies each iteration's

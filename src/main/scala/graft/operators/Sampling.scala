@@ -53,7 +53,11 @@ object Sampling {
       .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
         case (((name, _), cut), els) => when(bucket < lit(cut), lit(name)).otherwise(els)
       }
-    df.withColumn(splitCol, assigned)
+    // a null id must surface as split = null, not silently fall through
+    // every when() into the LAST split (typically the smallest held-out
+    // one — the worst place for unkeyed rows to contaminate)
+    df.withColumn(splitCol,
+      when(col(idCol).isNull, lit(null)).otherwise(assigned))
   }
 
   /** Per-group quota: keep at most `maxPerGroup` rows per `groupCol`
@@ -198,24 +202,36 @@ object Sampling {
       idCol: String, textCol: String, budgetTokens: Long,
       safety: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    require(safety >= 2, "safety must be >= 2")
-    require((budgetTokens + 1) * safety.toLong < (1L << 30),
-      "budget*safety beyond cutoff-arith range")
+    require(safety >= 2 && safety <= 1024, "safety must be in [2, 1024]")
     val pri = graft.functions.PortableHash.md5Hash32(col(idCol).cast("string"))
+    // checkpointed: referenced by stats, the candidate join, and the
+    // fallback branch — without it the corpus (including per-row md5
+    // hashing and tokenization) would re-scan once per reference
     val base = df
       .withColumn("_nt", graft.operators.TextAnalysis.tokenCount(col(textCol)))
       .withColumn("_h", pri)
+      .localCheckpoint()
     val bPlus = budgetTokens + 1
     val full = 1L << 32
+    // cutoff ≈ safety·(B+1)/n_nz of the hash space, computed as
+    // (full DIV n_nz)·(B+1)·safety so the product cannot overflow for
+    // ANY long budget: this branch only runs when n_nz > B+1, hence
+    // (full DIV n_nz) · (B+1) ≤ full and ·safety ≤ 2^42. The slightly
+    // coarser floor placement is harmless — soundness rests on the
+    // count-based fallback below, never on the cutoff's exact value.
     val stats = base.filter(col("_nt") >= 1).groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n_nz"))
       .withColumn("_cutoff",
         when(col("_n_nz") <= lit(bPlus), lit(full))
           .otherwise(least(lit(full),
-            expr(s"${bPlus * safety.toLong}L * ${full}L DIV _n_nz + 1L"))))
-    // groups with no nonzero docs miss from stats → null cutoff → keep all
+            expr(s"(${full}L DIV _n_nz) * ${bPlus}L * ${safety.toLong}L + 1L"))))
+    // groups with no nonzero docs miss from stats → null cutoff → keep
+    // all; null hashes (null ids) also pass — the plain operator's
+    // nulls-first ascending order keeps them at the FRONT of the
+    // priority prefix, so dropping them here would silently diverge
     val cand = base.join(broadcast(stats), Seq(groupCol), "left")
-      .filter(col("_cutoff").isNull || col("_h") < col("_cutoff"))
+      .filter(col("_cutoff").isNull || col("_h").isNull ||
+        col("_h") < col("_cutoff"))
     // driven FROM stats with a left join: a group whose cutoff captured
     // ZERO nonzero docs has no row in the candidate-count aggregate at
     // all, and an inner join would silently skip exactly the group most

@@ -231,6 +231,24 @@ class ClusteringSpec extends SparkSpec {
       Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
   }
 
+  test("driver and distributed paths agree on non-BMP string ids (UTF-8 order)") {
+    // U+1F600 (UTF-8 F0 9F 98 80) vs U+FFFD (EF BF BD): Java's UTF-16
+    // compareTo ranks the emoji LOWER (surrogate 0xD83D < 0xFFFD) while
+    // Spark's UTF8_BINARY min ranks it HIGHER (F0 > EF) — the driver
+    // union-find must use byte order or the two paths pick different
+    // cluster minima for the same input
+    val emoji = "😀"
+    val repl = "�"
+    val pairs = Seq((emoji, repl)).toDF("id_a", "id_b")
+    val driver = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val dist = Clustering.connectedComponents(pairs, "id_a", "id_b",
+        driverSolveMaxEdges = 0)
+      .as[(String, String)].collect().toMap
+    driver shouldBe dist
+    driver(emoji) shouldBe repl // UTF-8 byte order: U+FFFD is the min
+  }
+
   test("mergeIncremental equals a full recompute on random append-split graphs") {
     val rnd = new scala.util.Random(23)
     (1 to 5).foreach { _ =>
