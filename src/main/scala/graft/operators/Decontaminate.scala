@@ -77,13 +77,16 @@ object Decontaminate {
       test: DataFrame, testTextCol: String, n: Int,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.BloomBridge
-    val grams = testGramSet(test, testTextCol, n)
+    // checkpointed: the gram set feeds the count, the bloom aggregation
+    // and the exact semi-join — without it the test side re-tokenizes
+    // and re-shingles once per consumer
+    val grams = testGramSet(test, testTextCol, n).localCheckpoint()
     // Native bloom pair (BloomFilterAggregate / BloomFilterMightContain
     // via BloomBridge): the filter builds in ONE distributed aggregation
     // and the pre-screen is a codegen'd predicate — no per-row boxing,
     // no UDF. The serialized filter ships as a constant (at cluster
     // scale: a few MB in the task binary vs a hash frame of hundreds).
-    val filterBytes = buildTestBloom(test, testTextCol, n, fpp)
+    val filterBytes = bloomFromGrams(grams, fpp)
     val candidates = ngramHashes(corpus, idCol, textCol, n)
       .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
       .join(broadcast(grams), Seq("gram_hash"), "left_semi")
@@ -129,9 +132,14 @@ object Decontaminate {
     * once (one distributed aggregation), reuse across batch runs or
     * ship to a stream (see [[streamCleanBloom]]). */
   def buildTestBloom(test: DataFrame, testTextCol: String, n: Int,
-      fpp: Double = 0.01): Array[Byte] = {
+      fpp: Double = 0.01): Array[Byte] =
+    bloomFromGrams(testGramSet(test, testTextCol, n), fpp)
+
+  /** Bloom over an ALREADY-built gram-hash frame — callers that also
+    * consume the grams themselves pass a checkpointed frame so the test
+    * side is derived once. */
+  private def bloomFromGrams(grams: DataFrame, fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.graftbridge.BloomBridge
-    val grams = testGramSet(test, testTextCol, n)
     val expected = math.max(1L, grams.count())
     grams.agg(BloomBridge.bloomAgg(col("gram_hash"), expected, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -147,9 +155,10 @@ object Decontaminate {
   def writeDecontamArtifact(spark: org.apache.spark.sql.SparkSession,
       test: DataFrame, testTextCol: String, n: Int, dir: String,
       fpp: Double = 0.01): Unit = {
-    testGramSet(test, testTextCol, n).write.mode("overwrite").parquet(s"$dir/grams")
+    val grams = testGramSet(test, testTextCol, n).localCheckpoint()
+    grams.write.mode("overwrite").parquet(s"$dir/grams")
     spark.range(1)
-      .select(lit(buildTestBloom(test, testTextCol, n, fpp)).as("bloom"),
+      .select(lit(bloomFromGrams(grams, fpp)).as("bloom"),
         lit(n).as("n"))
       .write.mode("overwrite").parquet(s"$dir/bloom")
   }

@@ -59,6 +59,9 @@ object Retrieval {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    require(terms.distinct.size == terms.size,
+      "duplicate query terms: the stored index scores a term once per " +
+        "posting while the inline sum would count it per list entry")
     val toks = Dedup.tokens(col(textCol))
     val base = df.filter(col(textCol).isNotNull)
     val statsCols =
@@ -92,15 +95,14 @@ object Retrieval {
       .select(col(idCol).cast("long").as("id"),
         Dedup.tokens(col(textCol)).as("_toks"))
 
-  /** One postings SEGMENT from a document frame: (token, df_t,
-    * id-sorted gap-encoded postings with term frequencies). Deltas are
+  /** Gap-encode a (token, id, tf) frame into one postings segment:
+    * (token, df_t, id-sorted gap-encoded postings). Deltas are
     * array-side (one transform after the per-token collect — no second
-    * shuffle after the irreducible (token, id) aggregate). */
-  private def postingsSegment(base: DataFrame) =
-    base
-      .select(col("id"), explode(col("_toks")).as("token"))
-      .groupBy(col("token"), col("id"))
-      .agg(count(lit(1)).as("tf"))
+    * shuffle after the irreducible (token, id) aggregate). SHARED by
+    * the build ([[postingsSegment]]) and the merge
+    * ([[compactRetrievalIndex]]) so the two encodings cannot drift. */
+  private def encodeSegment(tokIdTf: DataFrame) =
+    tokIdTf
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df_t"),
         sort_array(collect_list(struct(col("id"), col("tf")))).as("_post"))
@@ -111,6 +113,13 @@ object Retrieval {
               col("_post")(i - lit(1)).getField("id")).as("gap"),
           x.getField("tf").as("tf"))))
       .select(col("token"), col("df_t"), col("postings"))
+
+  /** One postings SEGMENT from a document frame. */
+  private def postingsSegment(base: DataFrame) =
+    encodeSegment(base
+      .select(col("id"), explode(col("_toks")).as("token"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("tf")))
 
   /** Score a batch OR STREAMING document frame against the stored
     * index's corpus statistics for a fixed term set — the ingest-time
@@ -125,6 +134,7 @@ object Retrieval {
   def bm25ScoreStream(df: DataFrame, idCol: String, textCol: String,
       dir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    require(terms.distinct.size == terms.size, "duplicate query terms")
     val spark = df.sparkSession
     val stats = spark.read.parquet(s"$dir/stats").head
     val n = stats.getAs[Long]("n_docs")
@@ -156,7 +166,15 @@ object Retrieval {
     */
   def writeRetrievalIndex(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
-    val base = tokensFrame(df, idCol, textCol)
+    // checkpointed: four consumers (postings, doclens, stats, max-id) —
+    // each would otherwise re-scan and re-tokenize the whole corpus
+    val base = tokensFrame(df, idCol, textCol).localCheckpoint()
+    // a REBUILD must clear the whole postings dir first: seg=0's
+    // overwrite replaces only its own path, so stale appended segments
+    // (seg=1+) would survive and silently inflate tf/df in every probe
+    val postsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    postsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(postsPath, true)
     postingsSegment(base)
       .write.mode("overwrite").parquet(s"$dir/postings/seg=0")
     base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
@@ -177,10 +195,17 @@ object Retrieval {
     * BATCH-sized — the indexed corpus is never touched. */
   def appendToRetrievalIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val base = tokensFrame(batch, idCol, textCol)
+    // checkpointed: three consumers (segment, doclens, stats delta)
+    val base = tokensFrame(batch, idCol, textCol).localCheckpoint()
     StoredIndex.guardedAppend(spark, dir, base, "id") {
-      val segs = new java.io.File(s"$dir/postings").listFiles()
-        .map(_.getName).filter(_.startsWith("seg="))
+      // Hadoop FS, not java.io.File: the index dir is not necessarily
+      // on the local filesystem (and a listing failure must not strand
+      // the meta in pending for a spurious reason)
+      val postsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val segs = postsPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(postsPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("seg="))
         .map(_.stripPrefix("seg=").toLong)
       postingsSegment(base)
         .write.mode("errorifexists").parquet(s"$dir/postings/seg=${segs.max + 1}")
@@ -204,19 +229,9 @@ object Retrieval {
   def compactRetrievalIndex(spark: SparkSession, dir: String): Unit = {
     val merged = decodeSegments(spark.read.parquet(s"$dir/postings"))
       .select(col("id"), col("token"), col("tf"))
-    val seg = merged
+    val seg = encodeSegment(merged
       .groupBy(col("token"), col("id"))
-      .agg(sum(col("tf")).as("tf"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("df_t"),
-        sort_array(collect_list(struct(col("id"), col("tf")))).as("_post"))
-      .withColumn("postings",
-        transform(col("_post"), (x, i) => struct(
-          when(i === 0, x.getField("id"))
-            .otherwise(x.getField("id") -
-              col("_post")(i - lit(1)).getField("id")).as("gap"),
-          x.getField("tf").as("tf"))))
-      .select(col("token"), col("df_t"), col("postings"))
+      .agg(sum(col("tf")).as("tf")))
     // durable swap: the merged segment is fully on disk before the old
     // postings are deleted (the previous checkpoint-then-delete held
     // the only copy in non-durable executor blocks mid-rewrite)
@@ -254,6 +269,7 @@ object Retrieval {
   def bm25TopKStored(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    require(terms.distinct.size == terms.size, "duplicate query terms")
     val stats = spark.read.parquet(s"$dir/stats").head
     val n = stats.getAs[Long]("n_docs")
     val sumdl = stats.getAs[Long]("sum_dl")

@@ -61,9 +61,12 @@ object TextAnalysis {
         .reduce(_ && _)
       (cond, lang)
     }
-    chain.init.foldRight(lit(chain.last._2): Column) { case ((cond, lang), els) =>
-      when(cond, lit(lang)).otherwise(els)
+    val winner = chain.init.foldRight(lit(chain.last._2): Column) {
+      case ((cond, lang), els) => when(cond, lit(lang)).otherwise(els)
     }
+    // null text must predict null, not fall through every null condition
+    // into the chain's terminal literal (the lexically smallest code)
+    when(text.isNull, lit(null)).otherwise(winner)
   }
 
   /** Heuristic quality score in [0,1]: length saturation, lexical
@@ -152,7 +155,10 @@ object TextAnalysis {
         sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(toks, i * chunkSize + 1, lit(chunkSize))))
     }
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+    // null text: size(null) = -1 makes sequence(0, -1) count DOWN and
+    // emit phantom empty chunks — filter like the cdcChunks sibling
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .select(
         col(idCol),
         col("chunk_id").cast("long").as("chunk_id"),
@@ -411,7 +417,14 @@ object TextAnalysis {
     val w = Window.partitionBy(col("_pid"), col(partCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .join(broadcast(offsetDf), Seq("_pid", partCol))
+      // <=> on the group value: a null partCol is a legitimate group in
+      // the plain window version (nulls form one window partition), and
+      // a plain equi-join would silently drop every row of it
+      .join(broadcast(offsetDf
+          .withColumnRenamed("_pid", "_opid")
+          .withColumnRenamed(partCol, "_gpart")),
+        col("_pid") === col("_opid") && col(partCol) <=> col("_gpart"))
+      .drop("_opid", "_gpart")
       .withColumn("_cum", col("_offset") + sum(col("n_tokens")).over(w))
       .withColumn("shard_id",
         floor((col("_cum") - col("n_tokens")) / lit(budgetTokens)).cast("long"))
@@ -439,9 +452,12 @@ object TextAnalysis {
     *     anti-join, the rebuild a doc-keyed aggregate.
     * At 100 TB nothing funnels through the driver and no stage's width
     * exceeds the corpus's gram stream. */
-  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+  def stripBoilerplate(df0: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    // null text would reach the final select with n_total = size(null)
+    // = -1 and come out as n_masked = -1 with an empty-string digest
+    val df = df0.filter(col(textCol).isNotNull)
     val arr = tokens(col(textCol))
     // (start, gram) pairs built array-side so the wide text column is
     // exploded exactly once

@@ -188,10 +188,11 @@ object PipelineQueries {
             + 0.3 * least(1.0, CAST(${hitsSql("en")} AS DOUBLE) / len(string_split(text, ' ')) * 5.0)""")} AS quality,
           CAST(list_sum(list_transform(string_split(text, ' '),
             t -> ${PortableHash.md5Hash32Sql("t")} % $P)) % $P AS BIGINT) AS fingerprint,
-          ${langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(", ")}
+          ${langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(", ")},
+          (text IS NULL) AS _text_null
         FROM documents)
         SELECT doc_id, n_tokens, n_distinct, n_alnum_runs, avg_token_len, quality,
-          CASE $langCase ELSE '${ordered.last}' END AS lang_pred, fingerprint,
+          CASE WHEN _text_null THEN NULL $langCase ELSE '${ordered.last}' END AS lang_pred, fingerprint,
           ${langs.map(l => s"score_$l").mkString(", ")}
         FROM base ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }

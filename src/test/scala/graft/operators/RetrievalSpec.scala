@@ -158,6 +158,26 @@ class RetrievalSpec extends SparkSpec {
     probe() shouldBe full
   }
 
+  test("a rebuild clears appended segments: no phantom postings survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr7").toString
+    val first = corpus.filter(col("doc_id") <= 3)
+    Retrieval.writeRetrievalIndex(spark, first, "doc_id", "text", dir)
+    Retrieval.appendToRetrievalIndex(spark, dir,
+      corpus.filter(col("doc_id") > 3), "doc_id", "text")
+    // REBUILD on the smaller corpus: seg=1 from the append must not
+    // survive (it would silently inflate tf/df in every later probe)
+    Retrieval.writeRetrievalIndex(spark, first, "doc_id", "text", dir)
+    spark.read.parquet(s"$dir/postings").select("seg").distinct().count() shouldBe 1L
+    val terms = Seq("spark", "vector", "customer")
+    val rebuilt = Retrieval.bm25TopKStored(spark, dir, terms, 10)
+      .select(col("id"), col("score_micro")).as[(Long, Long)].collect().sortBy(_._1)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_retr8").toString
+    Retrieval.writeRetrievalIndex(spark, first, "doc_id", "text", freshDir)
+    val fresh = Retrieval.bm25TopKStored(spark, freshDir, terms, 10)
+      .select(col("id"), col("score_micro")).as[(Long, Long)].collect().sortBy(_._1)
+    rebuilt shouldBe fresh
+  }
+
   test("appending overlapping or duplicate ids is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retr6").toString
     Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", dir)
