@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: decimal(18,6) sums widen to decimal(28,6) internally —
   * hash-aggregate friendly, partial-combine still applies, no codegen
-  * loss. Inputs must be < 1e12 in magnitude (all testdata measures are).
+  * loss. Inputs must be < 1e12 in magnitude for the FIRST-moment
+  * helpers (all testdata measures are). The SECOND-moment helpers
+  * (varSamp2/stddevSamp2/covarSamp2/corr4) square the values before
+  * summing: x² is decimal(37,12) and Σx² is capped at decimal(38,12)
+  * (≈1e26 of integer headroom), so their effective input bound is
+  * tighter — |x| ≤ ~1e9 over ~1e8 rows. Past it the aggregate throws
+  * under ANSI (Spark 4's default) rather than returning a wrong
+  * variance; re-scale the measure first if your data is that large.
   */
 object ExactAgg {
 

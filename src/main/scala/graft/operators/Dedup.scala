@@ -73,7 +73,12 @@ object Dedup {
   /** Exact dedup: group by content digest, keep min id as the canonical
     * representative. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("digest"))
+    // null texts are not duplicates of each other: md5(null) = null and
+    // GROUP BY treats nulls as equal, so unfiltered they'd collapse
+    // into one "duplicate" group and a keep-only-keep_id pass would
+    // delete distinct documents that merely lack text
+    df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("digest"))
       .agg(
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
@@ -176,25 +181,36 @@ object Dedup {
     * token sets by doc id — at scale these are two broadcast-or-shuffle
     * hash joins on ids, never an all-pairs product; pair count is
     * bounded by the LSH collision rate, not n². */
-  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bandSize: Int, threshold: Double,
-      broadcastBuild: Boolean = true): DataFrame = {
-    // tokenize ONCE; the size derives from the built array
+  /** Shared candidate→token-set scaffold for the LSH verifier family:
+    * [[minhashCandidates]]' first-collision pairs joined back to each
+    * side's sorted distinct-token array + size — the two id-keyed
+    * broadcast-or-shuffle hash joins both verifiers run before their
+    * scoring tails ([[lshVerifiedPairs]]'s Jaccard, [[containmentPairs]]'
+    * containment). One definition so the candidate-join discipline
+    * cannot drift between them. */
+  private def candidateTokenJoin(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bandSize: Int, broadcastBuild: Boolean): DataFrame = {
     val toks = df.select(col(idCol).as("_tid"),
       array_sort(distinctTokens(col(textCol))).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
+    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
+        col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
+      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
+        col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
+  }
+
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bandSize: Int, threshold: Double,
+      broadcastBuild: Boolean = true): DataFrame =
     // Candidate generation is [[minhashCandidates]]' dedup-free
     // first-collision join, so candidates flow STRAIGHT into the
     // verification joins — zero shuffles between enumeration and verify
     // (everything after the signature aggregate is one fused
     // broadcast-probe pipeline).
-    val joined = minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
-      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
-        col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
-      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
-        col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
-    withJaccard(joined, Seq.empty, threshold)
-  }
+    withJaccard(
+      candidateTokenJoin(df, idCol, textCol, k, bandSize, broadcastBuild),
+      Seq.empty, threshold)
 
   /** CONTAINMENT detection over LSH candidates: flags pairs where the
     * smaller document's token set is (nearly) a subset of the larger's —
@@ -219,14 +235,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandSize: Int, threshold: Double,
       broadcastBuild: Boolean = true): DataFrame = {
-    val toks = df.select(col(idCol).as("_tid"),
-      array_sort(distinctTokens(col(textCol))).as("_toks"))
-      .withColumn("_n", size(col("_toks")).cast("long"))
-    minhashCandidates(df, idCol, textCol, k, bandSize, broadcastBuild)
-      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_a"),
-        col("_toks").as("toks_a"), col("_n").as("n_a")), broadcastBuild), Seq("id_a"))
-      .join(Plans.maybeBroadcast(toks.select(col("_tid").as("id_b"),
-        col("_toks").as("toks_b"), col("_n").as("n_b")), broadcastBuild), Seq("id_b"))
+    candidateTokenJoin(df, idCol, textCol, k, bandSize, broadcastBuild)
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayOps.sortedIntersectSize(col("toks_a"), col("toks_b"))
           .cast("long").as("n_int"),
@@ -245,11 +254,15 @@ object Dedup {
     * window, no second pass. `idCol` must be numeric (the id tie-break
     * inverts it so `max` picks the smallest). */
   def keepBest(df: DataFrame, idCol: String, textCol: String, score: Column): DataFrame =
-    df.groupBy(md5(col(textCol)).as("digest"))
+    df.filter(col(textCol).isNotNull) // same null rule as [[exact]]
+      .groupBy(md5(col(textCol)).as("digest"))
       .agg(
         max(struct(
           score.as("s"),
-          (lit(Long.MaxValue) - col(idCol).cast("long")).as("inv"),
+          // ~id reverses the order with NO overflow (MaxValue - id
+          // overflowed for negative ids: ANSI abort, or an inverted
+          // tie-break with ANSI off)
+          bitwise_not(col(idCol).cast("long")).as("inv"),
           col(idCol).cast("long").as("kid"))).as("best"),
         count(lit(1)).as("dup_count"))
       .select(
@@ -329,7 +342,7 @@ object Dedup {
       .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
     val bs = simhash(batch, idCol, textCol, bits)
       .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
-    bestBandedMatch(cs, bs, idCol, bits, maxHamming, bandBits)
+    bestBandedMatch(cs, bs, batch, idCol, bits, maxHamming, bandBits)
   }
 
   /** Core of the incremental screen, shared by [[incrementalNearDup]]
@@ -337,9 +350,13 @@ object Dedup {
     * (corpus signatures read from the stored artifact): pigeonhole-
     * banded equi-join, first-agreeing-band dedup, one xor+popcount per
     * candidate, keyed min-struct best match per batch doc.
-    * `cs` = (_cid, _csim), `bs` = (idCol, _bsim). */
-  private def bestBandedMatch(cs: DataFrame, bs: DataFrame, idCol: String,
-      bits: Int, maxHamming: Int, bandBits: Int): DataFrame = {
+    * `cs` = (_cid, _csim), `bs` = (idCol, _bsim); `batch` is the RAW
+    * batch frame — the one-row-per-batch-doc contract joins from it,
+    * not from the signature frame, so null-text docs (which have no
+    * signature) still surface with null match columns like the
+    * minhash/winnow screens. */
+  private def bestBandedMatch(cs: DataFrame, bs: DataFrame, batch: DataFrame,
+      idCol: String, bits: Int, maxHamming: Int, bandBits: Int): DataFrame = {
     require(bits % bandBits == 0, "bits must be divisible by bandBits")
     val nBands = bits / bandBits
     require(maxHamming < nBands,
@@ -369,7 +386,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(min(struct(col("_h"), col("_cid"))).as("_b"))
       .select(col(idCol), col("_b._cid").as("dup_of"), col("_b._h").as("hamming"))
-    bs.select(col(idCol)).join(best, Seq(idCol), "left")
+    batch.select(col(idCol)).join(best, Seq(idCol), "left")
       .select(col(idCol), col("dup_of"), col("hamming"))
   }
 
@@ -419,7 +436,7 @@ object Dedup {
       .select(col(idCol).as("_cid"), col("simhash").as("_csim"))
     val bs = simhash(batch, idCol, textCol, bits)
       .select(col(idCol).as(idCol), col("simhash").as("_bsim"))
-    bestBandedMatch(cs, bs, idCol, bits, maxHamming, bandBits)
+    bestBandedMatch(cs, bs, batch, idCol, bits, maxHamming, bandBits)
   }
 
   /** Persist a corpus's shingle-MinHash signatures as a stored
@@ -524,6 +541,9 @@ object Dedup {
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    // md5Hash32 provides 32 hash bits; beyond that every fingerprint
+    // bit is constant 0 and the banded join silently degenerates
+    require(bits >= 1 && bits <= 32, s"simhash needs 1 <= bits <= 32, got $bits")
     val exploded = df
       .select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
       .withColumn("h", PortableHash.md5Hash32(col("tok")))
@@ -687,26 +707,28 @@ object Dedup {
     * `n_tokens`, `dup_frac` (rounded 4dp) — the cut list a span-removal
     * pass would consume, and the corpus-health metric on its own.
     *
-    * Scale shape (100 TB): windows shuffle as (hash, id, pos) triples —
-    * never text; the duplicated-hash set is found by one keyed count
-    * (map-side combined) and returns via an id-keyed semi-join;
-    * the island merge is a per-document window over only the DUPLICATED
-    * positions (dup-rate-sized, not corpus-sized). */
+    * Scale shape (100 TB): windows shuffle as (digest, id, pos)
+    * triples — never gram text; the duplicated-digest set is found by
+    * one keyed count (map-side combined) and returns via an id-keyed
+    * semi-join; the island merge is a per-document window over only the
+    * DUPLICATED positions (dup-rate-sized, not corpus-sized). Gram
+    * identity is the FULL 128-bit md5 — a 32-bit hash would birthday-
+    * collide at ~10^5 distinct grams and mark unrelated text as
+    * duplicated, which an operator that CUTS text cannot tolerate
+    * (minhash/simhash absorb collisions statistically; this must not). */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
     val docs = df.filter(col(textCol).isNotNull)
     // ordered (non-distinct) k-gram windows with 1-based start positions
     val grams = graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k)))))
-        .otherwise(array().cast("array<string>"))
+      shinglesOf(toks, k) // the multiset shingle form, incl. short-doc guard
     }
     val w = docs
       .select(col(idCol), posexplode(grams).as(Seq("_p0", "_g")))
-      .select(col(idCol), (col("_p0") + 1).as("pos"),
-        PortableHash.md5Hash32(col("_g")).as("_h"))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), md5(col("_g")).as("_h"))
+      .localCheckpoint() // feeds the dup-digest count AND the semi-join —
+      // without it the tokenize+hash pass runs twice
     val dupHashes = w.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
@@ -756,15 +778,20 @@ object Dedup {
   def cutDupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     val docs = df.filter(col(textCol).isNotNull)
-    val arr = tokens(col(textCol))
-    val gramStructs = when(size(arr) >= k,
-      transform(sequence(lit(0), size(arr) - k),
-        i => struct(i.cast("long").as("start"),
-          PortableHash.md5Hash32(concat_ws(" ", slice(arr, i + 1, lit(k)))).as("h"))))
-      .otherwise(array().cast("array<struct<start:bigint,h:bigint>>"))
+    // FULL md5 gram identity (see [[dupSpans]] — a cutting operator
+    // cannot absorb 32-bit collisions), array let-bound so split() runs
+    // once per document, not once per gram
+    val gramStructs = graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => struct(i.cast("long").as("start"),
+            md5(concat_ws(" ", slice(toks, i + 1, lit(k)))).as("h"))))
+        .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
+    }
     val grams = docs
       .select(col(idCol).as("doc_id"), explode(gramStructs).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.h").as("h"))
+      .localCheckpoint() // feeds keepers AND covered — hash once
     val keepers = grams
       .groupBy("h")
       .agg(min(col("doc_id")).as("_keeper"), countDistinct(col("doc_id")).as("_nd"))

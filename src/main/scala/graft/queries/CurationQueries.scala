@@ -563,7 +563,7 @@ object CurationQueries {
         w AS (SELECT doc_id,
             unnest(range(1, len(toks) - ${k - 2})) AS pos,
             unnest(list_transform(range(1, len(toks) - ${k - 2}),
-              i -> ${PortableHash.md5Hash32Sql(s"concat_ws(' ', $gramSql)")})) AS h
+              i -> md5(concat_ws(' ', $gramSql)))) AS h
           FROM tk WHERE len(toks) >= $k),
         dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         dp AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
@@ -602,7 +602,7 @@ object CurationQueries {
             unnest(toks) AS tok FROM base),
         gr AS (SELECT doc_id, CAST(unnest(range(len(toks) - ${k - 1})) AS BIGINT) AS start,
             unnest(list_transform(range(1, len(toks) - ${k - 2}),
-              i -> ${PortableHash.md5Hash32Sql(s"concat_ws(' ', $gramSql)")})) AS h
+              i -> md5(concat_ws(' ', $gramSql)))) AS h
           FROM base WHERE len(toks) >= $k),
         kp AS (SELECT h, min(doc_id) AS keeper FROM gr GROUP BY h
           HAVING count(DISTINCT doc_id) >= 2),

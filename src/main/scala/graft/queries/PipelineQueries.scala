@@ -38,7 +38,7 @@ object PipelineQueries {
     "q20_dedup_exact",
     (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("digest"),
     Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
-      FROM documents GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
+      FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")))
 
   /** MinHash signatures (k=16): the shingle→minhash stage, exact oracle. */
   private val q21 = {

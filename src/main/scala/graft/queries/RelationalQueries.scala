@@ -221,7 +221,7 @@ object RelationalQueries {
       TextAnalysis.tokenCount(col("text")))
       .orderBy("digest"),
     Some("""WITH s AS (SELECT md5(text) AS digest, doc_id,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents WHERE text IS NOT NULL),
       r AS (SELECT digest, doc_id, n_tok,
         row_number() OVER (PARTITION BY digest ORDER BY n_tok DESC, doc_id) AS rn,
         count(*) OVER (PARTITION BY digest) AS dup_count
