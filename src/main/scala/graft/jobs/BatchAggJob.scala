@@ -33,7 +33,10 @@ object BatchAggJob {
       skew: Option[String] = None) // e.g. "INTERVAL 20 minutes" (batch_stock.py:72)
 
   /** Build the aggregate frame (pure plan — no side effects). */
-  def aggregate(spark: SparkSession, paths: Seq[String], cfg: Config): DataFrame = {
+  /** The aggregate WITHOUT the query-facing global sort — the KV write
+    * path uses this (the store is keyed; ordering is meaningless there
+    * and the sort is a full range exchange). */
+  def aggregateUnsorted(spark: SparkSession, paths: Seq[String], cfg: Config): DataFrame = {
     val raw = SchemaReader.read(spark, cfg.schema, paths)
     val shifted = (cfg.tz, cfg.skew) match {
       case (Some(tz), Some(iv)) =>
@@ -53,8 +56,13 @@ object BatchAggJob {
         ModeAgg.mode(keyed, Seq("date", "hour"), mc, s"mode_$mc"),
         Seq("date", "hour"))
     }
-    withMode.orderBy(asc("date"), asc("hour"))
+    withMode
   }
+
+  /** The reference's query-facing shape: [[aggregateUnsorted]] plus its
+    * (date, hour) ordering (`batch_stock.py` printed ordered output). */
+  def aggregate(spark: SparkSession, paths: Seq[String], cfg: Config): DataFrame =
+    aggregateUnsorted(spark, paths, cfg).orderBy(asc("date"), asc("hour"))
 
   /** Run the full job: aggregate + distributed KV write. Returns the
     * number of aggregate rows written — counted with an accumulator
@@ -63,7 +71,7 @@ object BatchAggJob {
     * read→shuffle→sort plan). */
   def run(spark: SparkSession, paths: Seq[String], cfg: Config,
       store: KvStore, family: String = "stats", batchSize: Int = 5000): Long = {
-    val agg = aggregate(spark, paths, cfg)
+    val agg = aggregateUnsorted(spark, paths, cfg)
       .withColumn("row_key", KvSink.dateHourKey(col("date"), col("hour")))
     val valueCols = agg.columns.filterNot(Set("row_key").contains).toSeq
     val written = spark.sparkContext.longAccumulator("kv_rows_written")

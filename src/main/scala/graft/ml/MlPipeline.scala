@@ -25,12 +25,21 @@ object MlPipeline {
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol(outputCol)
+      // "skip": a null feature drops ITS row instead of killing the
+      // whole query (the default "error" aborted a production stream on
+      // one junk message — the lenient parse layer nulls bad fields BY
+      // DESIGN, so the assembler must tolerate them)
+      .setHandleInvalid("skip")
       .transform(df)
 
   /** 70/30 split (`ML_stock.py:190`), GBT train, MAE on both splits. */
   def trainRegressor(df: DataFrame, featureCols: Seq[String], labelCol: String,
       maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L): TrainResult = {
-    val assembled = assemble(df.na.drop("any"), featureCols)
+    // drop rows with nulls in the MODEL's columns only — na.drop over
+    // all columns silently discarded rows whose unrelated metadata
+    // columns were null
+    val assembled = assemble(
+      df.na.drop("any", featureCols :+ labelCol), featureCols)
     val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), seed)
     val gbt = new GBTRegressor()
       .setFeaturesCol("features")

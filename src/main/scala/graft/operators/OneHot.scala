@@ -23,6 +23,10 @@ object OneHot {
   /** Add one `<prefix>_<class>` 0/1 column per known class and a
     * `<prefix>_other` residual (1 iff no known class matched). */
   def encode(df: DataFrame, colName: String, classes: Seq[String], prefix: String): DataFrame = {
+    // an empty class list would .reduce on an empty indicator seq at
+    // plan build (the Side(oneHotCol = Some(...)) default-args trap) —
+    // fail with the real cause instead
+    require(classes.nonEmpty, s"one-hot over '$colName' needs a non-empty class list")
     val indicators: Seq[(String, Column)] = classes.map { v =>
       s"${prefix}_${slug(v)}" -> when(col(colName) === lit(v), 1L).otherwise(0L)
     }

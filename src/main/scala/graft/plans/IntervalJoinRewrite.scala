@@ -72,8 +72,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val hasEqui = conjuncts.exists {
         case EqualTo(x, y) =>
-          (x.references.subsetOf(left.outputSet) && y.references.subsetOf(right.outputSet)) ||
-            (y.references.subsetOf(left.outputSet) && x.references.subsetOf(right.outputSet))
+          // both sides must actually REFERENCE a side: an empty
+          // reference set is vacuously a subset of both outputs, so a
+          // single-side literal conjunct (l.type = 'x') would otherwise
+          // count as a cross-side equi key and suppress the rewrite —
+          // leaving exactly the nested-loop join this rule removes
+          // (same nonEmpty guard rangeConjunct's sides() applies)
+          x.references.nonEmpty && y.references.nonEmpty &&
+            ((x.references.subsetOf(left.outputSet) && y.references.subsetOf(right.outputSet)) ||
+              (y.references.subsetOf(left.outputSet) && x.references.subsetOf(right.outputSet)))
         case _ => false
       }
       val range =

@@ -19,12 +19,28 @@ object ArchiveJob {
 
   private val stampFmt = DateTimeFormatter.ofPattern("MM-dd-yyyy")
 
+  /** The live dir's file listing, snapshotted ONCE: the read and the
+    * post-verify delete must operate on the SAME file set — a fresh
+    * glob at delete time would also match (and destroy) files that
+    * arrived during the rotation without ever archiving them. */
+  private def snapshotFiles(spark: SparkSession, liveDir: String): Seq[Path] = {
+    val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new Path(s"$liveDir/*"))).getOrElse(Array.empty)
+      .map(_.getPath).toSeq
+  }
+
+  private def parquetOf(paths: Seq[Path]): Seq[String] =
+    paths.filter(_.getName.endsWith(".parquet")).map(_.toString)
+
   /** Returns (archived path, row count). */
   def run(spark: SparkSession, liveDir: String, historicalDir: String,
       prefix: String, date: LocalDate = LocalDate.now()): (String, Long) = {
-    val df = spark.read.parquet(liveDir)
-    val expected = df.count()
+    val snapshot = snapshotFiles(spark, liveDir)
+    val dataFiles = parquetOf(snapshot)
     val dest = s"$historicalDir/$prefix-${date.format(stampFmt)}.parquet"
+    if (dataFiles.isEmpty) return (dest, 0L)
+    val df = spark.read.parquet(dataFiles: _*)
+    val expected = df.count()
     df.write.mode("overwrite").parquet(dest)
 
     // verify before destroying the source (hardening vs merge_stock.py:93)
@@ -32,8 +48,7 @@ object ArchiveJob {
     require(written == expected, s"archive verify failed: wrote $written, expected $expected")
 
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Option(fs.globStatus(new Path(s"$liveDir/*"))).getOrElse(Array.empty)
-      .foreach(st => fs.delete(st.getPath, true))
+    snapshot.foreach(p => fs.delete(p, true)) // exactly the files read
     (dest, expected)
   }
 
@@ -41,36 +56,48 @@ object ArchiveJob {
     * file can't provide: one `date_key=.../` hive partition per event
     * date, so readers prune at the DIRECTORY level (a day query scans
     * 1/365th of the archive — the scan's PartitionFilters, not a data
-    * filter, do the work) and each day's rotation appends its own
-    * partitions via dynamic overwrite without touching earlier ones.
-    * Files within a partition are sorted by `sortCol` for row-group
-    * min/max pruning on range predicates. */
+    * filter, do the work). Rotations APPEND into their partitions: a
+    * date_key that reappears (same-day second rotation, late-arriving
+    * data) keeps its earlier rows — a dynamic partition OVERWRITE here
+    * would silently replace the whole partition and destroy them, and
+    * no total-count verify can catch that before the live files are
+    * deleted. The verify below counts the AFFECTED partitions before
+    * and after, so the append must account for prior + new exactly.
+    * Trade-off, stated honestly: append is not idempotent — a re-run
+    * after a crash BETWEEN the verified write and the live delete
+    * appends the live rows again (the old overwrite semantics deduped
+    * that case at the price of the silent-loss bug); recover by
+    * clearing live/ before re-running. Files within a partition are
+    * sorted by `sortCol` for row-group min/max pruning. */
   def runPartitioned(spark: SparkSession, liveDir: String, historicalDir: String,
       dateCol: String, sortCol: String): Long = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val df = spark.read.parquet(liveDir)
-      val expected = df.count()
-      df.withColumn("date_key", org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col(dateCol)))
-        .sortWithinPartitions(sortCol)
-        .write.mode("overwrite")
-        .partitionBy("date_key")
-        .parquet(historicalDir)
-      val written = spark.read.parquet(historicalDir).count()
-      require(written >= expected,
-        s"partitioned archive verify failed: $written < $expected")
-      val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Option(fs.globStatus(new Path(s"$liveDir/*"))).getOrElse(Array.empty)
-        .foreach(st => fs.delete(st.getPath, true))
-      expected
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    import org.apache.spark.sql.functions.{col, to_date}
+    val snapshot = snapshotFiles(spark, liveDir)
+    val dataFiles = parquetOf(snapshot)
+    if (dataFiles.isEmpty) return 0L
+    val df = spark.read.parquet(dataFiles: _*)
+    val expected = df.count()
+    val keyed = df.withColumn("date_key", to_date(col(dateCol)))
+    val affected = keyed.select("date_key").distinct().collect().map(_.get(0))
+    def affectedCount(): Long = {
+      val fs = new Path(historicalDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(historicalDir))) 0L
+      else spark.read.parquet(historicalDir)
+        .filter(col("date_key").isin(affected: _*)).count()
     }
+    val prior = affectedCount()
+    keyed.sortWithinPartitions(sortCol)
+      .write.mode("append")
+      .partitionBy("date_key")
+      .parquet(historicalDir)
+    val after = affectedCount()
+    require(after == prior + expected,
+      s"partitioned archive verify failed: affected partitions hold " +
+        s"$after rows, expected $prior prior + $expected new")
+    val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshot.foreach(p => fs.delete(p, true)) // exactly the files read
+    expected
   }
 
   /** Small-file compaction: rewrite a parquet dir into ~`targetRows`-row
@@ -97,6 +124,9 @@ object ArchiveJob {
     * that can contain matches. */
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    // maintenance op: `dir` must be QUIESCENT — the final swap replaces
+    // the whole directory, so files arriving mid-rewrite would be lost
+    // (the live-ingest rotations above snapshot their file list instead)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(dir)
     val total = df.count()

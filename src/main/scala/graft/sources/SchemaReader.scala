@@ -50,8 +50,13 @@ object SchemaReader {
   /** Fast path (default): one multi-path scan. Requires fragments that
     * parquet's schema merge can reconcile; the declared schema is pushed
     * into the scan so column pruning happens at the reader. */
-  def read(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+  def read(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame = {
+    // glob() legitimately returns Seq.empty on no match; without this
+    // the error is a misleading "unable to infer schema", not the real
+    // empty-input condition (readTolerant already guards)
+    require(paths.nonEmpty, "read: no input paths")
     coerce(spark.read.parquet(paths: _*), schema)
+  }
 
   /** Drift-tolerant path — capability S3: per-file read + coercion +
     * `unionByName(allowMissingColumns = true)` fold
@@ -74,10 +79,17 @@ object SchemaReader {
       .option("header", header.toString)
       .option("delimiter", delimiter)
       .csv(paths: _*)
-    // headerless files get positional names from the declared schema
+    // headerless files get positional names from the declared schema;
+    // trailing undeclared columns (schema drift) are dropped BEFORE the
+    // rename — toDF would throw on the arity mismatch otherwise, while
+    // the documented contract drops junk columns by omission
     val named =
       if (header) raw
-      else raw.toDF(schema.fieldNames.take(raw.columns.length).toIndexedSeq: _*)
+      else {
+        val keep = raw.columns.take(schema.fields.length).toIndexedSeq
+        raw.select(keep.map(col): _*)
+          .toDF(schema.fieldNames.take(keep.length).toIndexedSeq: _*)
+      }
     coerce(named, schema)
   }
 
@@ -86,8 +98,18 @@ object SchemaReader {
     * surface as all-null rows rather than failures, matching the
     * streaming payload parser's degradation. */
   def readJson(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame = {
-    val stringly = StructType(schema.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
+    // atomic fields relax to string (lenient scalar coercion); nested
+    // struct/array/map fields keep their real type — a string field
+    // cannot be try_cast to a complex type, so the all-string form
+    // failed ANALYSIS for any nested schema (same fix as
+    // streaming.StreamParse.lenientSchema; PERMISSIVE json already
+    // nulls malformed nested values on its own)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructField}
+    val stringly = StructType(schema.fields.map {
+      case f @ StructField(_, _: StructType | _: ArrayType | _: MapType, _, _) =>
+        f.copy(nullable = true)
+      case f => StructField(f.name, StringType)
+    })
     coerce(spark.read.schema(stringly).json(paths: _*), schema)
   }
 

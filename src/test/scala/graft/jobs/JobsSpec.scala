@@ -77,11 +77,20 @@ class JobsSpec extends SparkSpec {
       .write.mode("append").parquet(live)
     graft.sinks.ArchiveJob.runPartitioned(spark, live, hist, "ts", "ts") shouldBe 1
 
+    // a SECOND same-day rotation (afternoon rows for day 1) must keep
+    // the morning rows — the old dynamic partition overwrite replaced
+    // the whole date_key=2024-03-05 partition and silently lost them
+    Seq((ts("2024-03-05 16:00:00"), 40.0)).toDF("ts", "temp")
+      .write.mode("append").parquet(live)
+    graft.sinks.ArchiveJob.runPartitioned(spark, live, hist, "ts", "ts") shouldBe 1
+    spark.read.parquet(hist)
+      .filter(col("date_key") === "2024-03-05").count() shouldBe 3
+
     val archive = spark.read.parquet(hist)
-    archive.count() shouldBe 3
+    archive.count() shouldBe 4
     // a day query prunes at the partition level, not a data filter
     val day1 = archive.filter(col("date_key") === "2024-03-05")
-    day1.count() shouldBe 2
+    day1.count() shouldBe 3
     day1.queryExecution.executedPlan.collectLeaves().head.toString should
       include("PartitionFilters")
 
