@@ -30,9 +30,21 @@ object Anonymize {
     require(qiCols.nonEmpty, "at least one quasi-identifier column")
     require(k >= 1, "k must be >= 1")
     val counts = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("_qi_n"))
-    val joined = df.join(broadcast(counts), qiCols)
+    // null-SAFE join back: groupBy counts null QI values as their own
+    // group, but an equi-join (null != null) would silently DROP every
+    // null-QI row from the release — the opposite of a privacy gate's
+    // job
+    val renamed = counts.select(
+      qiCols.map(c => col(c).as(s"_q_$c")) :+ col("_qi_n"): _*)
+    val joined = df.join(broadcast(renamed),
+        qiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _))
+      .drop(qiCols.map(c => s"_q_$c"): _*)
+    // released QI columns are STRINGLY by design: the mask token shares
+    // the column with the surviving values, so non-string QI columns
+    // are cast rather than silently promoted by the when()
     val masked = qiCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, when(col("_qi_n") < k, lit(star)).otherwise(col(c)))
+      d.withColumn(c,
+        when(col("_qi_n") < k, lit(star)).otherwise(col(c).cast("string")))
     }
     val flagged = masked
       .withColumn("suppressed", col("_qi_n") < k)

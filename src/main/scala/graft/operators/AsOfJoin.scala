@@ -30,30 +30,40 @@ object AsOfJoin {
   def lastBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // right rows get _side=0 so they sort before left (_side=1) at equal ts
-    val taggedLeft = valueCols.foldLeft(left.withColumn("_side", lit(1))) {
-      (df, c) => df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
+    // right rows get _side=0 so they sort before left (_side=1) at equal
+    // ts. The carried payload is ONE struct of all valueCols: last(...,
+    // ignoreNulls) then skips only the left-row placeholders — a
+    // GENUINELY null value inside the latest matching row stays null
+    // (per-column carries fell back to a STALE older row's value, and
+    // could even mix columns from different reference rows).
+    val taggedLeft = left.withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(rStructType))
     // NULL join keys never match under equi/ASOF semantics, but
     // Window.partitionBy groups NULLs into one partition — so null-key
     // reference rows must be dropped (null-key probe rows then see no
-    // reference rows and correctly get null).
-    val matchableRight = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    // reference rows and correctly get null). A null-TS reference row
+    // is equally unmatchable (no left ts is >= null) yet sorts FIRST
+    // ascending — unfiltered it would match every probe row of its key.
+    val matchableRight = right.filter(
+      (keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
     val taggedRight = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
       .foldLeft {
-        valueCols.foldLeft(matchableRight.withColumn("_side", lit(0))) {
-          (df, c) => df.withColumn(s"_r_$c", col(c))
-        }.select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ valueCols.map(c => col(s"_r_$c")): _*)
+        matchableRight.withColumn("_side", lit(0))
+          .withColumn("_r", struct(valueCols.map(col): _*))
+          .select((keys :+ tsCol).map(col) ++ Seq(col("_side"), col("_r")): _*)
       } { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
 
     val unioned = taggedLeft.unionByName(taggedRight)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

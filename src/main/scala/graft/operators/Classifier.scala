@@ -50,8 +50,11 @@ object Classifier {
   def trainNbMicro(train: DataFrame, textCol: String, posPred: Column,
       buckets: Int): (Array[Long], Long) = {
     require(buckets > 0 && buckets <= 4096, s"buckets must be in [1,4096], got $buckets")
-    val rows = train
-      .filter(col(textCol).isNotNull)
+    // checkpointed: the token-bucket aggregate AND the doc-count pass
+    // below both collect() — without it an expensive upstream plan
+    // (filter/sample lineage) executes twice
+    val base = train.filter(col(textCol).isNotNull).localCheckpoint()
+    val rows = base
       .select(explode(Dedup.tokens(col(textCol))).as("_t"), posPred.as("_pos"))
       .groupBy((PortableHash.md5Hash32(col("_t")) % buckets).as("_b"))
       .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_p"),
@@ -63,7 +66,7 @@ object Classifier {
       p(r.getLong(0).toInt) = r.getLong(1); n(r.getLong(0).toInt) = r.getLong(2)
     }
     val pTot = p.sum; val nTot = n.sum
-    val docCounts = train.filter(col(textCol).isNotNull)
+    val docCounts = base
       .select(sum(when(posPred, 1L).otherwise(0L)).as("p"),
         sum(when(posPred, 0L).otherwise(1L)).as("n"))
       .collect()(0)

@@ -46,7 +46,10 @@ object Redact {
         (regexp_replace(staged, r.pattern, r.replacement),
           count + size(regexp_extract_all(staged, lit(r.pattern), lit(0))))
     }
-    total.cast("long")
+    // null text: size(null) is -1 per rule, so the naive fold returned
+    // -(rules.length) — a negative count that silently deflated corpus
+    // redaction totals. No text ⇒ zero hits.
+    when(text.isNull, lit(0L)).otherwise(total.cast("long"))
   }
 
   /** Pseudonymous stable key for an id column: keyed sha-256 over the

@@ -27,13 +27,20 @@ object SnapshotDiff {
     * only. */
   def diff(older: DataFrame, newer: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = older.select(col(idCol), md5(col(textCol)).as("old_digest"))
-    val n = newer.select(col(idCol), md5(col(textCol)).as("new_digest"))
+    // presence flags, not digest nullness, decide added/removed:
+    // md5(null text) is null, so a null-text row present on one side
+    // would otherwise be conflated with an absent row (a removed
+    // null-text doc reported "added", a nulled-out text missed as
+    // "changed")
+    val o = older.select(col(idCol), md5(col(textCol)).as("old_digest"),
+      lit(true).as("_in_old"))
+    val n = newer.select(col(idCol), md5(col(textCol)).as("new_digest"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
-          .when(col("old_digest") =!= col("new_digest"), lit("changed")))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("old_digest") <=> col("new_digest")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"), col("old_digest"), col("new_digest"))
   }
@@ -59,7 +66,11 @@ object SnapshotDiff {
       deleteCol: String, broadcastChanges: Boolean = true): DataFrame = {
     val keys = graft.functions.Plans.maybeBroadcast(
       changes.select(col(idCol)), broadcastChanges)
-    val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
+    // a null delete flag must mean UPSERT, not silent deletion: the
+    // key is removed from base unconditionally below, and !null is
+    // null, so an unguarded filter would drop the row from the re-add
+    val upserts = changes
+      .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
     base.join(keys, Seq(idCol), "left_anti").unionByName(upserts)
   }
 }

@@ -21,7 +21,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "un"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
-  def tokens(text: Column): Column = split(text, " ")
+  def tokens(text: Column): Column = Dedup.tokens(text) // ONE canonical tokenizer
 
   /** Whitespace token count (long). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -105,6 +105,24 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> None)        // no reference rows for this key
   }
 
+  test("the latest match's null value stays null; null-ts reference rows never match") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:10:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", Some(ts("2024-01-01 10:00:00")), Some(5.0), Some("a")),
+      // latest matching row: v is GENUINELY null — the old per-column
+      // ignoreNulls carry fell back to the stale 5.0 (and mixed this
+      // row's w with the older row's v)
+      ("k", Some(ts("2024-01-01 10:05:00")), Option.empty[Double], Some("b")),
+      // null-ts reference row: unmatchable, must not hijack the window
+      ("k", Option.empty[Timestamp], Some(99.0), Some("x")))
+      .toDF("k", "ts", "v", "w")
+    val got = graft.operators.AsOfJoin
+      .lastBefore(left, right, Seq("k"), "ts", Seq("v", "w"))
+      .select("id", "asof_v", "asof_w")
+      .as[(Long, Option[Double], Option[String])].collect()
+    got shouldBe Array((1L, None, Some("b"))) // one row, no cross-row mixing
+  }
+
   test("NULL join keys never match (join semantics, not window-partition semantics)") {
     val left = Seq((1L, Option.empty[String], ts("2024-01-01 10:00:00")))
       .toDF("id", "k", "ts")
