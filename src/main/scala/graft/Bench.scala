@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The box-speed CONTROL family (docs/BENCH_NOTES.md, round-8
+    * addendum 2): 32 pure relational/events queries containing ZERO
+    * portable-hash work, whose subtotal moves with host speed only —
+    * compare two bench artifacts through the ratio of their control
+    * subtotals to separate box-day drift from real code change. Pinned
+    * here (not derived) so the family cannot silently shift as the
+    * query set grows. */
+  val controlFamily: Set[String] = Set(
+    "q33_pivot", "q34_rollup", "q35_semi_anti_join", "q36_lag_lead_rank",
+    "q38_percentiles", "q47_stats_moments", "q49_cube", "q53_source_report",
+    "q54_set_ops", "q55_distribution_windows", "q56_scalar_breadth",
+    "q57_event_type_map", "q58_repetition_rules", "q59_value_windows",
+    "q60_grouping_sets", "q61_subqueries", "q62_array_hof", "q63_set_ops_all",
+    "q64_json_path", "q65_date_arithmetic", "q66_unpivot_outer",
+    "q67_histogram", "q68_bit_aggs", "q69_gap_fill", "q70_regexp_strings",
+    "q71_try_functions", "q72_variant", "q73_agg_breadth", "q74_array_ops",
+    "q75_map_ops", "q76_lateral", "q82_null_ordering")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,6 +99,11 @@ object Bench {
       failed.map(r => "\"" + key(r.name) + "\":" + jstr(r.err.get))
         .mkString("{", ",", "}")
     val total = ok.map(_.warm).sum
+    // Control subtotal on the stdout line (round-8 verdict): lets any
+    // consumer normalize for box-day speed without digging the family
+    // out of BENCH_NOTES — ratio of two runs' control_total ≈ host
+    // speed ratio, since the family does no hash work and no builds.
+    val controlTotal = ok.filter(r => controlFamily.contains(r.name)).map(_.warm).sum
     // Cold total: every query's FULL declared semantics (stored-artifact
     // builds included) from pass 1. Emitted alongside the warm min-of-N
     // so the headline can't quietly improve by measuring less work — the
@@ -98,11 +122,51 @@ object Bench {
       if (failed.isEmpty) "" else s""","errors":${errObj(identity)}"""
     val errPartShort =
       if (failed.isEmpty) "" else s""","errors":${errObj(shortKey)}"""
+    // Trained-ANN recall TREND (round-8 verdict item 4): the ScalaTest
+    // contract is a floor (recall@5 >= 0.70), which a 0.784 → 0.71
+    // regression would pass silently — so every full bench run also
+    // MEASURES recall of the q137-shaped trained artifact (IVF build on
+    // the first 2/3, frozen-centroid append of the rest) at this SF and
+    // records it in the artifact, making round-over-round drift a diff
+    // of committed numbers instead of a spec re-run. Config mirrors
+    // SimilaritySpec's honest point (nProbe=4 of 8, k=5).
+    val recallPart: String = if (only.nonEmpty) "" else try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val (nC, nP, k) = (8, 4, 5)
+      val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+      val idxDir = s"target/bench_ivf_recall_${Integer.toHexString(sfDir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(idxDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+      graft.operators.Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir, nC)
+      graft.operators.Similarity.appendToIvfIndex(
+        spark, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      def topSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = res
+        .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+        .filter(col("_r") <= k)
+        .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+        .collect().groupBy(_.getLong(0)) // bounded: n_queries × k rows
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+      val truth = topSet(graft.operators.Similarity.scoreAgainst(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding"))
+      val approx = topSet(graft.operators.Similarity.probeIvfIndex(
+        spark, idxDir, "vec_id", "embedding", queries, "vec_id", "embedding", k, nP))
+      val recalls = truth.map { case (qid, ts) =>
+        approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
+      val mean = recalls.sum / recalls.size
+      s""","trained_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"n_queries":${recalls.size}}"""
+    } catch { case e: Throwable =>
+      s""","trained_recall":{"error":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")}}"""
+    }
     // cpus recorded for comparability: the CPU-heavy pair/ANN queries
     // scale near-linearly with threads, so a local[4] number is not
     // comparable to a local[32] one (the round-8 baseline confusion)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallPart,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
     // docs/BENCH_FULL.json is the committed quiet-box baseline the judge
     // reads against BENCH_r{N}.json. Driver/CI invocations run on a
     // co-tenant-noisy box and were clobbering it every round — so the
@@ -120,7 +184,7 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallPart,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

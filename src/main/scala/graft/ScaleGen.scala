@@ -14,8 +14,9 @@ import graft.queries.Tables
   * all grow ×factor. Two columns need more than a key shift to keep the
   * scaled corpus statistically representative rather than degenerate:
   *
-  *  - `documents.text`: replica k>0 suffixes one replica-specific letter
-  *    to every whitespace token. Token/shingle vocabularies become
+  *  - `documents.text`: replica k>0 suffixes a replica-specific
+  *    fixed-length letter code to every whitespace token.
+  *    Token/shingle vocabularies become
   *    disjoint across replicas (no cross-replica MinHash/LSH or n-gram
   *    collisions), while within a replica the dup/near-dup structure is
   *    byte-for-byte the source's. A naive exact copy would instead make
@@ -112,12 +113,17 @@ object ScaleGen {
     // "no"/"now") — verified absent from the driver vocabulary, and
     // ScaleSweepSpec's no-token-spans-two-replicas assertion is the
     // per-dataset guard if the generator is ever fed other text.
-    val letters = "qzjxvkwyb" // 9 letters: 1-char ≤ ×10, 2-char ≤ ×82
-    require(factor <= letters.length * letters.length + 1,
-      s"factor ${factor} > ${letters.length * letters.length + 1} suffix space")
+    // 9 letters: 1-char ≤ ×10, 2-char ≤ ×82, 3-char ≤ ×730 (the ×100
+    // curvature point needs the third tier)
+    val letters = "qzjxvkwyb"
+    val L = letters.length
+    require(factor <= L * L * L + 1,
+      s"factor ${factor} > ${L * L * L + 1} suffix space")
     def sfx(k: Int): String =
-      if (factor <= letters.length + 1) letters(k - 1).toString
-      else s"${letters((k - 1) / letters.length)}${letters((k - 1) % letters.length)}"
+      if (factor <= L + 1) letters(k - 1).toString
+      else if (factor <= L * L + 1)
+        s"${letters((k - 1) / L)}${letters((k - 1) % L)}"
+      else s"${letters((k - 1) / (L * L))}${letters(((k - 1) / L) % L)}${letters((k - 1) % L)}"
     val sfxCol = array((lit("") +: (1 until factor).map(k => lit(sfx(k)))): _*)
     write("documents",
       replicate(src("documents"), factor)
@@ -134,7 +140,19 @@ object ScaleGen {
         .withColumn("doc_id", col("doc_id") + col("rep") * lit(docB))
         .drop("rep", "sfx"), factor)
 
-    // embeddings: rotate by rep — intra-replica dot products preserved
+    // embeddings: rotate by rep — intra-replica dot products preserved.
+    // Rotation alone wraps at `dims` (replicas k and k+dims would be
+    // BYTE-IDENTICAL — at the ×100 point with 64-dim vectors that
+    // manufactures cross-replica exact dups and poisons every near-dup
+    // measurement), so replicas beyond the rotation space also apply a
+    // WALSH-HADAMARD sign pattern: pattern m = rep/dims flips component
+    // j iff popcount(j & m) is odd. Signs are exact in FP and identical
+    // within a replica, so every intra-replica dot product is still
+    // preserved bit-for-bit, while distinct (rotation, pattern) pairs
+    // decorrelate cross-replica cosines like rotation already did.
+    // m = 0 for rep < dims ⇒ byte-identical to the rotation-only
+    // generator for every factor ≤ dims (existing ×10/×30 artifacts
+    // stay comparable).
     val dims = src("embeddings").select(size(col("embedding")))
       .head().getInt(0)
     write("embeddings",
@@ -144,9 +162,13 @@ object ScaleGen {
           // array would otherwise yield a non-null array of NULLs for
           // replicas k>0, silently changing null semantics at scale
           when(col("embedding").isNull, col("embedding"))
-            .otherwise(transform(sequence(lit(1), lit(dims)),
-              i => element_at(col("embedding"),
-                ((i - 1 + col("rep")) % dims) + 1))))
+            .otherwise(transform(sequence(lit(1), lit(dims)), i => {
+              val rot = element_at(col("embedding"),
+                ((i - 1 + col("rep")) % dims) + 1)
+              val m = floor(col("rep") / lit(dims)).cast("int")
+              val flipped = bit_count((i - 1).cast("int").bitwiseAND(m)) % 2
+              rot * (lit(1) - lit(2) * flipped).cast("float")
+            })))
         .withColumn("vec_id", col("vec_id") + col("rep") * lit(vecB))
         .drop("rep"), 2)
 

@@ -31,7 +31,11 @@ object ScaleSweep {
     "q89_semantic_dedup", "q138_incremental_clusters_bucketed",
     // round-8 additions: the winnowing family (q140 is in the expensive
     // cohort; q142 is its stored screen) and the KMV sketch
-    "q139_kmv_distinct", "q140_winnowed_pairs", "q142_winnow_index_screen")
+    "q139_kmv_distinct", "q140_winnowed_pairs", "q142_winnow_index_screen",
+    // round-9: fixed-width sign-cell generator vs its auto-sized twin —
+    // the pair whose ratio contrast shows the frozen-2^8 shape bending
+    // (block-quadratic) while auto-sizing holds near-linear growth
+    "q83_embedding_neardup_bucketed", "q144_embedding_neardup_auto")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,8 +100,16 @@ object ScaleSweep {
       s""""total_big_warm":${fmt(rows.map(_._3).sum)},""" +
       s""""max_ratio_warm":${fmt(maxRatio)},""" +
       s""""queries":{${rows.map(_._4).mkString(",")}}}"""
-    val out = if (only.isEmpty) "docs/SCALE_SWEEP.json"
-      else "target/SCALE_SWEEP.json"
+    // factor-stamped artifact names (SCALE_SWEEP.json stays the ×10
+    // full-heavy default): the ×30/×100 curvature points commit
+    // alongside it instead of clobbering it. A SPARK_GRAFT_ONLY subset
+    // at ×10 is a dev probe (target/); at other factors the subset IS
+    // the curvature cohort, so it still writes the stamped artifact
+    // (the queries map records exactly what ran).
+    val out =
+      if (factor == 10 && only.nonEmpty) "target/SCALE_SWEEP.json"
+      else if (factor == 10) "docs/SCALE_SWEEP.json"
+      else s"docs/SCALE_SWEEP_${factor}X.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -416,8 +416,10 @@ object Dedup {
     * stored meta, mirroring the ANN index appends. */
   def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
-      val bits = spark.read.parquet(s"$dir/params").head.getAs[Number]("bits").intValue()
+    StoredIndex.guardedAppendPrepared(spark, dir, batch, idCol) {
+      // params read fails fast BEFORE the meta goes pending
+      spark.read.parquet(s"$dir/params").head.getAs[Number]("bits").intValue()
+    } { bits =>
       simhash(batch, idCol, textCol, bits)
         .write.mode("append").parquet(s"$dir/data")
     }
@@ -461,8 +463,10 @@ object Dedup {
     * files untouched; append-only id discipline validated). */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
-      val p = spark.read.parquet(s"$dir/params").head
+    StoredIndex.guardedAppendPrepared(spark, dir, batch, idCol) {
+      // params read fails fast BEFORE the meta goes pending
+      spark.read.parquet(s"$dir/params").head
+    } { p =>
       minhashSignatureShingled(batch, idCol, textCol,
           p.getAs[Number]("k").intValue(), p.getAs[Number]("shingle_n").intValue())
         .write.mode("append").parquet(s"$dir/data")
@@ -903,8 +907,10 @@ object Dedup {
     * existing files untouched; append-only id discipline validated). */
   def appendToWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
-    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
-      val p = spark.read.parquet(s"$dir/params").head
+    StoredIndex.guardedAppendPrepared(spark, dir, batch, idCol) {
+      // params read fails fast BEFORE the meta goes pending
+      spark.read.parquet(s"$dir/params").head
+    } { p =>
       winnowFingerprints(batch, idCol, textCol,
           p.getAs[Number]("k_gram").intValue(), p.getAs[Number]("w").intValue())
         .write.mode("append").parquet(s"$dir/data")

@@ -169,14 +169,15 @@ object Retrieval {
     // checkpointed: four consumers (postings, doclens, stats, max-id) —
     // each would otherwise re-scan and re-tokenize the whole corpus
     val base = tokensFrame(df, idCol, textCol).localCheckpoint()
-    // a REBUILD must clear the whole postings dir first: seg=0's
-    // overwrite replaces only its own path, so stale appended segments
-    // (seg=1+) would survive and silently inflate tf/df in every probe
-    val postsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    postsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(postsPath, true)
-    postingsSegment(base)
-      .write.mode("overwrite").parquet(s"$dir/postings/seg=0")
+    // a REBUILD must clear the whole postings dir (stale appended
+    // segments seg=1+ would survive a seg=0-only overwrite and silently
+    // inflate tf/df in every probe) — but via the durable swap, not a
+    // bare delete-then-write: the replacement seg=0 is fully on disk
+    // before the old postings are touched, so a crash mid-rebuild never
+    // leaves live stats/doclens/meta with zero postings
+    StoredIndex.swapRewrite(spark, s"$dir/postings") { tmp =>
+      postingsSegment(base).write.parquet(s"$tmp/seg=0")
+    }
     base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/doclens")
     base.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -197,21 +198,23 @@ object Retrieval {
       idCol: String, textCol: String): Unit = {
     // checkpointed: three consumers (segment, doclens, stats delta)
     val base = tokensFrame(batch, idCol, textCol).localCheckpoint()
-    StoredIndex.guardedAppend(spark, dir, base, "id") {
-      // Hadoop FS, not java.io.File: the index dir is not necessarily
-      // on the local filesystem (and a listing failure must not strand
-      // the meta in pending for a spurious reason)
+    StoredIndex.guardedAppendPrepared(spark, dir, base, "id") {
+      // fail-fast prepare phase, OUTSIDE the pending window: a segment
+      // listing failure or a missing/corrupt stats file must not strand
+      // the meta in pending when no data file has landed. Hadoop FS,
+      // not java.io.File: the index dir is not necessarily local.
       val postsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
       val segs = postsPath
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
         .listStatus(postsPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("seg="))
         .map(_.stripPrefix("seg=").toLong)
+      (segs.max + 1, spark.read.parquet(s"$dir/stats").head)
+    } { case (nextSeg, old) =>
       postingsSegment(base)
-        .write.mode("errorifexists").parquet(s"$dir/postings/seg=${segs.max + 1}")
+        .write.mode("errorifexists").parquet(s"$dir/postings/seg=$nextSeg")
       base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
         .write.mode("append").parquet(s"$dir/doclens")
-      val old = spark.read.parquet(s"$dir/stats").head
       val add = base.agg(count(lit(1)).cast("long"),
         sum(size(col("_toks"))).cast("long")).head
       spark.range(1).select(

@@ -114,6 +114,16 @@ object Sampling {
       .select(col(idCol), col("cell"), col("cell_n"), col("pick_rank"))
   }
 
+  /** [[diversitySample]] with [[Similarity.autoSignBits]] cell sizing:
+    * cell count tracks the corpus (expected occupancy ~targetBucket),
+    * so the per-cell window input stays bounded as the corpus grows
+    * instead of fattening at a frozen 2^nBits stratification. Semantics
+    * at the chosen width are identical to the fixed operator. */
+  def diversitySampleAuto(df: DataFrame, idCol: String, vecCol: String,
+      quota: Int, targetBucket: Long = 64L): DataFrame =
+    diversitySample(df, idCol, vecCol,
+      Similarity.autoSignBits(df, vecCol, targetBucket), quota)
+
   /** Token-budget selection per group: keep documents in deterministic
     * hash-priority order until the group's cumulative token count
     * reaches `budgetTokens` — the sampling step that turns

@@ -83,6 +83,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Auto-sized sign-cell width for the bucketed generators: the number
+    * of leading sign bits that keeps EXPECTED bucket occupancy at
+    * `targetBucket` rows — nBits = ⌈log₂(⌈n / targetBucket⌉)⌉, clamped
+    * to [1, min(dim, 62)]. A fixed nBits is block-quadratic
+    * asymptotically (pair work ~ n²/2^nBits); sizing bits to the corpus
+    * pins per-bucket work at ~targetBucket² and total verify work at
+    * ~n·targetBucket — LINEAR in the corpus. Costs one count-sized
+    * aggregate (count + min vector length), metadata-cheap at any SF.
+    *
+    * Cross-engine exactness: the log2 is integer binary-length (the
+    * bit width of ⌈n/target⌉−1), never float log — a DuckDB oracle
+    * mirrors it with `len(bin(q-1))`, so engine and oracle can't drift
+    * at exact powers of two the way `ceil(log2(x))` float rounding
+    * can. */
+  def autoSignBits(df: DataFrame, vecCol: String, targetBucket: Long = 64L): Int = {
+    require(targetBucket >= 1L, s"targetBucket must be >= 1, got $targetBucket")
+    val r = df.agg(count(lit(1)), min(size(asDouble(col(vecCol))))).head
+    val n = r.getLong(0)
+    val dim = if (r.isNullAt(1)) 62 else r.getInt(1)
+    val q = (n + targetBucket - 1) / targetBucket // ceil(n / target)
+    val raw = // bit width of q-1 == ceil(log2(q)) for q >= 2
+      if (q <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.max(1, math.min(math.min(dim, 62), raw))
+  }
+
+  /** [[bucketedNearDupPairs]] with [[autoSignBits]] sizing — the
+    * variant that stays LINEAR as the corpus grows instead of
+    * block-quadratic at a frozen bucket count. Semantics at the chosen
+    * width are IDENTICAL to the fixed-nBits operator (spec-asserted):
+    * auto-sizing only picks the parameter. */
+  def bucketedNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Long = 64L,
+      broadcastBuild: Boolean = true): DataFrame =
+    bucketedNearDupPairs(df, idCol, vecCol, threshold,
+      autoSignBits(df, vecCol, targetBucket), broadcastBuild)
+
   /** Sign-pattern bucket id from the leading `nBits` components:
     * bit j set iff vec[j] > 0. Narrow projection, no shuffle. */
   def signBucket(vec: Column, nBits: Int): Column =
@@ -734,9 +770,14 @@ object Similarity {
       dir: String, maxId: Long): Unit =
     StoredIndex.writeMaxIdMeta(spark, dir, maxId)
 
-  private def guardedAppend(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, idCol: String)(write: => Unit): Unit =
-    StoredIndex.guardedAppend(spark, dir, batch, idCol)(write)
+  /** [[StoredIndex.guardedAppend]] with the fail-fast prepare phase:
+    * stored-geometry reads (centers, codebooks) run before the meta is
+    * marked pending, so a missing/corrupt stored artifact cannot strand
+    * the index in pending. */
+  private def guardedAppendPrepared[A](spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String)(prepare: => A)(
+      write: A => Unit): Unit =
+    StoredIndex.guardedAppendPrepared(spark, dir, batch, idCol)(prepare)(write)
 
   /** Incremental ingest into a stored deterministic IVF index: assign a
     * NEW batch of vectors to cells through the STORED coarse centroids
@@ -754,9 +795,10 @@ object Similarity {
     * fast instead of silently corrupting probe results. */
   def appendToIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    guardedAppend(spark, dir, batch, idCol) {
-      val centers = spark.read.parquet(s"$dir/centers")
+    guardedAppendPrepared(spark, dir, batch, idCol) {
+      spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
+    } { centers =>
       detAssign(batch, idCol, vecCol, centers)
         .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
         .repartition(col("cell"))
@@ -773,9 +815,10 @@ object Similarity {
     * projections). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    guardedAppend(spark, dir, batch, idCol) {
-      val centers = spark.read.parquet(s"$dir/centers")
+    guardedAppendPrepared(spark, dir, batch, idCol) {
+      spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
+    } { centers =>
       val carried = batch.columns.map(col) :+ col("_cell").as("cell")
       batch.withColumn("_v", asDouble(col(vecCol)))
         .crossJoin(broadcast(centers))
@@ -891,10 +934,11 @@ object Similarity {
     * indexing the union up front. */
   def appendToIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    guardedAppend(spark, dir, batch, idCol) {
-      val model = loadPqCodebook(spark, dir)
-      val centers = spark.read.parquet(s"$dir/centers")
-        .select(col("cell").as("_cell"), col("center").as("_center"))
+    guardedAppendPrepared(spark, dir, batch, idCol) {
+      (loadPqCodebook(spark, dir),
+        spark.read.parquet(s"$dir/centers")
+          .select(col("cell").as("_cell"), col("center").as("_center")))
+    } { case (model, centers) =>
       val assigned = detAssign(batch, idCol, vecCol, centers)
         .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
       pqEncode(assigned, "_vec", model, rounded = true)
@@ -910,10 +954,11 @@ object Similarity {
     * production IVFADC index. Same id-discipline validation. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
-    guardedAppend(spark, dir, batch, idCol) {
-      val model = loadPqCodebook(spark, dir)
-      val centers = spark.read.parquet(s"$dir/centers")
-        .select(col("cell").as("_cell"), col("center").as("_center"))
+    guardedAppendPrepared(spark, dir, batch, idCol) {
+      (loadPqCodebook(spark, dir),
+        spark.read.parquet(s"$dir/centers")
+          .select(col("cell").as("_cell"), col("center").as("_center")))
+    } { case (model, centers) =>
       val assigned = batch
         .select(col(idCol), asDouble(col(vecCol)).as("_vec"))
         .crossJoin(broadcast(centers))

@@ -179,8 +179,10 @@ object Sketches {
     * the STORED geometry, append one segment, never rewrite. */
   def appendToKmvSnapshot(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, groupCol: String, textCol: String): Unit =
-    StoredIndex.guardedAppend(spark, dir, batch, idCol) {
-      val p = spark.read.parquet(s"$dir/params").head
+    StoredIndex.guardedAppendPrepared(spark, dir, batch, idCol) {
+      // params read fails fast BEFORE the meta goes pending
+      spark.read.parquet(s"$dir/params").head
+    } { p =>
       kmvSketch(batch, groupCol, textCol,
           p.getAs[Number]("shingle_n").intValue(), p.getAs[Number]("k").intValue())
         .write.mode("append").parquet(s"$dir/data")

@@ -55,9 +55,22 @@ object StoredIndex {
     * at the verified watermark. */
   def guardedAppend(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String)(write: => Unit): Unit =
+    guardedAppendPrepared(spark, dir, batch, idCol)(())(_ => write)
+
+  /** [[guardedAppend]] with a fail-fast PREPARE phase: `prepare` runs
+    * after the batch validates but BEFORE the meta is marked pending.
+    * Reads that can fail for reasons unrelated to the data write —
+    * stored params, segment listings, codebook pulls — belong there:
+    * failing them inside the pending window would strand the index in
+    * pending (blocking all future appends until manual repair) even
+    * though no data file ever landed. Only the actual data write
+    * belongs inside the pending window. */
+  def guardedAppendPrepared[A](spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String)(prepare: => A)(write: A => Unit): Unit =
     validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+      val prepared = prepare // fail-fast: meta not yet pending
       writeMaxIdMeta(spark, dir, newMax, pending = true)
-      write
+      write(prepared)
       writeMaxIdMeta(spark, dir, newMax, pending = false)
     }
 

@@ -355,9 +355,11 @@ object RelationalQueries {
     * DuckDB-mirrorable, so this query has NO oracle: the driver
     * records the weaker rows-only check, and the hard evidence lives
     * in SimilaritySpec's floors (probe recall@5 vs brute force ≥ 0.70
-    * documented floor, measured 1.000 at sf0.01 nProbe=2/8; appended
-    * vectors immediately probe-visible at rank 1 for identity queries)
-    * plus the BENCH_FULL timing row this declaration buys. Same scale
+    * documented floor, measured 0.784 at sf0.01 nProbe=4/8 with
+    * per-query probing; appended vectors immediately probe-visible at
+    * rank 1 for identity queries), plus the measured recall@5 every
+    * full Bench run now records under `trained_recall` in
+    * BENCH_FULL.json — the round-over-round drift trend. Same scale
     * shape as q133: probes read nProbe/nCentroids of a
     * partition-pruned index. Determinism caveat: seed-pinned k-means
     * is repeatable for a FIXED input partitioning, but its init sample

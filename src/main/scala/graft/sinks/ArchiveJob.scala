@@ -23,19 +23,45 @@ object ArchiveJob {
     * post-verify delete must operate on the SAME file set — a fresh
     * glob at delete time would also match (and destroy) files that
     * arrived during the rotation without ever archiving them. */
-  private def snapshotFiles(spark: SparkSession, liveDir: String): Seq[Path] = {
+  private def snapshotFiles(spark: SparkSession, liveDir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Option(fs.globStatus(new Path(s"$liveDir/*"))).getOrElse(Array.empty)
-      .map(_.getPath).toSeq
+    Option(fs.globStatus(new Path(s"$liveDir/*"))).getOrElse(Array.empty).toSeq
   }
 
-  private def parquetOf(paths: Seq[Path]): Seq[String] =
-    paths.filter(_.getName.endsWith(".parquet")).map(_.toString)
+  /** Write-side markers Spark/Hadoop leave next to data files — safe to
+    * rotate away alongside the parquet they describe. */
+  private def isMarker(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** The rotation reads only top-level `*.parquet`, so the delete may
+    * only ever see top-level `*.parquet` (+ markers): a sub-directory
+    * (hive-partitioned or nested live layout) or a stray data file
+    * would be deleted WITHOUT having been archived — silent data loss.
+    * Fail loudly instead and let the caller rotate each leaf dir. */
+  private def requireFlatLayout(snapshot: Seq[org.apache.hadoop.fs.FileStatus],
+      liveDir: String): Unit = {
+    val dirs = snapshot.filter(_.isDirectory)
+    require(dirs.isEmpty,
+      s"live dir $liveDir contains sub-directories " +
+        s"(${dirs.map(_.getPath.getName).take(3).mkString(", ")}, ...): only flat " +
+        "top-level parquet layouts are rotated — a nested/partitioned live dir " +
+        "would be deleted without being archived; rotate each leaf dir instead")
+    val stray = snapshot.filterNot(s =>
+      s.getPath.getName.endsWith(".parquet") || isMarker(s.getPath.getName))
+    require(stray.isEmpty,
+      s"live dir $liveDir contains non-parquet entries " +
+        s"(${stray.map(_.getPath.getName).take(3).mkString(", ")}, ...) that the " +
+        "rotation would delete without archiving; remove or rename them first")
+  }
+
+  private def parquetOf(statuses: Seq[org.apache.hadoop.fs.FileStatus]): Seq[String] =
+    statuses.map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
 
   /** Returns (archived path, row count). */
   def run(spark: SparkSession, liveDir: String, historicalDir: String,
       prefix: String, date: LocalDate = LocalDate.now()): (String, Long) = {
     val snapshot = snapshotFiles(spark, liveDir)
+    requireFlatLayout(snapshot, liveDir)
     val dataFiles = parquetOf(snapshot)
     val dest = s"$historicalDir/$prefix-${date.format(stampFmt)}.parquet"
     if (dataFiles.isEmpty) return (dest, 0L)
@@ -48,7 +74,8 @@ object ArchiveJob {
     require(written == expected, s"archive verify failed: wrote $written, expected $expected")
 
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snapshot.foreach(p => fs.delete(p, true)) // exactly the files read
+    // exactly the files read, plus write markers (flat layout enforced above)
+    snapshot.foreach(s => fs.delete(s.getPath, true))
     (dest, expected)
   }
 
@@ -73,18 +100,29 @@ object ArchiveJob {
       dateCol: String, sortCol: String): Long = {
     import org.apache.spark.sql.functions.{col, to_date}
     val snapshot = snapshotFiles(spark, liveDir)
+    requireFlatLayout(snapshot, liveDir)
     val dataFiles = parquetOf(snapshot)
     if (dataFiles.isEmpty) return 0L
     val df = spark.read.parquet(dataFiles: _*)
     val expected = df.count()
     val keyed = df.withColumn("date_key", to_date(col(dateCol)))
     val affected = keyed.select("date_key").distinct().collect().map(_.get(0))
+    // null date_keys (null or unparseable dateCol) land in the default
+    // partition; `isin(null)` never matches them, which would make the
+    // post-append verify under-count `after` and throw AFTER a successful
+    // append (live files kept, re-run double-appends). Match them with an
+    // explicit isNull arm instead.
+    val (nullKeys, realKeys) = affected.partition(_ == null)
+    def affectedPred: org.apache.spark.sql.Column = {
+      val base =
+        if (realKeys.isEmpty) lit(false) else col("date_key").isin(realKeys: _*)
+      if (nullKeys.nonEmpty) base || col("date_key").isNull else base
+    }
     def affectedCount(): Long = {
       val fs = new Path(historicalDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(historicalDir))) 0L
-      else spark.read.parquet(historicalDir)
-        .filter(col("date_key").isin(affected: _*)).count()
+      else spark.read.parquet(historicalDir).filter(affectedPred).count()
     }
     val prior = affectedCount()
     keyed.sortWithinPartitions(sortCol)
@@ -96,7 +134,8 @@ object ArchiveJob {
       s"partitioned archive verify failed: affected partitions hold " +
         s"$after rows, expected $prior prior + $expected new")
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snapshot.foreach(p => fs.delete(p, true)) // exactly the files read
+    // exactly the files read, plus write markers (flat layout enforced above)
+    snapshot.foreach(s => fs.delete(s.getPath, true))
     expected
   }
 

@@ -126,6 +126,52 @@ class ScaleSweepSpec extends SparkSpec {
       .agg(max(col("reps"))).head().getLong(0) shouldBe 1L
   }
 
+  test("ScaleGen factor 100: third suffix tier + Hadamard sign patterns stay exact") {
+    // the ×100 curvature point needs BOTH extensions this test pins:
+    // (a) a 3-char suffix tier (the 2-char space caps at ×82), same
+    // fixed-length no-collision proof; (b) Walsh-Hadamard sign patterns
+    // past the rotation space — rotation alone wraps at dims=64, which
+    // would make replicas k and k+64 byte-identical (manufactured
+    // cross-replica exact dups poisoning every near-dup measurement).
+    val out = tmpDir("scalegen_f100")
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 100)
+    val base = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val docs = graft.queries.Tables.t(spark, out, "documents")
+    val nBase = base.count()
+    docs.count() shouldBe nBase * 100
+    // fixed-length-3 suffixes: no token spans two replicas
+    docs
+      .select((col("doc_id") / lit(nBase)).cast("long").as("rep"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(countDistinct(col("rep")).as("reps"))
+      .agg(max(col("reps"))).head().getLong(0) shouldBe 1L
+
+    val emb = graft.queries.Tables.t(spark, out, "embeddings")
+    val baseEmb = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val nVec = baseEmb.count()
+    emb.count() shouldBe nVec * 100
+    // no embedding is byte-identical across replicas: the rotation-only
+    // generator would repeat exactly at rep ± 64 (100 > 64 wraps); the
+    // sign patterns break the wrap. Max multiplicity of any vector in
+    // the ×100 corpus must equal the source's own max dup multiplicity.
+    val srcMaxDup = baseEmb.filter(col("embedding").isNotNull)
+      .groupBy(col("embedding")).count().agg(max("count")).head().getLong(0)
+    emb.filter(col("embedding").isNotNull)
+      .groupBy(col("embedding")).count().agg(max("count")).head().getLong(0) shouldBe srcMaxDup
+    // intra-replica dot products are preserved BIT-FOR-BIT in a
+    // sign-flipped replica (rep 64 = rotation 0, Hadamard pattern 1):
+    // every pairwise cosine of the first 10 source vectors matches
+    import graft.operators.Similarity
+    def cosines(df: org.apache.spark.sql.DataFrame, lo: Long): Seq[Double] = {
+      val ten = df.filter(col("vec_id") >= lo && col("vec_id") < lo + 10)
+        .select((col("vec_id") - lo).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(ten, "vec_id", "embedding", -2.0)
+        .orderBy("id_a", "id_b").select("cos_sim")
+        .collect().map(_.getDouble(0)).toSeq
+    }
+    cosines(emb, 64L * nVec) shouldBe cosines(baseEmb, 0L)
+  }
+
   test("plan contracts hold against the sf1.0 files") {
     gen
     import graft.queries.Tables.t

@@ -204,6 +204,70 @@ class ArchiveJobSpec extends SparkSpec {
     spark.read.parquet(hist).count() shouldBe 4 // dynamic overwrite kept 03-05/03-06
   }
 
+  test("rotation refuses nested/stray live layouts instead of deleting unarchived data") {
+    // A hive-partitioned (or otherwise nested) live dir: the rotation reads
+    // only top-level *.parquet, so the nested rows would be DELETED without
+    // ever being archived. Both entry points must fail loudly and leave the
+    // live dir untouched.
+    val root = tmpDir("archive_guard")
+    val live = s"$root/live"
+    val hist = s"$root/historical"
+    Seq((1, "2024-03-05 10:00:00", "a")).toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.partitionBy("v").parquet(live) // nested layout: live/v=a/...
+
+    an[IllegalArgumentException] should be thrownBy
+      ArchiveJob.run(spark, live, hist, "stock")
+    an[IllegalArgumentException] should be thrownBy
+      ArchiveJob.runPartitioned(spark, live, hist, "ts", "id")
+    // nothing deleted, nothing archived
+    spark.read.parquet(live).count() shouldBe 1
+    SchemaReader.glob(spark, s"$hist/*") shouldBe empty
+
+    // a stray non-parquet, non-marker file is also refused (it would be
+    // deleted without being read)
+    val live2 = s"$root/live2"
+    Seq((1, "x")).toDF("id", "v").write.parquet(live2)
+    val fs = new org.apache.hadoop.fs.Path(live2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(s"$live2/notes.txt")
+    val out = fs.create(stray); out.writeBytes("keep me"); out.close()
+    an[IllegalArgumentException] should be thrownBy
+      ArchiveJob.run(spark, live2, hist, "stock")
+    fs.exists(stray) shouldBe true
+    spark.read.parquet(s"$live2/*.parquet").count() shouldBe 1
+  }
+
+  test("runPartitioned verifies null-date rows (default partition) without throwing") {
+    // to_date(null) rows land in __HIVE_DEFAULT_PARTITION__; the verify's
+    // affected-partition filter must match them (isin(null) never does) or
+    // the require throws AFTER a successful append and a re-run doubles rows.
+    val root = tmpDir("archive_null")
+    val live = s"$root/live"
+    val hist = s"$root/historical"
+    Seq(
+      (1, Some("2024-03-05 10:00:00"), "a"),
+      (2, None, "b"), // null ts -> null date_key
+      (3, Some("2024-03-05 11:00:00"), "c"))
+      .toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.parquet(live)
+
+    ArchiveJob.runPartitioned(spark, live, hist, "ts", "id") shouldBe 3
+    SchemaReader.glob(spark, s"$live/*") shouldBe empty
+    val read = spark.read.parquet(hist)
+    read.count() shouldBe 3
+    read.filter(col("date_key").isNull).count() shouldBe 1
+
+    // second rotation with another null-date row appends, never doubles
+    Seq((4, None.asInstanceOf[Option[String]], "d")).toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(live)
+    ArchiveJob.runPartitioned(spark, live, hist, "ts", "id") shouldBe 1
+    spark.read.parquet(hist).count() shouldBe 4
+    spark.read.parquet(hist).filter(col("date_key").isNull).count() shouldBe 2
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val dir = s"${tmpDir("compact")}/data"
     // 10 single-row files (range partitioning on 10 distinct keys is 1:1)

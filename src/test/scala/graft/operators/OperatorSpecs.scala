@@ -481,6 +481,45 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Set((0L, 1L)) // only the identical-direction pair
   }
 
+  test("autoSignBits: integer-exact occupancy sizing with dim and floor clamps") {
+    def df(n: Int, dim: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(dim)(if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    // ⌈log₂⌈n/target⌉⌉: 500/64 → ⌈7.8⌉=8 → 3 bits; 2000/64 → 32 → 5 bits
+    Similarity.autoSignBits(df(500, 16), "embedding", 64L) shouldBe 3
+    Similarity.autoSignBits(df(2000, 16), "embedding", 64L) shouldBe 5
+    // EXACT power of two — the float-log2 fragile point: 4096/64 = 64
+    // exactly → 6 bits, not 7 (bin-length of 63 is 6)
+    Similarity.autoSignBits(df(4096, 16), "embedding", 64L) shouldBe 6
+    Similarity.autoSignBits(df(4097, 16), "embedding", 64L) shouldBe 7
+    // floor: a corpus at/below target still gets 1 bit
+    Similarity.autoSignBits(df(10, 16), "embedding", 64L) shouldBe 1
+    // dim clamp: can't use more sign bits than the vector has components
+    Similarity.autoSignBits(df(4096, 2), "embedding", 1L) shouldBe 2
+  }
+
+  test("auto-sized generators equal the fixed operators at the matched width") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 600)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.autoSignBits(corpus, "embedding", 64L)
+    b shouldBe 4 // ⌈log₂⌈600/64⌉⌉ = ⌈log₂ 10⌉
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cos_sim")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    pairs(Similarity.bucketedNearDupPairsAuto(corpus, "vec_id", "embedding",
+      0.4, 64L)) shouldBe
+      pairs(Similarity.bucketedNearDupPairs(corpus, "vec_id", "embedding", 0.4, b))
+    def picks(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "cell_n", "pick_rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    picks(graft.operators.Sampling.diversitySampleAuto(corpus, "vec_id",
+      "embedding", 3, 64L)) shouldBe
+      picks(graft.operators.Sampling.diversitySample(corpus, "vec_id",
+        "embedding", b, 3))
+  }
+
   test("bruteForceTopK ranks by cosine similarity") {
     val q = vecs.filter(col("vec_id") === 0)
     val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 3)
@@ -604,6 +643,32 @@ class SimilaritySpec extends SparkSpec {
     ex.getMessage should include("pending")
     // repair: clear the marker at the verified watermark → append works
     StoredIndex.writeMaxIdMeta(spark, dir, 19L)
+    Similarity.appendToIvfIndexDeterministic(spark, dir, batch, "vec_id", "embedding")
+    StoredIndex.storedMaxId(spark, dir, "vec_id") shouldBe 34L
+  }
+
+  test("guarded append: a failed prepare read does not strand the index in pending") {
+    // A pre-write failure (here: the stored centers are missing) happens
+    // in the fail-fast PREPARE phase, before the meta is marked pending —
+    // no data landed, so nothing needs manual repair and the next append
+    // must succeed once the artifact is restored.
+    val corpus = (0 until 20).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivf_prepare_fail")
+    Similarity.writeIvfIndexDeterministic(corpus, "vec_id", "embedding", dir, 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // break the stored geometry: rename centers away
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centers"),
+      new org.apache.hadoop.fs.Path(s"$dir/centers_hidden")) shouldBe true
+    val batch = (30 until 35).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    an[Exception] should be thrownBy
+      Similarity.appendToIvfIndexDeterministic(spark, dir, batch, "vec_id", "embedding")
+    // restore the artifact: the append succeeds with NO manual meta
+    // repair — the old order marked pending first and would refuse here
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centers_hidden"),
+      new org.apache.hadoop.fs.Path(s"$dir/centers")) shouldBe true
     Similarity.appendToIvfIndexDeterministic(spark, dir, batch, "vec_id", "embedding")
     StoredIndex.storedMaxId(spark, dir, "vec_id") shouldBe 34L
   }
