@@ -34,8 +34,10 @@ object ScaleSweep {
     "q139_kmv_distinct", "q140_winnowed_pairs", "q142_winnow_index_screen",
     // round-9: fixed-width sign-cell generator vs its auto-sized twin —
     // the pair whose ratio contrast shows the frozen-2^8 shape bending
-    // (block-quadratic) while auto-sizing holds near-linear growth
-    "q83_embedding_neardup_bucketed", "q144_embedding_neardup_auto")
+    // (block-quadratic) while auto-sizing holds near-linear growth —
+    // plus the end-to-end semantic-dedup auto face
+    "q83_embedding_neardup_bucketed", "q144_embedding_neardup_auto",
+    "q146_semantic_dedup_auto")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -275,6 +275,16 @@ object Similarity {
         col("label_b"), col("cos_sim"), col("_r").cast("long").as("neg_rank"))
   }
 
+  /** [[hardNegatives]] with [[autoSignBits]] sizing — same linear-work
+    * rationale as [[bucketedNearDupPairsAuto]]: candidate enumeration
+    * stays ~targetBucket per anchor as the corpus grows instead of
+    * n/2^nBits at a frozen width. */
+  def hardNegativesAuto(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, k: Int, targetBucket: Long = 64L,
+      broadcastBuild: Boolean = true): DataFrame =
+    hardNegatives(df, idCol, vecCol, labelCol, anchorPred, k,
+      autoSignBits(df, vecCol, targetBucket), broadcastBuild)
+
   /** IVF ANN with a DETERMINISTIC coarse quantizer: centroids are the
     * `nCentroids` lowest-id corpus vectors, and routing is by (rounded)
     * cosine affinity — spherical IVF, the standard layout for a cosine

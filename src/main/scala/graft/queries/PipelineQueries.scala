@@ -1036,8 +1036,48 @@ object PipelineQueries {
         ORDER BY cell, pick_rank""".replaceAll("\\s+", " ")))
   }
 
+  /** q89's AUTO-SIZED twin — the END-TO-END semantic-dedup scale path
+    * with the generator width tracking the corpus: auto sign-cell
+    * candidates → connected components → one survivor per cluster.
+    * Motivation is measured, not theoretical: at the ×100 curvature
+    * point (docs/SCALE_SWEEP_100X.json) the frozen-256-bucket q89
+    * chain grows 14.6× warm while the auto generator's pair stage
+    * (q144) grows 5.97× — the fixed width is the bending term. Same
+    * CC fixpoint and survivor aggregate as q89; only the bucket width
+    * differs, recomputed identically in the oracle. */
+  private val q146 = {
+    val (target, thr) = (64L, 0.4)
+    Q(
+      "q146_semantic_dedup_auto",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pairs = Similarity
+          .bucketedNearDupPairsAuto(emb, "vec_id", "embedding", thr, target)
+        graft.operators.Clustering
+          .assignClusters(emb, "vec_id", pairs, "id_a", "id_b")
+          .groupBy("cluster_id")
+          .agg(min(col("vec_id")).as("vec_id"),
+            count(lit(1)).as("n_members"))
+          .select(col("vec_id"), col("n_members"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${autoSignBitsSqlCte(target)},
+        c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id, v, ${autoBucketSql("v")} AS bucket FROM c0),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        $ccFixpointSql,
+        cl AS (SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
+          FROM c LEFT JOIN m ON c.vec_id = m.src)
+        SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+          CAST(count(*) AS BIGINT) AS n_members
+        FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145)
+      q138, q140, q142, q143, q144, q145, q146)
 }

@@ -518,6 +518,14 @@ class SimilaritySpec extends SparkSpec {
       "embedding", 3, 64L)) shouldBe
       picks(graft.operators.Sampling.diversitySample(corpus, "vec_id",
         "embedding", b, 3))
+    val labeled = corpus.withColumn("lab", (col("vec_id") % 3).cast("string"))
+    def negs(df: org.apache.spark.sql.DataFrame) = df
+      .select("anchor_id", "cand_id", "neg_rank")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    negs(Similarity.hardNegativesAuto(labeled, "vec_id", "embedding", "lab",
+      col("vec_id") % 50 === 0, 3, 64L)) shouldBe
+      negs(Similarity.hardNegatives(labeled, "vec_id", "embedding", "lab",
+        col("vec_id") % 50 === 0, 3, b))
   }
 
   test("bruteForceTopK ranks by cosine similarity") {
