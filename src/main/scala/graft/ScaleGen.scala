@@ -172,15 +172,27 @@ object ScaleGen {
         .withColumn("vec_id", col("vec_id") + col("rep") * lit(vecB))
         .drop("rep"), 2)
 
-    fs.create(new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK"), true).close()
+    // the marker records the FACTOR: a reused dir must prove it holds
+    // the requested scale, or a factor-stamped sweep artifact could
+    // silently record measurements taken on wrong-factor data
+    val ok = fs.create(new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK"), true)
+    ok.write(factor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ok.close()
   }
 
-  /** Generate unless a completed build is already at `outDir`. */
+  /** Generate unless a completed build OF THIS FACTOR is already at
+    * `outDir` (legacy factor-less markers regenerate once). */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK")))
+    val marker = new org.apache.hadoop.fs.Path(outDir, "_SCALE_OK")
+    val stamped = scala.util.Try {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }.toOption
+    if (!stamped.contains(factor.toString))
       generate(spark, srcDir, outDir, factor)
   }
 }

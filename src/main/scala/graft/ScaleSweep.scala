@@ -104,14 +104,16 @@ object ScaleSweep {
       s""""queries":{${rows.map(_._4).mkString(",")}}}"""
     // factor-stamped artifact names (SCALE_SWEEP.json stays the ×10
     // full-heavy default): the ×30/×100 curvature points commit
-    // alongside it instead of clobbering it. A SPARK_GRAFT_ONLY subset
-    // at ×10 is a dev probe (target/); at other factors the subset IS
-    // the curvature cohort, so it still writes the stamped artifact
-    // (the queries map records exactly what ran).
+    // alongside it instead of clobbering it. Committed docs/ artifacts
+    // require either the default full-heavy ×10 shape or an explicit
+    // SPARK_GRAFT_COMMIT_SWEEP=1 (the Bench COMMIT_BASELINE pattern) —
+    // otherwise a SPARK_GRAFT_ONLY dev probe at ×30 would silently
+    // clobber the committed cohort artifact with a partial run.
+    val commitSweep = sys.env.get("SPARK_GRAFT_COMMIT_SWEEP").contains("1")
     val out =
-      if (factor == 10 && only.nonEmpty) "target/SCALE_SWEEP.json"
-      else if (factor == 10) "docs/SCALE_SWEEP.json"
-      else s"docs/SCALE_SWEEP_${factor}X.json"
+      if (factor == 10 && only.isEmpty) "docs/SCALE_SWEEP.json"
+      else if (factor != 10 && commitSweep) s"docs/SCALE_SWEEP_${factor}X.json"
+      else s"target/SCALE_SWEEP_${factor}X.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -806,8 +806,13 @@ object Similarity {
   def appendToIvfIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
     guardedAppendPrepared(spark, dir, batch, idCol) {
+      // localCheckpoint is EAGER: the centroids-sized frame is fully
+      // read here, so a corrupt (not just missing) stored artifact
+      // fails before the meta goes pending — read.parquet alone only
+      // validates footers and would defer page reads into the write
       spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
+        .localCheckpoint()
     } { centers =>
       detAssign(batch, idCol, vecCol, centers)
         .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
@@ -826,8 +831,13 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
     guardedAppendPrepared(spark, dir, batch, idCol) {
+      // localCheckpoint is EAGER: the centroids-sized frame is fully
+      // read here, so a corrupt (not just missing) stored artifact
+      // fails before the meta goes pending — read.parquet alone only
+      // validates footers and would defer page reads into the write
       spark.read.parquet(s"$dir/centers")
         .select(col("cell").as("_cell"), col("center").as("_center"))
+        .localCheckpoint()
     } { centers =>
       val carried = batch.columns.map(col) :+ col("_cell").as("cell")
       batch.withColumn("_v", asDouble(col(vecCol)))
@@ -945,9 +955,12 @@ object Similarity {
   def appendToIvfPqIndexDeterministic(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
     guardedAppendPrepared(spark, dir, batch, idCol) {
+      // codebook pull is already an eager collect; centers get the
+      // same eager treatment (see appendToIvfIndexDeterministic)
       (loadPqCodebook(spark, dir),
         spark.read.parquet(s"$dir/centers")
-          .select(col("cell").as("_cell"), col("center").as("_center")))
+          .select(col("cell").as("_cell"), col("center").as("_center"))
+          .localCheckpoint())
     } { case (model, centers) =>
       val assigned = detAssign(batch, idCol, vecCol, centers)
         .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
@@ -965,9 +978,12 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
     guardedAppendPrepared(spark, dir, batch, idCol) {
+      // codebook pull is already an eager collect; centers get the
+      // same eager treatment (see appendToIvfIndexDeterministic)
       (loadPqCodebook(spark, dir),
         spark.read.parquet(s"$dir/centers")
-          .select(col("cell").as("_cell"), col("center").as("_center")))
+          .select(col("cell").as("_cell"), col("center").as("_center"))
+          .localCheckpoint())
     } { case (model, centers) =>
       val assigned = batch
         .select(col(idCol), asDouble(col(vecCol)).as("_vec"))

@@ -37,10 +37,14 @@ object ArchiveJob {
     * only ever see top-level `*.parquet` (+ markers): a sub-directory
     * (hive-partitioned or nested live layout) or a stray data file
     * would be deleted WITHOUT having been archived — silent data loss.
-    * Fail loudly instead and let the caller rotate each leaf dir. */
+    * Fail loudly instead and let the caller rotate each leaf dir.
+    * Marker-NAMED directories (`_temporary` from a crashed writer,
+    * `.spark-staging-*`) are exempt: they hold only uncommitted task
+    * attempts by Hadoop commit-protocol contract, and refusing them
+    * would permanently abort every rotation after one writer crash. */
   private def requireFlatLayout(snapshot: Seq[org.apache.hadoop.fs.FileStatus],
       liveDir: String): Unit = {
-    val dirs = snapshot.filter(_.isDirectory)
+    val dirs = snapshot.filter(s => s.isDirectory && !isMarker(s.getPath.getName))
     require(dirs.isEmpty,
       s"live dir $liveDir contains sub-directories " +
         s"(${dirs.map(_.getPath.getName).take(3).mkString(", ")}, ...): only flat " +

@@ -109,6 +109,20 @@ class ScaleSweepSpec extends SparkSpec {
     }
   }
 
+  test("ensure() regenerates when the marker's recorded factor differs") {
+    // the _SCALE_OK marker records the factor: reusing a dir built at a
+    // different factor would let a factor-stamped sweep artifact record
+    // measurements taken on wrong-scale data
+    val out = tmpDir("scalegen_factor_marker")
+    ScaleGen.ensure(spark, "/root/testdata/sf0.001", out, 2)
+    val base = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents").count()
+    graft.queries.Tables.t(spark, out, "documents").count() shouldBe base * 2
+    ScaleGen.ensure(spark, "/root/testdata/sf0.001", out, 3) // factor changed → regen
+    graft.queries.Tables.t(spark, out, "documents").count() shouldBe base * 3
+    ScaleGen.ensure(spark, "/root/testdata/sf0.001", out, 3) // same factor → reuse
+    graft.queries.Tables.t(spark, out, "documents").count() shouldBe base * 3
+  }
+
   test("ScaleGen factor > 10 uses collision-free fixed-length-2 suffixes") {
     val out = tmpDir("scalegen_f12")
     ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 12)

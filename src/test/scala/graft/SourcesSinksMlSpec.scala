@@ -236,6 +236,15 @@ class ArchiveJobSpec extends SparkSpec {
       ArchiveJob.run(spark, live2, hist, "stock")
     fs.exists(stray) shouldBe true
     spark.read.parquet(s"$live2/*.parquet").count() shouldBe 1
+
+    // a crashed writer's _temporary dir holds no committed data (Hadoop
+    // commit-protocol contract) and must NOT permanently abort rotation
+    val live3 = s"$root/live3"
+    Seq((1, "x")).toDF("id", "v").write.parquet(live3)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$live3/_temporary/0"))
+    val (_, n3) = ArchiveJob.run(spark, live3, s"$root/hist3", "stock")
+    n3 shouldBe 1
+    SchemaReader.glob(spark, s"$live3/*") shouldBe empty // marker dir rotated away
   }
 
   test("runPartitioned verifies null-date rows (default partition) without throwing") {

@@ -174,7 +174,7 @@ object PlanAudit {
 
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.01, local[4]) — dev audit artifact\n\n")
-    sb.append("Regenerate: `sbt \"runMain graft.PlanAudit\"`\n")
+    sb.append("Regenerate: `sbt \"Test/runMain graft.PlanAudit\"`\n")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, dir)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only profiling entry point — not part of the engine surface.
   * Times individual SparkEntry queries exactly as Bench does
   * (`fn(spark, dir).count()`), so numbers are comparable to
-  * BENCH_r{N}.json. Usage: `runMain graft.Scratch q24 q30 ...`
+  * BENCH_r{N}.json. Usage: `Test/runMain graft.Scratch q24 q30 ...`
   * (prefix match; no args = the heavy set). */
 object Scratch {
   def main(args: Array[String]): Unit = {
