@@ -118,6 +118,16 @@ object Bench {
     // min-of-2 + cold first pass, error detail) goes to
     // docs/BENCH_FULL.json for humans and the judge.
     val shortKey = (k: String) => k.takeWhile(_ != '_')
+    // stdout-line budget: at 146 queries the short-key map plus the
+    // round-9 fields pushed the line to ~2030 chars — past the driver's
+    // ~2000-char tail window (the round-6 parsed:null failure mode). So
+    // the stdout line keeps control_total (its consumer is the driver
+    // artifact's reader) but leaves trained_recall to BENCH_FULL.json,
+    // and prints per-query values at 2 decimals (10 ms resolution; full
+    // fidelity lives in the docs artifact). ~1790 chars, ~200 margin.
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def obj2(key: String => String, f: R => Double): String =
+      ok.map(r => "\"" + key(r.name) + "\":" + fmt2(f(r))).mkString("{", ",", "}")
     val errPart =
       if (failed.isEmpty) "" else s""","errors":${errObj(identity)}"""
     val errPartShort =
@@ -184,7 +194,7 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallPart,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
