@@ -1076,8 +1076,50 @@ object PipelineQueries {
         FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
   }
 
+  /** DELIBERATE HARNESS PROBE (SURVEY §15.7 item 1), plus a real
+    * capability row: same CC-over-cosine-pairs semantics as q32 at a
+    * different threshold, but the oracle is TWO statements — a temp
+    * table materializing the symmetric edge list, then the recursive
+    * fixpoint reading it. DuckDB 1.0 re-evaluates CTE subplans on
+    * every recursion round (§15.4 measured the cost: q104's oracle
+    * spends ~5 s/round rebuilding its LSH pipeline, q89/q138's ×100
+    * oracles ~13 min each); recursion over a temp table pays the
+    * pipeline ONCE (the 110 s → ~10 s move for q104). duckdb-python's
+    * `execute`/`sql` both run multi-statement strings and return the
+    * last result (verified; our checker uses `execute`), so this row
+    * going green in the driver's correctness artifact proves its
+    * harness accepts the form — then the expensive CC oracles convert
+    * next round. If it instead records a harness error, that is the
+    * probe answering "no" for the cost of one clearly-documented row:
+    * keep the single-statement fixpoints. */
+  private val q147 = {
+    val thr = 0.5
+    Q(
+      "q147_cc_temp_fixpoint",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Clustering.assignClusters(
+          emb, "vec_id",
+          Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", thr),
+          "id_a", "id_b")
+          .orderBy("vec_id")
+      },
+      Some((s"""CREATE OR REPLACE TEMP TABLE graft_q147_e AS
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= $thr)
+        SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p;
+        WITH RECURSIVE
+        e AS (SELECT src, dst FROM graft_q147_e),
+        $ccFixpointSql
+        SELECT emb.vec_id, COALESCE(LEAST(m.mn, emb.vec_id), emb.vec_id) AS cluster_id
+        FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN m ON emb.vec_id = m.src
+        ORDER BY emb.vec_id""").replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146)
+      q138, q140, q142, q143, q144, q145, q146, q147)
 }
