@@ -107,8 +107,12 @@ object ScaleSweep {
     // alongside it instead of clobbering it. Committed docs/ artifacts
     // require either the default full-heavy ×10 shape or an explicit
     // SPARK_GRAFT_COMMIT_SWEEP=1 (the Bench COMMIT_BASELINE pattern) —
-    // otherwise a SPARK_GRAFT_ONLY dev probe at ×30 would silently
-    // clobber the committed cohort artifact with a partial run.
+    // a flag-less SPARK_GRAFT_ONLY dev probe can never clobber them.
+    // Deliberate asymmetry vs Bench's `only.isEmpty` guard: curvature
+    // cohorts ARE subsets (running all 147 queries at ×100 is hours),
+    // so COMMIT_SWEEP=1 commits exactly what ran — the artifact's
+    // queries map is the self-describing cohort record, and setting the
+    // flag on a partial probe is an explicit operator act, not a slip.
     val commitSweep = sys.env.get("SPARK_GRAFT_COMMIT_SWEEP").contains("1")
     val out =
       if (factor == 10 && only.isEmpty) "docs/SCALE_SWEEP.json"

@@ -169,22 +169,28 @@ object Retrieval {
     // checkpointed: four consumers (postings, doclens, stats, max-id) —
     // each would otherwise re-scan and re-tokenize the whole corpus
     val base = tokensFrame(df, idCol, textCol).localCheckpoint()
-    // a REBUILD must clear the whole postings dir (stale appended
-    // segments seg=1+ would survive a seg=0-only overwrite and silently
-    // inflate tf/df in every probe) — but via the durable swap, not a
-    // bare delete-then-write: the replacement seg=0 is fully on disk
-    // before the old postings are touched, so a crash mid-rebuild never
-    // leaves live stats/doclens/meta with zero postings
-    StoredIndex.swapRewrite(spark, s"$dir/postings") { tmp =>
-      postingsSegment(base).write.parquet(s"$tmp/seg=0")
+    // The four artifacts (postings, doclens, stats, meta) score as ONE
+    // consistent unit — BM25 mixes df_t from postings with n_docs /
+    // sum_dl / dl from the others — so a rebuild over an existing index
+    // swaps the WHOLE index directory, not pieces of it: everything is
+    // fully written under `<dir>_tmp` before the old index is touched.
+    // A piecewise rewrite (swap postings, then overwrite doclens/stats)
+    // has a crash window where NEW postings score against STALE
+    // doclens/stats — silently wrong scores with no pending guard.
+    // This also clears stale appended segments (seg=1+), which a
+    // seg=0-only overwrite would leave inflating tf/df in every probe.
+    // Crash contract = [[StoredIndex.swapRewrite]]'s: at every instant
+    // either the old index or a complete `<dir>_tmp` exists on disk.
+    StoredIndex.swapRewrite(spark, dir) { tmp =>
+      postingsSegment(base).write.parquet(s"$tmp/postings/seg=0")
+      base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
+        .write.parquet(s"$tmp/doclens")
+      base.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(col("_toks"))).cast("long").as("sum_dl"))
+        .write.parquet(s"$tmp/stats")
+      StoredIndex.writeMaxIdMeta(spark, tmp,
+        StoredIndex.requiredMaxId(base, "id"))
     }
-    base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-    base.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(col("_toks"))).cast("long").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    StoredIndex.writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(base, "id"))
   }
 
   /** Incremental ingest: index `batch` as a NEW segment — existing

@@ -38,10 +38,15 @@ object ArchiveJob {
     * (hive-partitioned or nested live layout) or a stray data file
     * would be deleted WITHOUT having been archived — silent data loss.
     * Fail loudly instead and let the caller rotate each leaf dir.
-    * Marker-NAMED directories (`_temporary` from a crashed writer,
-    * `.spark-staging-*`) are exempt: they hold only uncommitted task
-    * attempts by Hadoop commit-protocol contract, and refusing them
-    * would permanently abort every rotation after one writer crash. */
+    * Marker-NAMED directories (`_temporary`, `.spark-staging-*`) are
+    * exempt from the refusal: they hold only uncommitted task attempts
+    * by Hadoop commit-protocol contract, and refusing them would
+    * permanently abort every rotation after one writer crash. They are
+    * NOT deleted either — the dir may belong to an ACTIVE concurrent
+    * writer mid-batch (the same concurrent-arrival threat model the
+    * snapshot discipline exists for), and deleting it would fail that
+    * writer's commits; a crashed writer's leftover is inert and rides
+    * along until cleaned out-of-band. */
   private def requireFlatLayout(snapshot: Seq[org.apache.hadoop.fs.FileStatus],
       liveDir: String): Unit = {
     val dirs = snapshot.filter(s => s.isDirectory && !isMarker(s.getPath.getName))
@@ -78,8 +83,9 @@ object ArchiveJob {
     require(written == expected, s"archive verify failed: wrote $written, expected $expected")
 
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // exactly the files read, plus write markers (flat layout enforced above)
-    snapshot.foreach(s => fs.delete(s.getPath, true))
+    // exactly the files read, plus write-marker FILES (flat layout
+    // enforced above); marker DIRS stay — see requireFlatLayout
+    snapshot.filterNot(_.isDirectory).foreach(s => fs.delete(s.getPath, true))
     (dest, expected)
   }
 
@@ -138,8 +144,9 @@ object ArchiveJob {
       s"partitioned archive verify failed: affected partitions hold " +
         s"$after rows, expected $prior prior + $expected new")
     val fs = new Path(liveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // exactly the files read, plus write markers (flat layout enforced above)
-    snapshot.foreach(s => fs.delete(s.getPath, true))
+    // exactly the files read, plus write-marker FILES (flat layout
+    // enforced above); marker DIRS stay — see requireFlatLayout
+    snapshot.filterNot(_.isDirectory).foreach(s => fs.delete(s.getPath, true))
     expected
   }
 

@@ -237,14 +237,19 @@ class ArchiveJobSpec extends SparkSpec {
     fs.exists(stray) shouldBe true
     spark.read.parquet(s"$live2/*.parquet").count() shouldBe 1
 
-    // a crashed writer's _temporary dir holds no committed data (Hadoop
+    // a writer's _temporary dir holds no committed data (Hadoop
     // commit-protocol contract) and must NOT permanently abort rotation
+    // — but it may belong to an ACTIVE concurrent writer, so the
+    // rotation must also leave it IN PLACE (deleting it would fail that
+    // writer's task commits)
     val live3 = s"$root/live3"
     Seq((1, "x")).toDF("id", "v").write.parquet(live3)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$live3/_temporary/0"))
+    val tempDir = new org.apache.hadoop.fs.Path(s"$live3/_temporary/0")
+    fs.mkdirs(tempDir)
     val (_, n3) = ArchiveJob.run(spark, live3, s"$root/hist3", "stock")
     n3 shouldBe 1
-    SchemaReader.glob(spark, s"$live3/*") shouldBe empty // marker dir rotated away
+    fs.exists(tempDir) shouldBe true // concurrent writer's staging untouched
+    SchemaReader.glob(spark, s"$live3/*.parquet") shouldBe empty // data rotated
   }
 
   test("runPartitioned verifies null-date rows (default partition) without throwing") {
