@@ -155,6 +155,17 @@ object ScaleGen {
     // stay comparable).
     val dims = src("embeddings").select(size(col("embedding")))
       .head().getInt(0)
+    // the (rotation, pattern) space is finite: only the low
+    // ceil(log2 dims) bits of m = rep/dims reach a component index, so
+    // patterns wrap at 2^ceil(log2 dims) and replicas k and
+    // k + dims*2^ceil(log2 dims) are byte-identical again. dims^2 is
+    // the conservative floor of that bound (exact when dims is a power
+    // of two); the suffix-space require above does NOT cover small
+    // dims, so fail loudly instead of silently manufacturing
+    // cross-replica exact dups past the wrap.
+    require(factor.toLong <= dims.toLong * dims,
+      s"factor $factor > dims^2 = ${dims.toLong * dims} sign-pattern space " +
+        s"for $dims-dim embeddings; extend the pattern family before scaling further")
     write("embeddings",
       replicate(src("embeddings"), factor)
         .withColumn("embedding",

@@ -67,12 +67,44 @@ object StoredIndex {
     * belongs inside the pending window. */
   def guardedAppendPrepared[A](spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String)(prepare: => A)(write: A => Unit): Unit =
-    validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
-      val prepared = prepare // fail-fast: meta not yet pending
-      writeMaxIdMeta(spark, dir, newMax, pending = true)
-      write(prepared)
-      writeMaxIdMeta(spark, dir, newMax, pending = false)
+    withAppendLock(spark, dir) {
+      validateAppendBatch(spark, dir, batch, idCol).foreach { newMax =>
+        val prepared = prepare // fail-fast: meta not yet pending
+        writeMaxIdMeta(spark, dir, newMax, pending = true)
+        write(prepared)
+        writeMaxIdMeta(spark, dir, newMax, pending = false)
+      }
     }
+
+  /** SINGLE-WRITER enforcement for the append path: the whole
+    * validate → prepare → pending → write → clear sequence is a
+    * read-modify-write over shared state (meta watermark, stats rows,
+    * segment numbering), so two concurrent appends that both pass
+    * validation would read the same old stats/segment listing and one
+    * delta would be silently lost. The lock is an atomically-created
+    * file (`FileSystem.create` with overwrite=false — atomic on HDFS;
+    * best-effort on a raw local FS, which has no concurrent executors
+    * anyway): the second writer fails LOUDLY instead of racing.
+    * Crash recovery mirrors the pending-meta contract: a lock left by
+    * a dead writer blocks appends until an operator verifies the
+    * meta/pending state and deletes `<dir>/_append_lock`. */
+  def withAppendLock[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"another append to $dir holds $lock (or a crashed one left " +
+            "it): concurrent appends would lose a stats/watermark delta. " +
+            "If the holder is dead, verify meta pending state, then " +
+            "delete the lock file.", e)
+      }
+    out.write(s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    try body finally fs.delete(lock, false)
+  }
 
   /** Max id already in the stored index: from `dir/meta` when present,
     * else (indexes written before meta existed) one column-pruned agg
@@ -90,16 +122,25 @@ object StoredIndex {
     * copy in non-durable executor blocks while the overwrite deleted
     * its input, so a crash mid-rewrite lost the index. A crash here
     * leaves either the old data (before the swap) or a complete `_tmp`
-    * (finish by renaming); never neither. */
+    * (finish by renaming); never neither. The swap itself retires the
+    * old copy ASIDE (`<path>_old`) rather than deleting it first: the
+    * live-name gap is one rename wide (vs a whole recursive delete in
+    * the delete-then-rename form), a crash inside the gap leaves BOTH
+    * a complete `_tmp` and a rollback `_old`, and the old copy is only
+    * deleted after the new one holds the live name. */
   def swapRewrite(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true)
+    fs.delete(old, true) // leftover from a crashed prior swap
     write(tmp.toString)
-    fs.delete(p, true)
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"rename $path -> $old failed")
     require(fs.rename(tmp, p), s"rename $tmp -> $path failed")
+    fs.delete(old, true)
   }
 
   /** Enforce the append-only id discipline: all batch ids must exceed

@@ -52,25 +52,16 @@ object PipelineQueries {
         .replaceAll("\\s+", " ")))
   }
 
-  /** MinHash LSH candidate pairs: docs sharing ≥1 of 4 bands. */
-  private val q22 = {
-    val minsSql = (0 until K)
-      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
-    val bandSelects = (0 until K / BAND).map { b =>
-      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
-    }.mkString(" UNION ALL ")
-    Q(
-      "q22_minhash_lsh_pairs",
-      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", K, BAND)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH $hashCte,
-        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
-        bands AS ($bandSelects)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b USING (band_id, band_key)
-        WHERE a.doc_id < b.doc_id ORDER BY 1, 2""".replaceAll("\\s+", " ")))
-  }
+  /** MinHash LSH candidate pairs: docs sharing ≥1 of 4 bands. Oracle
+    * uses the shared LSH temp-table prelude (multi-statement form,
+    * q147-proven) so the signature pipeline is paid once. */
+  private val q22 = Q(
+    "q22_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", K, BAND)
+      .orderBy("id_a", "id_b"),
+    Some(Seq(lshSigStmt, lshCandStmt,
+      "SELECT id_a, id_b FROM graft_lsh_cand ORDER BY 1, 2")
+      .mkString("; ").replaceAll("\\s+", " ")))
 
   /** SimHash fingerprints (16-bit, ±1 bit sums over token hashes). */
   private val q23 = {
@@ -102,12 +93,13 @@ object PipelineQueries {
     "q24_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5)
       .orderBy("block", "id_a", "id_b"),
-    Some(s"""WITH d AS (SELECT lang AS block, doc_id AS id,
-        list_distinct(string_split(text, ' ')) AS toks FROM documents),
-      p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
+    Some(s"""CREATE OR REPLACE TEMP TABLE graft_q24_d AS
+        SELECT lang AS block, doc_id AS id,
+          list_distinct(string_split(text, ' ')) AS toks FROM documents;
+      WITH p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_int,
         CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_uni
-        FROM d a JOIN d b ON a.block = b.block AND a.id < b.id)
+        FROM graft_q24_d a JOIN graft_q24_d b ON a.block = b.block AND a.id < b.id)
       SELECT block, id_a, id_b, n_int, n_uni,
         ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
       FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
@@ -229,63 +221,44 @@ object PipelineQueries {
       WHERE ${cosineSql("a.v", "b.v")} >= 0.4
       ORDER BY 1, 2""".replaceAll("\\s+", " ")))
 
-  /** LSH generate → exact-Jaccard verify: the composed scale pipeline. */
-  private val q30 = {
-    val minsSql = (0 until K)
-      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
-    val bandSelects = (0 until K / BAND).map { b =>
-      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
-    }.mkString(" UNION ALL ")
-    Q(
-      "q30_lsh_verified_pairs",
-      (s, dir) => Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.5)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH $hashCte,
-        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
-        bands AS ($bandSelects),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
-        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-        p AS (SELECT id_a, id_b,
+  /** LSH generate → exact-Jaccard verify: the composed scale pipeline.
+    * Oracle = shared LSH temp-table prelude + one verify statement. */
+  private val q30 = Q(
+    "q30_lsh_verified_pairs",
+    (s, dir) => Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.5)
+      .orderBy("id_a", "id_b"),
+    Some((Seq(lshSigStmt, lshCandStmt, lshToksStmt) :+
+      s"""WITH p AS (SELECT id_a, id_b,
           CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
           CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_uni
-          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
+          FROM graft_lsh_cand cand
+            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
+            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
         SELECT id_a, id_b, n_int, n_uni,
           ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
         FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
-        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
-  }
+        ORDER BY 1, 2""")
+      .mkString("; ").replaceAll("\\s+", " ")))
 
   /** Containment (doc-inside-doc) over the same LSH candidates as q30:
     * |A∩B| / min(|A|,|B|) ≥ 0.8 — catches the quoted-subset pairs whose
     * symmetric Jaccard stays under q30's radar. */
-  private val q103 = {
-    val minsSql = (0 until K)
-      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
-    val bandSelects = (0 until K / BAND).map { b =>
-      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
-    }.mkString(" UNION ALL ")
-    Q(
-      "q103_containment_pairs",
-      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.8)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH $hashCte,
-        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
-        bands AS ($bandSelects),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
-        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-        p AS (SELECT id_a, id_b,
+  private val q103 = Q(
+    "q103_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.8)
+      .orderBy("id_a", "id_b"),
+    Some((Seq(lshSigStmt, lshCandStmt, lshToksStmt) :+
+      s"""WITH p AS (SELECT id_a, id_b,
           CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
           CAST(least(len(da.toks), len(db.toks)) AS BIGINT) AS n_min
-          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
+          FROM graft_lsh_cand cand
+            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
+            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
         SELECT id_a, id_b, n_int, n_min,
           ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} AS containment
         FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} >= 0.8
-        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
-  }
+        ORDER BY 1, 2""")
+      .mkString("; ").replaceAll("\\s+", " ")))
 
   /** MinHash over 3-token shingles (w-shingling): order-sensitive
     * near-dup signatures, vs q21's bag-of-tokens. */
@@ -333,13 +306,13 @@ object PipelineQueries {
     * algorithm: each recursion round RE-EVALUATES the upstream edge
     * pipeline (LSH + verify, ~5 s) because CTEs — even AS MATERIALIZED
     * — are not materialized across recursive iterations; the closure
-    * itself runs in ~2.5 s against a pre-built temp table. A
-    * multi-statement temp-table fixpoint would remove that rerun cost
-    * but oracle SQL must stay ONE driver-runnable statement; DuckDB
-    * 1.0 has no keyed recursion (USING KEY), so this is the semi-naive
-    * move expressible in one statement. Equivalence vs the closure:
-    * value-identical at sf0.01 and sf0.1 (spot-checked), and the full
-    * oracled surface stays hash-green. */
+    * itself runs in ~2.5 s against a pre-built temp table. Round 9's
+    * q147 harness probe proved the driver's comparator runs
+    * multi-statement oracle SQL (duckdb-python `execute` returns the
+    * last statement's result), so from round 10 every CC oracle pays
+    * its edge pipeline ONCE via [[ccTempFixpointSql]]. Equivalence vs
+    * the closure: value-identical at sf0.01 and sf0.1 (spot-checked),
+    * and the full oracled surface stays hash-green. */
   private def ccFixpointSql: String =
     """lm AS (SELECT src AS node FROM e GROUP BY src HAVING min(dst) > src),
       reach AS (SELECT node, node AS lbl FROM lm
@@ -347,20 +320,74 @@ object PipelineQueries {
           JOIN e e2 ON r.node = e2.src AND r.lbl < e2.dst),
       m AS (SELECT node AS src, min(lbl) AS mn FROM reach GROUP BY node)"""
 
+  /** The q147-proven TWO-STATEMENT CC oracle form (SURVEY §15.7 item
+    * 1, closed round 10): statement 1 materializes the symmetric edge
+    * list — the expensive generator pipeline (LSH bands + verify, or
+    * a bucketed cosine join) — into a per-query temp table; statement
+    * 2 runs the recursive min-label fixpoint against that table, so
+    * recursion rounds re-scan a materialized edge list instead of
+    * re-evaluating the whole generator (DuckDB 1.0 re-inlines CTE
+    * subplans into every recursive iteration). Measured: q104's
+    * sf0.1 oracle ~110 s → ~10 s; the ×100 q89/q138 oracles ~13 min
+    * → seconds. `tag` keeps temp-table names disjoint across queries
+    * sharing a comparator connection; CREATE OR REPLACE makes reruns
+    * idempotent. `tailSql` is appended verbatim after the fixpoint's
+    * `m` CTE (start it with ", extra AS (...)" for more CTEs);
+    * `prelude` statements (e.g. the shared LSH temp tables) run
+    * before the edge materialization. */
+  private def ccTempFixpointSql(tag: String, edgesSql: String, tailSql: String,
+      prelude: Seq[String] = Nil): String =
+    (prelude :+
+      s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_e AS
+        $edgesSql""" :+
+      s"""WITH RECURSIVE
+        e AS (SELECT src, dst FROM graft_${tag}_e),
+        $ccFixpointSql
+        $tailSql""")
+      .mkString("; ").replaceAll("\\s+", " ")
+
+  /** Shared temp-table statements for the banded-LSH oracle family
+    * (q22/q30/q103/q104): minhash signatures, banded candidate pairs,
+    * and distinct-token lists, each materialized ONCE per oracle run.
+    * In the single-statement form DuckDB 1.0 re-inlines `sig` into
+    * all 4 band selects and `bands` into both sides of the self-join,
+    * so the tokenize→hash→group pipeline could evaluate up to 8× —
+    * the reason these oracles were minutes-to-hours at sf10 (SURVEY
+    * §15.7 item 2). All four queries share K/BAND, so the tables are
+    * content-identical across them within a comparator connection;
+    * CREATE OR REPLACE keeps re-creation idempotent. */
+  private lazy val lshMinsSql = (0 until K)
+    .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
+  private lazy val lshSigStmt =
+    s"""CREATE OR REPLACE TEMP TABLE graft_lsh_sig AS
+      WITH $hashCte SELECT doc_id, $lshMinsSql FROM h GROUP BY doc_id"""
+  private lazy val lshCandStmt = {
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM graft_lsh_sig"
+    }.mkString(" UNION ALL ")
+    s"""CREATE OR REPLACE TEMP TABLE graft_lsh_cand AS
+      WITH bands AS ($bandSelects)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id"""
+  }
+  private lazy val lshToksStmt =
+    """CREATE OR REPLACE TEMP TABLE graft_lsh_toks AS
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"""
+
   /** Full-corpus CC-over-cosine-pairs oracle — shared by q32 (one-shot
     * clustering) and q117 (incremental maintenance), whose outputs must
     * be identical by construction. */
   private lazy val ccClustersOracleSql: String =
-    s"""WITH RECURSIVE
-      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM c a JOIN c b ON a.vec_id < b.vec_id
-        WHERE ${cosineSql("a.v", "b.v")} >= 0.4),
-      e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-      $ccFixpointSql
-      SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
-      FROM c LEFT JOIN m ON c.vec_id = m.src
-      ORDER BY c.vec_id""".replaceAll("\\s+", " ")
+    ccTempFixpointSql("cc32",
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= 0.4)
+        SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p""",
+      """SELECT emb.vec_id, COALESCE(LEAST(m.mn, emb.vec_id), emb.vec_id) AS cluster_id
+        FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN m ON emb.vec_id = m.src
+        ORDER BY emb.vec_id""")
 
   private val q32 = Q(
     "q32_neardup_clusters",
@@ -438,17 +465,16 @@ object PipelineQueries {
             batch, "vec_id")
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE
-        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          ($bucketSql) AS bucket FROM embeddings),
-        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        $ccFixpointSql
-        SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
-        FROM c LEFT JOIN m ON c.vec_id = m.src
-        ORDER BY c.vec_id""".replaceAll("\\s+", " ")))
+      Some(ccTempFixpointSql("q138",
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            ($bucketSql) AS bucket FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${cosineSql("a.v", "b.v")} >= $thr)
+          SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p""",
+        """SELECT emb.vec_id, COALESCE(LEAST(m.mn, emb.vec_id), emb.vec_id) AS cluster_id
+        FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN m ON emb.vec_id = m.src
+        ORDER BY emb.vec_id""")))
   }
 
   /** Deterministic hash sampling: the same ~30% of documents selected
@@ -516,19 +542,19 @@ object PipelineQueries {
           .select(col("vec_id"), col("n_members"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE
-        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          ($bucketSql) AS bucket FROM embeddings),
-        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        $ccFixpointSql,
-        cl AS (SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
-          FROM c LEFT JOIN m ON c.vec_id = m.src)
+      Some(ccTempFixpointSql("q89",
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            ($bucketSql) AS bucket FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${cosineSql("a.v", "b.v")} >= $thr)
+          SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p""",
+        """, cl AS (SELECT emb.vec_id,
+            COALESCE(LEAST(m.mn, emb.vec_id), emb.vec_id) AS cluster_id
+          FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN m ON emb.vec_id = m.src)
         SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
           CAST(count(*) AS BIGINT) AS n_members
-        FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
+        FROM cl GROUP BY cluster_id ORDER BY vec_id""")))
   }
 
   /** Deterministic train/val/test split by id hash — the scalable,
@@ -632,12 +658,6 @@ object PipelineQueries {
     * consumes. */
   private val q104 = {
     val threshold = 0.95
-    val minsSql = (0 until K)
-      .map(i => s"min(${PortableHash.permutedSql("hv", i)}) AS mh$i").mkString(", ")
-    val bandSelects = (0 until K / BAND).map { b =>
-      val key = (0 until BAND).map(j => s"mh${b * BAND + j}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws('-', $key) AS band_key FROM sig"
-    }.mkString(" UNION ALL ")
     Q(
       "q104_cluster_keep_best",
       (s, dir) => {
@@ -654,20 +674,16 @@ object PipelineQueries {
           .keepBestPerCluster(members, "doc_id", "cluster_id", "tokens")
           .orderBy("cluster_id")
       },
-      Some(s"""WITH RECURSIVE $hashCte,
-        sig AS (SELECT doc_id, $minsSql FROM h GROUP BY doc_id),
-        bands AS ($bandSelects),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id),
-        d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-        vp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+      Some(ccTempFixpointSql("q104",
+        s"""WITH vp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
             CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
               (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jr
-          FROM cand JOIN d da ON cand.id_a = da.doc_id JOIN d db ON cand.id_b = db.doc_id)
-          WHERE ${PortableRound.sql4("jr")} >= $threshold),
-        e AS (SELECT id_a AS src, id_b AS dst FROM vp UNION SELECT id_b, id_a FROM vp),
-        $ccFixpointSql,
-        cl AS (SELECT doc_id, COALESCE(LEAST(m.mn, doc_id), doc_id) AS cluster_id
+          FROM graft_lsh_cand cand
+            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
+            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
+          WHERE ${PortableRound.sql4("jr")} >= $threshold)
+        SELECT id_a AS src, id_b AS dst FROM vp UNION SELECT id_b, id_a FROM vp""",
+        """, cl AS (SELECT doc_id, COALESCE(LEAST(m.mn, doc_id), doc_id) AS cluster_id
           FROM documents LEFT JOIN m ON doc_id = m.src),
         nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk
           FROM documents)
@@ -676,7 +692,8 @@ object PipelineQueries {
           CAST((list(nt.ntk ORDER BY nt.ntk DESC, cl.doc_id ASC))[1] AS BIGINT) AS kept_tokens,
           CAST(count(*) AS BIGINT) AS n_members
         FROM cl JOIN nt ON cl.doc_id = nt.doc_id
-        GROUP BY cl.cluster_id ORDER BY cl.cluster_id""".replaceAll("\\s+", " ")))
+        GROUP BY cl.cluster_id ORDER BY cl.cluster_id""",
+        prelude = Seq(lshSigStmt, lshCandStmt, lshToksStmt))))
   }
 
   /** Stored MinHash signature index: the Jaccard-estimate twin of q97's
@@ -1061,19 +1078,20 @@ object PipelineQueries {
           .select(col("vec_id"), col("n_members"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE ${autoSignBitsSqlCte(target)},
-        c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c AS (SELECT vec_id, v, ${autoBucketSql("v")} AS bucket FROM c0),
-        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.v", "b.v")} >= $thr),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        $ccFixpointSql,
-        cl AS (SELECT c.vec_id, COALESCE(LEAST(m.mn, c.vec_id), c.vec_id) AS cluster_id
-          FROM c LEFT JOIN m ON c.vec_id = m.src)
+      Some(ccTempFixpointSql("q146",
+        s"""WITH ${autoSignBitsSqlCte(target)},
+          c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c AS (SELECT vec_id, v, ${autoBucketSql("v")} AS bucket FROM c0),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${cosineSql("a.v", "b.v")} >= $thr)
+          SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p""",
+        """, cl AS (SELECT emb.vec_id,
+            COALESCE(LEAST(m.mn, emb.vec_id), emb.vec_id) AS cluster_id
+          FROM (SELECT vec_id FROM embeddings) emb LEFT JOIN m ON emb.vec_id = m.src)
         SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
           CAST(count(*) AS BIGINT) AS n_members
-        FROM cl GROUP BY cluster_id ORDER BY vec_id""".replaceAll("\\s+", " ")))
+        FROM cl GROUP BY cluster_id ORDER BY vec_id""")))
   }
 
   /** DELIBERATE HARNESS PROBE (SURVEY §15.7 item 1), plus a real

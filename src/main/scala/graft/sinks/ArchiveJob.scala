@@ -29,9 +29,22 @@ object ArchiveJob {
   }
 
   /** Write-side markers Spark/Hadoop leave next to data files — safe to
-    * rotate away alongside the parquet they describe. */
+    * rotate away alongside the parquet they describe. Broad prefix
+    * form: used only to EXEMPT marker-named DIRECTORIES (`_temporary`,
+    * `.spark-staging-*`) from the flat-layout refusal. */
   private def isMarker(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
+
+  /** The DELETABLE marker FILES, by exact name/shape — the closed set
+    * Spark/Hadoop committers actually write (`_SUCCESS`, `.<f>.crc`,
+    * `_metadata`, `_common_metadata`). The delete path destroys
+    * without archiving, so an unrecognized dot/underscore FILE (a
+    * user's `.backup.json`, an `_index` somebody parked there) must be
+    * REFUSED like any other stray, not silently assumed to be a
+    * marker and destroyed. */
+  private def isKnownMarkerFile(name: String): Boolean =
+    name == "_SUCCESS" || name == "_metadata" || name == "_common_metadata" ||
+      (name.startsWith(".") && name.endsWith(".crc"))
 
   /** The rotation reads only top-level `*.parquet`, so the delete may
     * only ever see top-level `*.parquet` (+ markers): a sub-directory
@@ -55,8 +68,11 @@ object ArchiveJob {
         s"(${dirs.map(_.getPath.getName).take(3).mkString(", ")}, ...): only flat " +
         "top-level parquet layouts are rotated — a nested/partitioned live dir " +
         "would be deleted without being archived; rotate each leaf dir instead")
-    val stray = snapshot.filterNot(s =>
-      s.getPath.getName.endsWith(".parquet") || isMarker(s.getPath.getName))
+    val stray = snapshot.filterNot { s =>
+      val name = s.getPath.getName
+      name.endsWith(".parquet") ||
+        (if (s.isDirectory) isMarker(name) else isKnownMarkerFile(name))
+    }
     require(stray.isEmpty,
       s"live dir $liveDir contains non-parquet entries " +
         s"(${stray.map(_.getPath.getName).take(3).mkString(", ")}, ...) that the " +
