@@ -145,46 +145,118 @@ object Bench {
     // records it in the artifact, making round-over-round drift a diff
     // of committed numbers instead of a spec re-run. Config mirrors
     // SimilaritySpec's honest point (nProbe=4 of 8, k=5).
-    val recallPart: String = if (only.nonEmpty) "" else try {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val (nC, nP, k) = (8, 4, 5)
-      val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
-      val idxDir = s"target/bench_ivf_recall_${Integer.toHexString(sfDir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(idxDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
-      graft.operators.Similarity.writeIvfIndex(
-        emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir, nC)
-      graft.operators.Similarity.appendToIvfIndex(
-        spark, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") % 10 === 0)
-      def topSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = res
-        .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
-        .filter(col("_r") <= k)
-        .select(col("query_id").cast("long"), col("vec_id").cast("long"))
-        .collect().groupBy(_.getLong(0)) // bounded: n_queries × k rows
-        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
-      val truth = topSet(graft.operators.Similarity.scoreAgainst(
-        emb, "vec_id", "embedding", queries, "vec_id", "embedding"))
-      val approx = topSet(graft.operators.Similarity.probeIvfIndex(
-        spark, idxDir, "vec_id", "embedding", queries, "vec_id", "embedding", k, nP))
-      val recalls = truth.map { case (qid, ts) =>
-        approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
-      // empty query set would make the mean NaN, and "%.3f".format(NaN)
-      // emits bare NaN — INVALID JSON that poisons the whole artifact
-      require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
-      val mean = recalls.sum / recalls.size
-      s""","trained_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"n_queries":${recalls.size}}"""
-    } catch { case e: Throwable =>
-      s""","trained_recall":{"error":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")}}"""
-    }
+    // Returns (mean recall, full-artifact JSON fragment) or an error
+    // fragment; the scalar also goes on the driver stdout line.
+    def errFrag(field: String, e: Throwable): (Option[Double], String) =
+      (None, s""","$field":{"error":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")}}""")
+    val (trainedRecall, recallPart): (Option[Double], String) =
+      if (only.nonEmpty) (None, "") else try {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val (nC, nP, k) = (8, 4, 5)
+        val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+        val idxDir = s"target/bench_ivf_recall_${Integer.toHexString(sfDir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(idxDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+        graft.operators.Similarity.writeIvfIndex(
+          emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir, nC)
+        graft.operators.Similarity.appendToIvfIndex(
+          spark, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        def topSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = res
+          .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+          .filter(col("_r") <= k)
+          .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+          .collect().groupBy(_.getLong(0)) // bounded: n_queries × k rows
+          .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+        val truth = topSet(graft.operators.Similarity.scoreAgainst(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding"))
+        val approx = topSet(graft.operators.Similarity.probeIvfIndex(
+          spark, idxDir, "vec_id", "embedding", queries, "vec_id", "embedding", k, nP))
+        val recalls = truth.map { case (qid, ts) =>
+          approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
+        // empty query set would make the mean NaN, and "%.3f".format(NaN)
+        // emits bare NaN — INVALID JSON that poisons the whole artifact
+        require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
+        val mean = recalls.sum / recalls.size
+        (Some(mean),
+          s""","trained_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"n_queries":${recalls.size}}""")
+      } catch { case e: Throwable => errFrag("trained_recall", e) }
+    // SECOND recall point class (round-9 verdict item 8): the trained
+    // IVFADC face (q88's production twin). Quantization regressions —
+    // a codebook bug, an ADC table drift — leave trained_recall (codes
+    // are not involved there) untouched, so they need their own tracked
+    // number. Ground truth is exact squared-L2 top-k (the metric ADC
+    // approximates); queries and k match the trained_recall config so
+    // the two numbers are comparable run-over-run.
+    val (ivfpqRecall, ivfpqPart): (Option[Double], String) =
+      if (only.nonEmpty) (None, "") else try {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val (nC, nP, m, kc, k) = (8, 4, 4, 8, 5)
+        val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+        val idxDir = s"target/bench_ivfpq_recall_${Integer.toHexString(sfDir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(idxDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.operators.Similarity.writeIvfPqIndex(
+          emb, "vec_id", "embedding", idxDir, nC, m, kc)
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        def topSet(res: org.apache.spark.sql.DataFrame,
+            scoreAsc: org.apache.spark.sql.Column): Map[Long, Set[Long]] = res
+          .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(scoreAsc, col("vec_id").asc)))
+          .filter(col("_r") <= k)
+          .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+        val qv = queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("_qv"))
+        val truth = topSet(
+          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+            .crossJoin(broadcast(qv))
+            .withColumn("_d2", aggregate(
+              zip_with(col("_v"), col("_qv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, d) => acc + d)),
+          col("_d2").asc)
+        val approx = topSet(graft.operators.Similarity.probeIvfPqIndex(
+          spark, idxDir, "vec_id", queries, "vec_id", "embedding", k, nP),
+          col("d2_approx").asc)
+        val recalls = truth.map { case (qid, ts) =>
+          approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
+        require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
+        val mean = recalls.sum / recalls.size
+        (Some(mean),
+          s""","ivfpq_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"m":$m,"k_codes":$kc,"n_queries":${recalls.size}}""")
+      } catch { case e: Throwable => errFrag("ivfpq_recall", e) }
+    // RECALL DRIFT BOUND (SURVEY §15.7 item 4, activated with round
+    // 10's second point): compare against the committed quiet-box
+    // baseline for the SAME sf. Recall here is deterministic given the
+    // data (seeded k-means, deterministic sampling), so a drop is a
+    // code change, not box noise. A drop > 0.05 is recorded in the
+    // artifact AND printed to stderr; it does not fail the run (the
+    // drop may be declared/intentional — the bound makes it impossible
+    // to ship one silently).
+    val driftPart: String = (for {
+      cur <- trainedRecall
+      txt <- scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/BENCH_FULL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+      if txt.contains(s""""sf":"$sfDir"""")
+      prev <- """"trained_recall":\{"recall_at_k":([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } yield {
+      val alert = prev - cur > 0.05
+      if (alert) System.err.println(
+        f"RECALL DRIFT ALERT: trained recall@5 $cur%.3f vs committed $prev%.3f (drop > 0.05)")
+      s""","recall_prev":${fmt(prev)},"recall_drift_alert":$alert"""
+    }).getOrElse("")
     // cpus recorded for comparability: the CPU-heavy pair/ANN queries
     // scale near-linearly with threads, so a local[4] number is not
     // comparable to a local[32] one (the round-8 baseline confusion)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"control_n":$controlN$recallPart,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"control_n":$controlN$recallPart$ivfpqPart$driftPart,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj(identity, _.warm)},"queries_cold":${obj(identity, _.cold)}$errPart,"sf":"$sfDir"}"""
     // docs/BENCH_FULL.json is the committed quiet-box baseline the judge
     // reads against BENCH_r{N}.json. Driver/CI invocations run on a
     // co-tenant-noisy box and were clobbering it every round — so the
@@ -202,7 +274,14 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"control_n":$controlN,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
+    // Compact recall SCALARS on the driver-visible line (round-9
+    // verdict item 5): the full config objects stay in BENCH_FULL.json;
+    // the two scalars cost ~44 chars against the ~200-char margin under
+    // the driver's ~2000-char tail window.
+    val recallShort =
+      trainedRecall.map(v => s""","trained_recall":${fmt(v)}""").getOrElse("") +
+        ivfpqRecall.map(v => s""","ivfpq_recall":${fmt(v)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"control_n":$controlN$recallShort,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

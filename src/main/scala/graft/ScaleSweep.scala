@@ -83,6 +83,36 @@ object ScaleSweep {
     }
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    // Per-artifact box-speed CONTROL (SURVEY §15.7 item 3): 3 members
+    // of Bench.controlFamily — pure relational work, no hash pipelines,
+    // no artifact builds — timed at the BASE dir with the same
+    // min-of-N discipline. Sweep artifacts from different box-days
+    // were incomparable (the q138 26.8×/8.2×/44.4× min-of-2 variance
+    // across memory-pressure states); control_total quantifies the
+    // box-day, and control_ratio (vs the committed quiet-box
+    // BENCH_FULL.json's times for the SAME 3 queries) states it as a
+    // single normalization factor — curvature numbers can then be read
+    // net of host speed, the way BENCH artifacts already are.
+    val controls = Seq("q47_stats_moments", "q65_date_arithmetic",
+      "q82_null_ordering")
+    val controlTotal = controls.map(n => time(n, baseDir)._2).sum
+    val controlRef: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/BENCH_FULL.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val refs = controls.map { n =>
+          val m = s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
+          m.map(_.group(1).toDouble)
+        }
+        if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
+      } catch { case _: Throwable => None }
+    val controlPart =
+      s""""control_total":${fmt(controlTotal)},"control_n":${controls.size},""" +
+        controlRef.map(r => s""""control_ratio":${fmt(controlTotal / r)},""")
+          .getOrElse("")
+
     val rows = names.map { n =>
       val (cb, wb) = time(n, baseDir)
       val (cB, wB) = time(n, bigDir)
@@ -97,7 +127,7 @@ object ScaleSweep {
     val maxRatio = rows.map(r => r._3 / r._2).max
     val json =
       s"""{"factor":$factor,"base":"$baseDir","big":"$bigDir",""" +
-      s""""passes":$passes,"cpus":$cpus,""" +
+      s""""passes":$passes,"cpus":$cpus,$controlPart""" +
       s""""total_base_warm":${fmt(rows.map(_._2).sum)},""" +
       s""""total_big_warm":${fmt(rows.map(_._3).sum)},""" +
       s""""max_ratio_warm":${fmt(maxRatio)},""" +

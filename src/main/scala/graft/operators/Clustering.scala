@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * neighbors' labels; converges in O(component diameter) rounds —
   * near-dup clusters are dense (quasi-cliques), so diameter is tiny.
   * Each round is one join + one aggregate, all partition-parallel; the
-  * driver only checks the convergence counter. `localCheckpoint`
-  * truncates lineage each round so plans don't grow with iterations.
+  * driver only checks the convergence counter. [[Checkpoints.stable]]
+  * truncates lineage each round so plans don't grow with iterations
+  * (local blocks by default; `spark.graft.checkpointDir` switches to
+  * reliable DFS checkpoints for preemptible clusters).
   * (GraphX/GraphFrames are the classic homes for this; a DataFrame-only
   * version keeps the engine dependency-free and Catalyst-planned.)
   */
@@ -48,7 +50,7 @@ object Clustering {
     // once per branch
     val p = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
-      .localCheckpoint()
+      .transform(Checkpoints.stable)
 
     // Adaptive execution: a graph this small is cheaper to solve on the
     // driver than to iterate over — the loop's cost is dominated by
@@ -65,7 +67,7 @@ object Clustering {
     val edges = p.select(col("_a").as("src"), col("_b").as("dst"))
       .unionByName(p.select(col("_b").as("src"), col("_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.stable)
     // edges (eagerly checkpointed) is the only consumer of p — release
     // p's blocks now; checkpoints are otherwise freed only when the
     // ContextCleaner GCs them, which leaks across repeated calls on a
@@ -74,7 +76,7 @@ object Clustering {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(Checkpoints.stable)
     // the checkpoint superseded by the current round, released as soon
     // as the round's replacement has materialized
     var prevCkpt = labels
@@ -110,7 +112,7 @@ object Clustering {
         .join(hintLabels(jump), col("mid_label") === col("_jid"), "left")
         .select(col("id"), col("label"),
           coalesce(col("_jlabel"), col("mid_label")).as("new_label"))
-        .localCheckpoint()
+        .transform(Checkpoints.stable)
       changed = updated.filter(col("new_label") < col("label")).count()
       CheckpointBridge.release(prevCkpt)
       prevCkpt = updated
@@ -250,7 +252,7 @@ object Clustering {
       batchIds: DataFrame, batchIdCol: String): DataFrame = {
     val p = newPairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
-      .localCheckpoint() // referenced three times below; generate once
+      .transform(Checkpoints.stable) // referenced three times below; generate once
     // append-only discipline: without it contracted min-labels can
     // disagree with a full recompute (a small new id could become a
     // component's minimum without ever meeting the old root directly)
@@ -270,7 +272,7 @@ object Clustering {
     val touched = stored
       .select(col(idCol).as("_rid"), col(clusterCol).as("_root"))
       .join(broadcast(endpoints), Seq("_rid")) // corpus streams, no shuffle
-      .localCheckpoint() // delta-sized; feeds two broadcast builds — without
+      .transform(Checkpoints.stable) // delta-sized; feeds two broadcast builds — without
       // this the corpus-sized semi-join behind it would run once per build
     val contracted = p
       .join(broadcast(touched.select(col("_rid").as("_a"), col("_root").as("_ra"))),

@@ -61,7 +61,7 @@ object Graph {
     // dropped NOW instead of pinning executor storage until the caller's
     // frame is GC'd — on a long-lived driver the edge list is the big
     // side and repeated pagerank calls would otherwise accumulate it.
-    val out = ranks.localCheckpoint()
+    val out = Checkpoints.stable(ranks)
     edges.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out
