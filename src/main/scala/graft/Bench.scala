@@ -195,7 +195,12 @@ object Bench {
       if (only.nonEmpty) (None, "") else try {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
-        val (nC, nP, m, kc, k) = (8, 4, 4, 8, 5)
+        // finer quantization than q88's oracle-portable config (m=4,
+        // kc=8 — chosen there for DuckDB mirrorability, not quality):
+        // 8 subspaces x 16 codes gives the recall number enough
+        // headroom that a codebook/ADC regression moves it visibly
+        // instead of drowning in quantization noise.
+        val (nC, nP, m, kc, k) = (8, 4, 8, 16, 5)
         val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
         val idxDir = s"target/bench_ivfpq_recall_${Integer.toHexString(sfDir.hashCode)}"
         val p = new org.apache.hadoop.fs.Path(idxDir)

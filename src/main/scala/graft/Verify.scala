@@ -20,10 +20,26 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String): Boolean =
       only.forall(_.exists(p => name.startsWith(p)))
+    // Dev-only output-width knob for the upscale gates: coalesce(1)
+    // (the driver-compatible single-file default) also collapses the
+    // final COMPUTE stage to one thread — at sf10 the ~600M-row pair
+    // queries would verify nearly single-threaded. SPARK_GRAFT_OUT_PARTS
+    // switches to repartition(n): the shuffle barrier keeps the
+    // upstream stage at full width and writes n files (the checker
+    // globs *.parquet; the driver never sets this, so its artifact
+    // shape is untouched). NOTE: repartition discards the queries'
+    // ORDER BY, so dumps written this way must be checked
+    // order-insensitively (the checker's --agghash mode).
+    val outParts = sys.env.get("SPARK_GRAFT_OUT_PARTS").flatMap(_.toIntOption)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val shaped = outParts match {
+          case Some(n) => df.repartition(n)
+          case None => df.coalesce(1)
+        }
+        shaped.write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
