@@ -145,96 +145,99 @@ object Bench {
     // records it in the artifact, making round-over-round drift a diff
     // of committed numbers instead of a spec re-run. Config mirrors
     // SimilaritySpec's honest point (nProbe=4 of 8, k=5).
-    // Returns (mean recall, full-artifact JSON fragment) or an error
-    // fragment; the scalar also goes on the driver stdout line.
-    def errFrag(field: String, e: Throwable): (Option[Double], String) =
-      (None, s""","$field":{"error":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")}}""")
-    val (trainedRecall, recallPart): (Option[Double], String) =
+    // Shared recall-point harness: both quality trackers are "build an
+    // index, top-k it, compare to exact ground truth over the same
+    // query set" — one measurement skeleton, two (builder, prober,
+    // truth) triples, so a tweak to sampling / NaN guarding / set
+    // comparison cannot silently diverge between them. k = 5 and the
+    // vec_id % 10 query sample are shared deliberately: the two
+    // numbers stay comparable run-over-run.
+    val RecallK = 5
+    def recallPoint(field: String, idxTag: String, extraJson: String)(
+        run: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          String) => Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)])
+        : (Option[Double], String) =
       if (only.nonEmpty) (None, "") else try {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
-        val (nC, nP, k) = (8, 4, 5)
         val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
-        val idxDir = s"target/bench_ivf_recall_${Integer.toHexString(sfDir.hashCode)}"
+        val idxDir = s"target/bench_${idxTag}_${Integer.toHexString(sfDir.hashCode)}"
         val p = new org.apache.hadoop.fs.Path(idxDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
-        graft.operators.Similarity.writeIvfIndex(
-          emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir, nC)
-        graft.operators.Similarity.appendToIvfIndex(
-          spark, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
-        val queries = emb.filter(col("vec_id") % 10 === 0)
-        def topSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = res
-          .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)))
-          .filter(col("_r") <= k)
-          .select(col("query_id").cast("long"), col("vec_id").cast("long"))
-          .collect().groupBy(_.getLong(0)) // bounded: n_queries × k rows
-          .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
-        val truth = topSet(graft.operators.Similarity.scoreAgainst(
-          emb, "vec_id", "embedding", queries, "vec_id", "embedding"))
-        val approx = topSet(graft.operators.Similarity.probeIvfIndex(
-          spark, idxDir, "vec_id", "embedding", queries, "vec_id", "embedding", k, nP))
-        val recalls = truth.map { case (qid, ts) =>
-          approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
-        // empty query set would make the mean NaN, and "%.3f".format(NaN)
-        // emits bare NaN — INVALID JSON that poisons the whole artifact
-        require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
-        val mean = recalls.sum / recalls.size
-        (Some(mean),
-          s""","trained_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"n_queries":${recalls.size}}""")
-      } catch { case e: Throwable => errFrag("trained_recall", e) }
-    // SECOND recall point class (round-9 verdict item 8): the trained
-    // IVFADC face (q88's production twin). Quantization regressions —
-    // a codebook bug, an ADC table drift — leave trained_recall (codes
-    // are not involved there) untouched, so they need their own tracked
-    // number. Ground truth is exact squared-L2 top-k (the metric ADC
-    // approximates); queries and k match the trained_recall config so
-    // the two numbers are comparable run-over-run.
-    val (ivfpqRecall, ivfpqPart): (Option[Double], String) =
-      if (only.nonEmpty) (None, "") else try {
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.expressions.Window
-        // finer quantization than q88's oracle-portable config (m=4,
-        // kc=8 — chosen there for DuckDB mirrorability, not quality):
-        // 8 subspaces x 16 codes gives the recall number enough
-        // headroom that a codebook/ADC regression moves it visibly
-        // instead of drowning in quantization noise.
-        val (nC, nP, m, kc, k) = (8, 4, 8, 16, 5)
-        val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
-        val idxDir = s"target/bench_ivfpq_recall_${Integer.toHexString(sfDir.hashCode)}"
-        val p = new org.apache.hadoop.fs.Path(idxDir)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        graft.operators.Similarity.writeIvfPqIndex(
-          emb, "vec_id", "embedding", idxDir, nC, m, kc)
         val queries = emb.filter(col("vec_id") % 10 === 0)
         def topSet(res: org.apache.spark.sql.DataFrame,
             scoreAsc: org.apache.spark.sql.Column): Map[Long, Set[Long]] = res
           .withColumn("_r", row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(scoreAsc, col("vec_id").asc)))
-          .filter(col("_r") <= k)
+          .filter(col("_r") <= RecallK)
           .select(col("query_id").cast("long"), col("vec_id").cast("long"))
-          .collect().groupBy(_.getLong(0))
+          .collect().groupBy(_.getLong(0)) // bounded: n_queries × k rows
           .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+        val Seq((truthDf, truthOrd), (approxDf, approxOrd)) = run(emb, queries, idxDir)
+        val truth = topSet(truthDf, truthOrd)
+        val approx = topSet(approxDf, approxOrd)
+        val recalls = truth.map { case (qid, ts) =>
+          approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / RecallK }
+        // empty query set would make the mean NaN, and "%.3f".format(NaN)
+        // emits bare NaN — INVALID JSON that poisons the whole artifact
+        require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
+        val mean = recalls.sum / recalls.size
+        (Some(mean),
+          s""","$field":{"recall_at_k":${fmt(mean)},$extraJson,"n_queries":${recalls.size}}""")
+      } catch { case e: Throwable =>
+        (None, s""","$field":{"error":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")}}""")
+      }
+    val (trainedRecall, recallPart) = {
+      val (nC, nP) = (8, 4)
+      recallPoint("trained_recall", "ivf_recall",
+        s""""k":$RecallK,"n_probe":$nP,"n_centroids":$nC""") { (emb, queries, idxDir) =>
+        import org.apache.spark.sql.functions._
+        val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+        graft.operators.Similarity.writeIvfIndex(
+          emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir, nC)
+        graft.operators.Similarity.appendToIvfIndex(
+          spark, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+        Seq(
+          (graft.operators.Similarity.scoreAgainst(
+            emb, "vec_id", "embedding", queries, "vec_id", "embedding"),
+            col("cos_sim").desc),
+          (graft.operators.Similarity.probeIvfIndex(
+            spark, idxDir, "vec_id", "embedding", queries, "vec_id", "embedding",
+            RecallK, nP),
+            col("cos_sim").desc))
+      }
+    }
+    // SECOND recall point class (round-9 verdict item 8): the trained
+    // IVFADC face (q88's production twin). Quantization regressions —
+    // a codebook bug, an ADC table drift — leave trained_recall (codes
+    // are not involved there) untouched, so they need their own tracked
+    // number. Ground truth is exact squared-L2 top-k (the metric ADC
+    // approximates). Finer quantization than q88's oracle-portable
+    // m=4/k=8 (chosen there for DuckDB mirrorability, not quality):
+    // 8 subspaces × 16 codes gives the number enough headroom that a
+    // codebook/ADC regression moves it visibly.
+    val (ivfpqRecall, ivfpqPart) = {
+      val (nC, nP, m, kc) = (8, 4, 8, 16)
+      recallPoint("ivfpq_recall", "ivfpq_recall",
+        s""""k":$RecallK,"n_probe":$nP,"n_centroids":$nC,"m":$m,"k_codes":$kc""") {
+        (emb, queries, idxDir) =>
+        import org.apache.spark.sql.functions._
+        graft.operators.Similarity.writeIvfPqIndex(
+          emb, "vec_id", "embedding", idxDir, nC, m, kc)
         val qv = queries.select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("_qv"))
-        val truth = topSet(
-          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+        Seq(
+          (emb.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
             .crossJoin(broadcast(qv))
             .withColumn("_d2", aggregate(
               zip_with(col("_v"), col("_qv"), (x, y) => (x - y) * (x - y)),
               lit(0.0), (acc, d) => acc + d)),
-          col("_d2").asc)
-        val approx = topSet(graft.operators.Similarity.probeIvfPqIndex(
-          spark, idxDir, "vec_id", queries, "vec_id", "embedding", k, nP),
-          col("d2_approx").asc)
-        val recalls = truth.map { case (qid, ts) =>
-          approx.getOrElse(qid, Set.empty).intersect(ts).size.toDouble / k }
-        require(recalls.nonEmpty, s"no recall query vectors in $sfDir")
-        val mean = recalls.sum / recalls.size
-        (Some(mean),
-          s""","ivfpq_recall":{"recall_at_k":${fmt(mean)},"k":$k,"n_probe":$nP,"n_centroids":$nC,"m":$m,"k_codes":$kc,"n_queries":${recalls.size}}""")
-      } catch { case e: Throwable => errFrag("ivfpq_recall", e) }
+            col("_d2").asc),
+          (graft.operators.Similarity.probeIvfPqIndex(
+            spark, idxDir, "vec_id", queries, "vec_id", "embedding", RecallK, nP),
+            col("d2_approx").asc))
+      }
+    }
     // RECALL DRIFT BOUND (SURVEY §15.7 item 4, activated with round
     // 10's second point): compare against the committed quiet-box
     // baseline for the SAME sf. Recall here is deterministic given the

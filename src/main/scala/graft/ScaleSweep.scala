@@ -102,11 +102,19 @@ object ScaleSweep {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("docs/BENCH_FULL.json")),
           java.nio.charset.StandardCharsets.UTF_8)
-        val refs = controls.map { n =>
-          val m = s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
-          m.map(_.group(1).toDouble)
+        // SF guard (same as Bench's driftPart): the committed control
+        // times are only a box-speed reference when measured on the
+        // SAME data — a sweep based at a different SF would otherwise
+        // record a data-size ratio as a "box speed" and mis-normalize
+        // every curvature number read through it
+        if (!txt.contains(s""""sf":"$baseDir"""")) None
+        else {
+          val refs = controls.map { n =>
+            val m = s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
+            m.map(_.group(1).toDouble)
+          }
+          if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
         }
-        if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
       } catch { case _: Throwable => None }
     val controlPart =
       s""""control_total":${fmt(controlTotal)},"control_n":${controls.size},""" +

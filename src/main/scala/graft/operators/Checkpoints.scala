@@ -26,6 +26,13 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
   * Spark semantics, documented here rather than re-implemented. */
 object Checkpoints {
 
+  // the raw conf value last passed to setCheckpointDir: SparkContext
+  // stores a fs-QUALIFIED, UUID-suffixed path, so comparing
+  // getCheckpointDir against the raw string never matches — without
+  // this memo every stable() call would re-invoke setCheckpointDir,
+  // paying a mkdirs and scattering state across one UUID dir per round
+  @volatile private var pointedAt: String = null
+
   /** Truncate lineage: reliable checkpoint when
     * `spark.graft.checkpointDir` is set, local otherwise. Eager in
     * both modes (the iterative callers count on materialization). */
@@ -33,9 +40,7 @@ object Checkpoints {
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir is idempotent for the same dir; honor a
-        // caller-provided different dir by re-pointing
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (pointedAt != dir) { sc.setCheckpointDir(dir); pointedAt = dir }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

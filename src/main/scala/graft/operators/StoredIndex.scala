@@ -100,9 +100,18 @@ object StoredIndex {
             "If the holder is dead, verify meta pending state, then " +
             "delete the lock file.", e)
       }
-    out.write(s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    // the diagnostic payload write must not be able to LEAK the lock:
+    // a transient failure after create would otherwise leave a
+    // holderless lock that blocks every future append until manual
+    // cleanup — delete-and-rethrow instead
+    try {
+      out.write(s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch { case e: Throwable =>
+      try fs.delete(lock, false) catch { case _: Throwable => () }
+      throw e
+    }
     try body finally fs.delete(lock, false)
   }
 
@@ -134,8 +143,21 @@ object StoredIndex {
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    fs.delete(old, true) // leftover from a crashed prior swap
+    // Crash RECOVERY must run before cleanup: if the live name is
+    // missing, a prior swap died between its two renames and the only
+    // complete copies are `_tmp` (the fully-written replacement —
+    // write() finished or the first rename would not have run; prefer
+    // it) and `_old` (the rollback). Deleting them first — the naive
+    // "clear leftovers" order — would destroy the index on the very
+    // retry that is supposed to repair it.
+    if (!fs.exists(p)) {
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, p), s"crash recovery: rename $tmp -> $path failed")
+      else if (fs.exists(old))
+        require(fs.rename(old, p), s"crash recovery: rename $old -> $path failed")
+    }
+    fs.delete(tmp, true) // an incomplete tmp from a crash DURING write
+    fs.delete(old, true) // a rollback the prior swap never cleaned
     write(tmp.toString)
     if (fs.exists(p))
       require(fs.rename(p, old), s"rename $path -> $old failed")

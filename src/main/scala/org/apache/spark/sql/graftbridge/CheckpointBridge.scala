@@ -21,6 +21,19 @@ object CheckpointBridge {
         // per-round spam buries genuine warnings in iterative-operator
         // logs. Go straight to the block removal the warning guards.
         val rdd = l.rdd
+        // RELIABLE checkpoints hold no blocks — their storage is the
+        // checkpoint FILES, which the ContextCleaner deletes only with
+        // cleanCheckpoints=true and only after driver GC. An iterative
+        // loop releasing each superseded round would otherwise
+        // accumulate one file generation per round on DFS for the
+        // job's lifetime — the exact leak this bridge exists to stop,
+        // in the other storage tier. Same contract: the data is dead.
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: Throwable => () }
+        }
         rdd.sparkContext.unpersistRDD(rdd.id, blocking = false)
       case _ => ()
     }

@@ -45,14 +45,44 @@ class CheckpointsSpec extends SparkSpec {
     reliable shouldBe local
   }
 
-  test("reliable mode actually writes to the configured dir") {
+  private def rddCheckpointDirs(root: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("rdd-"))
+    finally s.close()
+  }
+
+  test("reliable mode writes rdd checkpoint data to the configured dir") {
     val dir = tmpDir("graft_ckpt_probe")
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
-      Checkpoints.stable(spark.range(100).toDF()).count() shouldBe 100L
-      val entries = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .toArray
-      entries.length should be > 0
+      val df = Checkpoints.stable(spark.range(100).toDF())
+      df.count() shouldBe 100L
+      // setCheckpointDir alone mkdirs a UUID subdir, so a bare
+      // "directory non-empty" check would pass with no checkpoint at
+      // all — assert actual rdd-* checkpoint data exists
+      rddCheckpointDirs(dir) should not be empty
+      Checkpoints.release(df)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("reliable mode does not accumulate superseded rounds' files") {
+    val dir = tmpDir("graft_ckpt_accum")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      // multi-round distributed CC: each round's stable() supersedes
+      // the last, and the release discipline must delete the dead
+      // rounds' FILES (reliable checkpoints hold no blocks, so the
+      // block-release path alone would leak one generation per round)
+      val out = Clustering
+        .connectedComponents(pairs, "a", "b", driverSolveMaxEdges = 0)
+      out.count() should be > 0L
+      val survivors = rddCheckpointDirs(dir)
+      // alive: the returned labels frame (1) — everything superseded
+      // (p, edges, per-round states) must be gone
+      survivors.length should be <= 2
+      Checkpoints.release(out)
+      rddCheckpointDirs(dir) shouldBe empty
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 }
