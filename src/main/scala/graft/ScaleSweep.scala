@@ -115,15 +115,38 @@ object ScaleSweep {
           if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
         }
       } catch { case _: Throwable => None }
+    // Per-query warm times from the committed quiet-box baseline
+    // (sf-guarded like the control reference): big_warm values are
+    // stable run-over-run at x100, but a same-run SUB-SECOND base
+    // re-measure swings the ratio wildly (q22 measured 14.8x vs 55.3x
+    // across two same-day runs purely from a 0.38 s vs 1.64 s base
+    // min-of-3) — so each row also reports ratio_vs_committed, the
+    // curvature against the baseline's min-of-3 base number.
+    val committedWarm: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/BENCH_FULL.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!txt.contains(s""""sf":"$baseDir"""")) Map.empty
+        else names.flatMap { n =>
+          s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
+            .map(m => n -> m.group(1).toDouble)
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+
     val rows = names.map { n =>
       val (cb, wb) = time(n, baseDir)
       val (cB, wB) = time(n, bigDir)
+      val committedPart = committedWarm.get(n)
+        .map(c => s""","committed_base":${fmt(c)},"ratio_vs_committed":${fmt(wB / c)}""")
+        .getOrElse("")
       val line =
         s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
         s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
-        s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}}"""
+        s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}$committedPart}"""
       System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
-        s"ratio=${fmt(wB / wb)}")
+        s"ratio=${fmt(wB / wb)}" +
+        committedWarm.get(n).map(c => s"  vs_committed=${fmt(wB / c)}").getOrElse(""))
       (n, wb, wB, line)
     }
     // Controls are timed AFTER the sweep rows, in the fully-warmed
