@@ -200,4 +200,42 @@ object Decontaminate {
     stream.filter(
       !exists(gramHashes, h => BloomBridge.mightContain(filterBytes, h)))
   }
+
+  /** SEMANTIC decontamination: embedding-cosine screen of the training
+    * corpus against a benchmark set — the leakage class the n-gram
+    * passes above cannot see. Verbatim and near-verbatim contamination
+    * shares grams; a PARAPHRASED test item (reworded question,
+    * re-translated passage) shares none, but its embedding stays close —
+    * this emits every (test_id, train_id) whose cosine clears
+    * `threshold`, the audit list a removal pass consumes (same
+    * output-contract idea as [[clean]]'s flag list).
+    *
+    * Scale shape (the q83 discipline, cross-corpus): candidates come
+    * from a sign-bucket EQUI-join — hash join on the bucket key, never
+    * train×test — with the exact rounded cosine verifying inside the
+    * join condition so only survivors materialize. The benchmark side
+    * is ingest-sized and BROADCASTS; the 100 TB train side streams
+    * through in place, exactly like the n-gram screen's broadcast
+    * semi-join. Recall is the sign-bucket bound in `nBits` (a
+    * threshold-clearing pair in different buckets is missed — the same
+    * declared trade as q83; raise recall by lowering nBits or probing
+    * neighbor buckets upstream). */
+  def semanticScreen(train: DataFrame, trainIdCol: String, trainVecCol: String,
+      test: DataFrame, testIdCol: String, testVecCol: String,
+      threshold: Double, nBits: Int = 8,
+      broadcastTest: Boolean = true): DataFrame = {
+    val nPart = Plans.shufflePartitions(train)
+    val tr = train.select(
+      Similarity.signBucket(col(trainVecCol), nBits).as("_bucket"),
+      col(trainIdCol).as("train_id"), col(trainVecCol).as("_tv"))
+      .repartition(nPart)
+    val te = test.select(
+      Similarity.signBucket(col(testVecCol), nBits).as("_bucket"),
+      col(testIdCol).as("test_id"), col(testVecCol).as("_qv"))
+    val sim = graft.functions.PortableRound.round4(
+      Similarity.cosine(col("_tv"), col("_qv")))
+    tr.join(Plans.maybeBroadcast(te, broadcastTest),
+        tr("_bucket") === te("_bucket") && sim >= threshold)
+      .select(col("test_id"), col("train_id"), sim.as("cos_sim"))
+  }
 }

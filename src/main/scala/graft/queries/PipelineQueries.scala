@@ -1136,8 +1136,40 @@ object PipelineQueries {
         ORDER BY emb.vec_id""").replaceAll("\\s+", " ")))
   }
 
+  /** SEMANTIC decontamination (round-10 capability): embedding-cosine
+    * screen of the train partition against the benchmark partition —
+    * the leakage class n-gram decontamination (q44/q93/q124) cannot
+    * see (paraphrased/re-translated test items share no grams but stay
+    * close in embedding space). Cross-corpus twin of q83's bucketed
+    * generator: sign-bucket equi-join (hash join, never train×test),
+    * exact rounded cosine verifies, benchmark side broadcasts. The
+    * oracle mirrors the bucket predicate and the portable cosine
+    * exactly; the % 13 split simulates a held-out benchmark set. */
+  private val q148 = {
+    val (nBits, thr) = (4, 0.3)
+    val bucketSql = signBucketSql(nBits)
+    Q(
+      "q148_semantic_decontam",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Decontaminate.semanticScreen(
+          emb.filter(col("vec_id") % 13 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+          thr, nBits)
+          .orderBy("test_id", "train_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          ($bucketSql) AS bucket FROM embeddings),
+        te AS (SELECT vec_id AS test_id, v, bucket FROM c WHERE vec_id % 13 = 0),
+        tr AS (SELECT vec_id AS train_id, v, bucket FROM c WHERE vec_id % 13 <> 0)
+        SELECT te.test_id, tr.train_id, ${cosineSql("tr.v", "te.v")} AS cos_sim
+        FROM tr JOIN te ON tr.bucket = te.bucket
+        WHERE ${cosineSql("tr.v", "te.v")} >= $thr
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146, q147)
+      q138, q140, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -621,4 +621,29 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", col("is_target"), 32)
       .filter(col("doc_id") === 201L).count() shouldBe 0L
   }
+
+  test("semanticScreen flags same-bucket pairs over threshold; bucket bound documented") {
+    import graft.operators.Decontaminate
+    // 4-dim vectors; nBits=2 buckets on the sign of the first 2 dims.
+    // test vec t0 = (+,+,...); train:
+    //  a: same bucket, cosine ~1      -> flagged (the paraphrase case)
+    //  b: same bucket, low cosine     -> not flagged (verifier rejects)
+    //  c: DIFFERENT bucket, cosine .9 -> missed by design (recall bound)
+    val test = Seq((0L, Array(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Array(0.9f, 1.1f, 0.1f, 0f)),   // a
+      (11L, Array(0.1f, 0.1f, -5f, 5f)),    // b: same signs on dims 1-2
+      (12L, Array(1f, -0.001f, 0f, 0f)))    // c: dim-2 sign flips bucket
+      .toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticScreen(
+      train, "vec_id", "embedding", test, "vec_id", "embedding",
+      threshold = 0.6, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((0L, 10L))
+    // the missed cross-bucket pair really does clear the threshold —
+    // pins that the miss is the declared generator bound, not the verifier
+    val exact = graft.operators.Similarity.cosine(
+      lit(Array(1.0, 1.0, 0.0, 0.0)), lit(Array(1.0, -0.001, 0.0, 0.0)))
+    spark.range(1).select(exact).head.getDouble(0) should be > 0.6
+  }
 }

@@ -101,6 +101,21 @@ class PlanContractsSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("semantic decontamination screen hash-joins on the bucket, benchmark broadcast") {
+    // q148's contract: same generator discipline as q83, cross-corpus —
+    // the train side must stream through a bucket-key hash join against
+    // the broadcast benchmark side, never a train×test nested loop.
+    val emb = t(spark, dir, "embeddings")
+    val flagged = graft.operators.Decontaminate.semanticScreen(
+      emb.filter(col("vec_id") % 13 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+      threshold = 0.3, nBits = 4)
+    val plan = flagged.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("persisted IVF index probe prunes to the probed cell= partitions") {
     // q84's contract: the stored-index probe must reach the data scan as
     // PARTITION pruning (directory-level skip), not a post-scan filter —
