@@ -238,4 +238,23 @@ object Decontaminate {
         tr("_bucket") === te("_bucket") && sim >= threshold)
       .select(col("test_id"), col("train_id"), sim.as("cos_sim"))
   }
+
+  /** [[semanticScreen]] with [[Similarity.autoSignBits]] width sizing
+    * — the declared corpus-scale face (the q83→q144 pairing, applied
+    * cross-corpus): a frozen nBits makes the screen block-quadratic as
+    * the train corpus grows (per-bucket occupancy, and so per-test-doc
+    * verify work, grows linearly with the corpus); auto-sizing the
+    * width off the TRAIN side keeps expected bucket occupancy
+    * ~targetBucket, so total verify work stays ~|test|·targetBucket —
+    * linear in the benchmark, constant-per-test-doc in the corpus.
+    * Semantics at the chosen width are IDENTICAL to the fixed-nBits
+    * screen (spec-asserted); only the parameter is picked. */
+  def semanticScreenAuto(train: DataFrame, trainIdCol: String,
+      trainVecCol: String, test: DataFrame, testIdCol: String,
+      testVecCol: String, threshold: Double, targetBucket: Long = 64L,
+      broadcastTest: Boolean = true): DataFrame =
+    semanticScreen(train, trainIdCol, trainVecCol, test, testIdCol,
+      testVecCol, threshold,
+      Similarity.autoSignBits(train, trainVecCol, targetBucket),
+      broadcastTest)
 }

@@ -987,12 +987,12 @@ object PipelineQueries {
     * bit width of q−1 == ⌈log₂ q⌉ for q ≥ 2) — never float `log2`,
     * whose rounding at exact powers of two could diverge from the
     * engine. Emits a one-row `params(b)` CTE body. */
-  private def autoSignBitsSqlCte(target: Long): String =
+  private def autoSignBitsSqlCte(target: Long, where: String = ""): String =
     s"""params AS (
       SELECT GREATEST(1, LEAST(
-        (SELECT min(len(CAST(embedding AS DOUBLE[]))) FROM embeddings), 62,
+        (SELECT min(len(CAST(embedding AS DOUBLE[]))) FROM embeddings $where), 62,
         CASE WHEN q <= 1 THEN 1 ELSE len(bin(q - 1)) END)) AS b
-      FROM (SELECT (count(*) + ${target - 1}) // $target AS q FROM embeddings))"""
+      FROM (SELECT (count(*) + ${target - 1}) // $target AS q FROM embeddings $where))"""
 
   /** Dynamic-width sign bucket over a DOUBLE[] column `v` (params.b
     * bits): the list-comprehension form of [[signBucketSql]], needed
@@ -1168,8 +1168,39 @@ object PipelineQueries {
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 
+  /** q148's AUTO-SIZED twin (the q83→q144 pairing, cross-corpus): the
+    * screen width comes from [[Similarity.autoSignBits]] over the
+    * TRAIN partition, so per-bucket occupancy — and with it the
+    * per-test-doc verify work — stays ~targetBucket as the corpus
+    * grows, where q148's frozen width fattens linearly. The oracle
+    * recomputes the width from the train partition with the same
+    * integer binary-length log2 (the q144 discipline, with the params
+    * CTE scoped by the split predicate). */
+  private val q149 = {
+    val (target, thr) = (64L, 0.3)
+    Q(
+      "q149_semantic_decontam_auto",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Decontaminate.semanticScreenAuto(
+          emb.filter(col("vec_id") % 13 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+          thr, target)
+          .orderBy("test_id", "train_id")
+      },
+      Some(s"""WITH ${autoSignBitsSqlCte(target, "WHERE vec_id % 13 <> 0")},
+        c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id, v, ${autoBucketSql("v")} AS bucket FROM c0),
+        te AS (SELECT vec_id AS test_id, v, bucket FROM c WHERE vec_id % 13 = 0),
+        tr AS (SELECT vec_id AS train_id, v, bucket FROM c WHERE vec_id % 13 <> 0)
+        SELECT te.test_id, tr.train_id, ${cosineSql("tr.v", "te.v")} AS cos_sim
+        FROM tr JOIN te ON tr.bucket = te.bucket
+        WHERE ${cosineSql("tr.v", "te.v")} >= $thr
+        ORDER BY 1, 2""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146, q147, q148)
+      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149)
 }

@@ -646,4 +646,21 @@ class CurationSpec extends SparkSpec {
       lit(Array(1.0, 1.0, 0.0, 0.0)), lit(Array(1.0, -0.001, 0.0, 0.0)))
     spark.range(1).select(exact).head.getDouble(0) should be > 0.6
   }
+
+  test("semanticScreenAuto equals the fixed-width screen at the matched width") {
+    import graft.operators.{Decontaminate, Similarity}
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val train = (0 until 120).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val test = (200 until 215).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val nb = Similarity.autoSignBits(train, "embedding", targetBucket = 16)
+    nb shouldBe 3 // ceil(120/16)=8 -> 3 bits; pins the width the twin ran at
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("test_id", "train_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    rows(Decontaminate.semanticScreenAuto(
+      train, "vec_id", "embedding", test, "vec_id", "embedding", 0.3, 16)) shouldBe
+      rows(Decontaminate.semanticScreen(
+        train, "vec_id", "embedding", test, "vec_id", "embedding", 0.3, nb))
+  }
 }
