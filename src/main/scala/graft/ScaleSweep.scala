@@ -96,43 +96,45 @@ object ScaleSweep {
     // net of host speed, the way BENCH artifacts already are.
     val controls = Seq("q47_stats_moments", "q65_date_arithmetic",
       "q82_null_ordering")
-    val controlRef: Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("docs/BENCH_FULL.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // SF guard (same as Bench's driftPart): the committed control
-        // times are only a box-speed reference when measured on the
-        // SAME data — a sweep based at a different SF would otherwise
-        // record a data-size ratio as a "box speed" and mis-normalize
-        // every curvature number read through it
-        if (!txt.contains(s""""sf":"$baseDir"""")) None
-        else {
-          val refs = controls.map { n =>
-            val m = s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
-            m.map(_.group(1).toDouble)
-          }
-          if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
-        }
-      } catch { case _: Throwable => None }
-    // Per-query warm times from the committed quiet-box baseline
-    // (sf-guarded like the control reference): big_warm values are
-    // stable run-over-run at x100, but a same-run SUB-SECOND base
-    // re-measure swings the ratio wildly (q22 measured 14.8x vs 55.3x
-    // across two same-day runs purely from a 0.38 s vs 1.64 s base
-    // min-of-3) — so each row also reports ratio_vs_committed, the
-    // curvature against the baseline's min-of-3 base number.
+    // ONE read of the committed quiet-box baseline feeds both
+    // references below, with one shared SF guard (Bench's driftPart
+    // rule: the committed times are only a reference when measured on
+    // the SAME data — a sweep based at a different SF would otherwise
+    // record a data-size ratio as "box speed"). The per-query scrape
+    // is anchored INSIDE the `"queries":{...}` object: the artifact
+    // repeats every query key in `queries_cold`, and a whole-text
+    // first-match would silently switch to cold times (~2-3× warm) if
+    // Bench's field order ever changed — the exact mis-normalization
+    // class this machinery exists to prevent.
     val committedWarm: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("docs/BENCH_FULL.json")),
           java.nio.charset.StandardCharsets.UTF_8)
         if (!txt.contains(s""""sf":"$baseDir"""")) Map.empty
-        else names.flatMap { n =>
-          s""""$n":([0-9.]+)""".r.findFirstMatchIn(txt)
-            .map(m => n -> m.group(1).toDouble)
-        }.toMap
+        else {
+          val start = txt.indexOf("\"queries\":{")
+          val end = if (start < 0) -1 else txt.indexOf("}", start)
+          if (end < 0) Map.empty
+          else {
+            val qtxt = txt.substring(start, end)
+            (names ++ controls).distinct.flatMap { n =>
+              s""""$n":([0-9.]+)""".r.findFirstMatchIn(qtxt)
+                .map(m => n -> m.group(1).toDouble)
+            }.toMap
+          }
+        }
       } catch { case _: Throwable => Map.empty }
+    val controlRef: Option[Double] = {
+      val refs = controls.map(committedWarm.get)
+      if (refs.forall(_.isDefined)) Some(refs.flatten.sum) else None
+    }
+    // Per-query warm times serve the rows too: big_warm values are
+    // stable run-over-run at x100, but a same-run SUB-SECOND base
+    // re-measure swings the ratio wildly (q22 measured 14.8x vs 55.3x
+    // across two same-day runs purely from a 0.38 s vs 1.64 s base
+    // min-of-3) — so each row also reports ratio_vs_committed, the
+    // curvature against the baseline's min-of-3 base number.
 
     val rows = names.map { n =>
       val (cb, wb) = time(n, baseDir)

@@ -214,9 +214,15 @@ object Decontaminate {
     * from a sign-bucket EQUI-join — hash join on the bucket key, never
     * train×test — with the exact rounded cosine verifying inside the
     * join condition so only survivors materialize. The benchmark side
-    * is ingest-sized and BROADCASTS; the 100 TB train side streams
-    * through in place, exactly like the n-gram screen's broadcast
-    * semi-join. Recall is the sign-bucket bound in `nBits` (a
+    * is ingest-sized and BROADCASTS. The train side is first PROJECTED
+    * to (bucket, id, vec) and then takes one explicit-N round-robin
+    * exchange — the [[Similarity.bucketedNearDupPairs]] trade: the
+    * verify stage is tiny-bytes/heavy-CPU and AQE would coalesce it
+    * onto a handful of cores without the explicit spread. What moves
+    * is the projected id+vector columns, never the corpus' text/
+    * payload; drop to a plain `.filter`-side join if the input's
+    * partitioning already spreads the vectors. Recall is the
+    * sign-bucket bound in `nBits` (a
     * threshold-clearing pair in different buckets is missed — the same
     * declared trade as q83; raise recall by lowering nBits or probing
     * neighbor buckets upstream). */
