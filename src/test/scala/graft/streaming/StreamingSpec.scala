@@ -891,4 +891,38 @@ class StreamingSpec extends SparkSpec {
     spark.table("t_neardup_evict").select("docId", "dupOf")
       .as[(Long, Long)].collect().toSet shouldBe Set((2L, 1L), (5L, 3L))
   }
+
+  test("semantic decontamination screens ingest-time: stream-static ≡ batch") {
+    // The q148 screen is STATELESS on streams by construction: the
+    // benchmark side is static and broadcast, the bucket equi-join +
+    // cosine verify need no watermark, no state store — so the same
+    // operator call runs unchanged on a readStream and must emit
+    // exactly the batch screen's rows (the engine-wide stream/batch
+    // parity discipline).
+    import graft.operators.Decontaminate
+    val testSet = Seq(
+      (0L, Array(1f, 1f, 0f, 0f)),
+      (1L, Array(-1f, 1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val trainRows = Seq(
+      (10L, Array(0.9f, 1.1f, 0.1f, 0f)),   // near test 0, same bucket
+      (11L, Array(-0.8f, 0.9f, 1.2f, 0f)),  // near test 1, same bucket
+      (12L, Array(0.1f, -5f, 0f, 1f)))      // far from both
+    val in = MemoryStream[(Long, Array[Float])]
+    val screened = Decontaminate.semanticScreen(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      testSet, "vec_id", "embedding", threshold = 0.6, nBits = 2)
+    val q = screened.writeStream.format("memory").queryName("t_sem_screen")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(trainRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val streamOut = norm(spark.table("t_sem_screen"))
+    val batchOut = norm(Decontaminate.semanticScreen(
+      trainRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      testSet, "vec_id", "embedding", threshold = 0.6, nBits = 2))
+    streamOut shouldBe batchOut
+    streamOut.map(t => (t._1, t._2)) shouldBe Seq((0L, 10L), (1L, 11L))
+  }
 }
