@@ -232,10 +232,14 @@ object Bench {
             .withColumn("_d2", aggregate(
               zip_with(col("_v"), col("_qv"), (x, y) => (x - y) * (x - y)),
               lit(0.0), (acc, d) => acc + d)),
-            col("_d2").asc),
+            // nulls LAST: a NULL embedding gives a NULL _d2, and plain
+            // .asc (nulls first) would fill every truth set with
+            // unreachable null rows — the cosine truth is immune only
+            // because .desc defaults to nulls last
+            col("_d2").asc_nulls_last),
           (graft.operators.Similarity.probeIvfPqIndex(
             spark, idxDir, "vec_id", queries, "vec_id", "embedding", RecallK, nP),
-            col("d2_approx").asc))
+            col("d2_approx").asc_nulls_last))
       }
     }
     // RECALL DRIFT BOUND (SURVEY §15.7 item 4, activated with round

@@ -19,11 +19,13 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
   *    write per round for it.
   *
   * Results are IDENTICAL in both modes (CheckpointsSpec pins this) —
-  * only failure-recovery economics differ. Reliable-checkpoint files
-  * are cleaned by Spark at context stop when
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, else they
-  * persist under the checkpoint dir for manual cleanup — standard
-  * Spark semantics, documented here rather than re-implemented. */
+  * only failure-recovery economics differ. Storage lifecycle: each
+  * iterative loop calls [[release]] on superseded rounds, which frees
+  * local-checkpoint blocks AND (reliable mode) deletes that round's
+  * checkpoint files eagerly — without the eager delete a loop would
+  * leak one DFS file generation per round until driver GC + the
+  * ContextCleaner (and only with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`) got to it. */
 object Checkpoints {
 
   // the raw conf value last passed to setCheckpointDir: SparkContext
@@ -40,15 +42,22 @@ object Checkpoints {
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (pointedAt != dir) { sc.setCheckpointDir(dir); pointedAt = dir }
+        // the memo is JVM-global but the checkpoint dir lives on the
+        // CONTEXT: after a context restart getCheckpointDir is empty
+        // again even though pointedAt still matches, and skipping the
+        // re-point would make df.checkpoint() throw
+        if (pointedAt != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir); pointedAt = dir
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
 
   /** Release the storage behind a [[stable]] frame once dead: for a
-    * local checkpoint this frees its executor blocks (see
-    * [[CheckpointBridge]]); for a reliable one the RDD holds no blocks
-    * and the call is a harmless no-op (files follow the standard
-    * cleaner semantics above). */
+    * local checkpoint this frees its executor blocks; for a reliable
+    * one it DELETES the round's checkpoint files eagerly (see
+    * [[CheckpointBridge]] — the loop-leak rationale is in the object
+    * doc above). Call it only once the frame is truly dead: any later
+    * action on it, or on a sibling still reading its files, fails. */
   def release(df: Dataset[_]): Unit = CheckpointBridge.release(df)
 }

@@ -401,12 +401,16 @@ object Dedup {
   def writeSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, idCol: String, textCol: String, dir: String,
       bits: Int = 32): Unit = {
-    simhash(corpus, idCol, textCol, bits)
-      .write.mode("overwrite").parquet(s"$dir/data")
-    spark.range(1).select(lit(bits).as("bits"))
-      .write.mode("overwrite").parquet(s"$dir/params")
-    StoredIndex.writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(spark, dir) {
+      simhash(corpus, idCol, textCol, bits)
+        .write.mode("overwrite").parquet(s"$dir/data")
+      spark.range(1).select(lit(bits).as("bits"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+      StoredIndex.writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Incremental ingest into a stored signature index: fingerprint the
@@ -450,12 +454,16 @@ object Dedup {
   def writeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, idCol: String, textCol: String, dir: String,
       k: Int = 16, shingleN: Int = 3): Unit = {
-    minhashSignatureShingled(corpus, idCol, textCol, k, shingleN)
-      .write.mode("overwrite").parquet(s"$dir/data")
-    spark.range(1).select(lit(k).as("k"), lit(shingleN).as("shingle_n"))
-      .write.mode("overwrite").parquet(s"$dir/params")
-    StoredIndex.writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(spark, dir) {
+      minhashSignatureShingled(corpus, idCol, textCol, k, shingleN)
+        .write.mode("overwrite").parquet(s"$dir/data")
+      spark.range(1).select(lit(k).as("k"), lit(shingleN).as("shingle_n"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+      StoredIndex.writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Incremental ingest into the stored minhash index: sign the batch
@@ -533,12 +541,17 @@ object Dedup {
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, nFiles: Int = 1): Unit = {
     require(nFiles >= 1, "nFiles must be >= 1")
-    // durable swap: the replacement is fully on disk before the old
-    // copy is deleted (a checkpoint-then-overwrite would hold the only
-    // copy in non-durable executor blocks mid-rewrite)
-    StoredIndex.swapRewrite(spark, s"$dir/data") { tmp =>
-      spark.read.parquet(s"$dir/data").repartition(nFiles)
-        .write.parquet(tmp)
+    // single-writer: without the lock, an append committing between
+    // this read and the swap would be silently dropped by the swap
+    // while meta's watermark says its ids are indexed
+    StoredIndex.withAppendLock(spark, dir) {
+      // durable swap: the replacement is fully on disk before the old
+      // copy is deleted (a checkpoint-then-overwrite would hold the only
+      // copy in non-durable executor blocks mid-rewrite)
+      StoredIndex.swapRewrite(spark, s"$dir/data") { tmp =>
+        spark.read.parquet(s"$dir/data").repartition(nFiles)
+          .write.parquet(tmp)
+      }
     }
   }
 
@@ -894,12 +907,16 @@ object Dedup {
   def writeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, idCol: String, textCol: String, dir: String,
       kGram: Int = 3, w: Int = 4): Unit = {
-    winnowFingerprints(corpus, idCol, textCol, kGram, w)
-      .write.mode("overwrite").parquet(s"$dir/data")
-    spark.range(1).select(lit(kGram).as("k_gram"), lit(w).as("w"))
-      .write.mode("overwrite").parquet(s"$dir/params")
-    StoredIndex.writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(spark, dir) {
+      winnowFingerprints(corpus, idCol, textCol, kGram, w)
+        .write.mode("overwrite").parquet(s"$dir/data")
+      spark.range(1).select(lit(kGram).as("k_gram"), lit(w).as("w"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+      StoredIndex.writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Incremental ingest into the stored winnow index: fingerprint the

@@ -181,15 +181,22 @@ object Retrieval {
     // seg=0-only overwrite would leave inflating tf/df in every probe.
     // Crash contract = [[StoredIndex.swapRewrite]]'s: at every instant
     // either the old index or a complete `<dir>_tmp` exists on disk.
-    StoredIndex.swapRewrite(spark, dir) { tmp =>
-      postingsSegment(base).write.parquet(s"$tmp/postings/seg=0")
-      base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
-        .write.parquet(s"$tmp/doclens")
-      base.agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(size(col("_toks"))).cast("long").as("sum_dl"))
-        .write.parquet(s"$tmp/stats")
-      StoredIndex.writeMaxIdMeta(spark, tmp,
-        StoredIndex.requiredMaxId(base, "id"))
+    // Single-writer: the lock makes a concurrent append fail loudly
+    // instead of landing a segment the swap then silently wipes. This
+    // is the whole-dir-swap case [[StoredIndex.withAppendLock]]'s
+    // scaladoc covers: the swap relocates the lock file with the old
+    // dir, and release is ownership-checked for exactly that reason.
+    StoredIndex.withAppendLock(spark, dir) {
+      StoredIndex.swapRewrite(spark, dir) { tmp =>
+        postingsSegment(base).write.parquet(s"$tmp/postings/seg=0")
+        base.select(col("id"), size(col("_toks")).cast("long").as("dl"))
+          .write.parquet(s"$tmp/doclens")
+        base.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(size(col("_toks"))).cast("long").as("sum_dl"))
+          .write.parquet(s"$tmp/stats")
+        StoredIndex.writeMaxIdMeta(spark, tmp,
+          StoredIndex.requiredMaxId(base, "id"))
+      }
     }
   }
 
@@ -235,19 +242,23 @@ object Retrieval {
     * fan-in). Disjoint id ranges make the merge a re-aggregate of the
     * decoded union; probes before and after are identical by
     * construction (RetrievalSpec asserts it). */
-  def compactRetrievalIndex(spark: SparkSession, dir: String): Unit = {
-    val merged = decodeSegments(spark.read.parquet(s"$dir/postings"))
-      .select(col("id"), col("token"), col("tf"))
-    val seg = encodeSegment(merged
-      .groupBy(col("token"), col("id"))
-      .agg(sum(col("tf")).as("tf")))
-    // durable swap: the merged segment is fully on disk before the old
-    // postings are deleted (the previous checkpoint-then-delete held
-    // the only copy in non-durable executor blocks mid-rewrite)
-    StoredIndex.swapRewrite(spark, s"$dir/postings") { tmp =>
-      seg.write.parquet(s"$tmp/seg=0")
+  def compactRetrievalIndex(spark: SparkSession, dir: String): Unit =
+    // single-writer: a segment appended between the (lazy) segment read
+    // below and the swap would otherwise vanish from the merged index
+    // while doclens/stats/meta still count its rows
+    StoredIndex.withAppendLock(spark, dir) {
+      val merged = decodeSegments(spark.read.parquet(s"$dir/postings"))
+        .select(col("id"), col("token"), col("tf"))
+      val seg = encodeSegment(merged
+        .groupBy(col("token"), col("id"))
+        .agg(sum(col("tf")).as("tf")))
+      // durable swap: the merged segment is fully on disk before the old
+      // postings are deleted (the previous checkpoint-then-delete held
+      // the only copy in non-durable executor blocks mid-rewrite)
+      StoredIndex.swapRewrite(spark, s"$dir/postings") { tmp =>
+        seg.write.parquet(s"$tmp/seg=0")
+      }
     }
-  }
 
   /** Rebuild (token, id, tf) from stored segments: per-token running
     * sum over the posting-sized exploded stream restores absolute ids.

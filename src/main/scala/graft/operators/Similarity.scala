@@ -375,17 +375,21 @@ object Similarity {
     * recall test. */
   def writeIvfIndexDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nCentroids: Int): Unit = {
-    val centers = detCenters(corpus, idCol, vecCol, nCentroids)
-    detAssign(corpus, idCol, vecCol, centers)
-      .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
-      .repartition(col("cell"))  // cluster rows by the partition column first:
-      // without it every task opens a file per cell it sees (tasks x
-      // cells small files — the classic partitioned-write fanout)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
-    centers.select(col("_cell").as("cell"), col("_center").as("center"))
-      .write.mode("overwrite").parquet(s"$dir/centers")
-    writeMaxIdMeta(corpus.sparkSession, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(corpus.sparkSession, dir) {
+      val centers = detCenters(corpus, idCol, vecCol, nCentroids)
+      detAssign(corpus, idCol, vecCol, centers)
+        .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+        .repartition(col("cell"))  // cluster rows by the partition column first:
+        // without it every task opens a file per cell it sees (tasks x
+        // cells small files — the classic partitioned-write fanout)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+      centers.select(col("_cell").as("cell"), col("_center").as("center"))
+        .write.mode("overwrite").parquet(s"$dir/centers")
+      writeMaxIdMeta(corpus.sparkSession, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Collect a probes frame ((query_id, _qvec, _cell) rows) ONCE and
@@ -444,29 +448,33 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nCentroids: Int, seed: Long = 42L,
       quantizerIter: Int = 5, trainFraction: Double = 0.25): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
-    val train = Sampling.deterministic(featured, idCol, trainFraction)
-      .select("_feat").persist()
-    val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
-      .setInitMode("random")
-      .setFeaturesCol("_feat").setPredictionCol("cell")
-      .fit(train)
-    train.unpersist(blocking = false)
-    model.transform(featured).drop("_feat")
-      .repartition(col("cell"))  // cluster rows by the partition column first:
-      // without it every task opens a file per cell it sees (tasks x
-      // cells small files — the classic partitioned-write fanout)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
-      .write.mode("overwrite").parquet(s"$dir/centers")
-    writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(corpus.sparkSession, dir) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
+      val train = Sampling.deterministic(featured, idCol, trainFraction)
+        .select("_feat").persist()
+      val model = new KMeans()
+        .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
+        .setInitMode("random")
+        .setFeaturesCol("_feat").setPredictionCol("cell")
+        .fit(train)
+      train.unpersist(blocking = false)
+      model.transform(featured).drop("_feat")
+        .repartition(col("cell"))  // cluster rows by the partition column first:
+        // without it every task opens a file per cell it sees (tasks x
+        // cells small files — the classic partitioned-write fanout)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
+        .write.mode("overwrite").parquet(s"$dir/centers")
+      writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query are
@@ -752,26 +760,30 @@ object Similarity {
     * write→probe round trip is oracle-checkable (q88). */
   def writeIvfPqIndexDeterministic(corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, nCentroids: Int, m: Int, k: Int): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centers = detCenters(corpus, idCol, vecCol, nCentroids)
-    val model = pqModelDeterministic(corpus, idCol, vecCol, m, k)
-    val assigned = detAssign(corpus, idCol, vecCol, centers)
-      .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
-    pqEncode(assigned, "_vec", model, rounded = true)
-      .select(col(idCol), col("codes"), col("cell"))
-      .repartition(col("cell"))  // cluster rows by the partition column first:
-      // without it every task opens a file per cell it sees (tasks x
-      // cells small files — the classic partitioned-write fanout)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
-    centers.select(col("_cell").as("cell"), col("_center").as("center"))
-      .write.mode("overwrite").parquet(s"$dir/centers")
-    val cb = for { j <- 0 until m; c <- 0 until k }
-      yield (j, c, model.centroids(j)(c).toSeq)
-    cb.toDF("j", "code", "center")
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centers = detCenters(corpus, idCol, vecCol, nCentroids)
+      val model = pqModelDeterministic(corpus, idCol, vecCol, m, k)
+      val assigned = detAssign(corpus, idCol, vecCol, centers)
+        .select(col("_id").as(idCol), col("_v").as("_vec"), col("_cell").as("cell"))
+      pqEncode(assigned, "_vec", model, rounded = true)
+        .select(col(idCol), col("codes"), col("cell"))
+        .repartition(col("cell"))  // cluster rows by the partition column first:
+        // without it every task opens a file per cell it sees (tasks x
+        // cells small files — the classic partitioned-write fanout)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+      centers.select(col("_cell").as("cell"), col("_center").as("center"))
+        .write.mode("overwrite").parquet(s"$dir/centers")
+      val cb = for { j <- 0 until m; c <- 0 until k }
+        yield (j, c, model.centroids(j)(c).toSeq)
+      cb.toDF("j", "code", "center")
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+      writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   // Max-id meta + append-only id-discipline validation are shared
@@ -875,36 +887,40 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nCentroids: Int, m: Int, k: Int, seed: Long = 42L,
       quantizerIter: Int = 5, trainFraction: Double = 0.25): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
-    val train = Sampling.deterministic(featured, idCol, trainFraction)
-      .select("_feat").persist()
-    val coarse = new KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
-      .setInitMode("random")
-      .setFeaturesCol("_feat").setPredictionCol("cell")
-      .fit(train)
-    train.unpersist(blocking = false)
-    val pq = pqTrain(corpus, idCol, vecCol, m, k, seed, quantizerIter,
-      trainFraction)
-    pqEncode(coarse.transform(featured).drop("_feat"), vecCol, pq)
-      .select(col(idCol), col("codes"), col("cell"))
-      .repartition(col("cell"))  // cluster rows by the partition column first:
-      // without it every task opens a file per cell it sees (tasks x
-      // cells small files — the classic partitioned-write fanout)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
-    coarse.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
-      .write.mode("overwrite").parquet(s"$dir/centers")
-    val cb = for { j <- 0 until m; c <- 0 until k }
-      yield (j, c, pq.centroids(j)(c).toSeq)
-    cb.toDF("j", "code", "center")
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    writeMaxIdMeta(spark, dir,
-      StoredIndex.requiredMaxId(corpus, idCol))
+    // single-writer: a rebuild racing a locked append would overwrite
+    // data the append's meta watermark already claims is indexed
+    StoredIndex.withAppendLock(corpus.sparkSession, dir) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val featured = corpus.withColumn("_feat", array_to_vector(asDouble(col(vecCol))))
+      val train = Sampling.deterministic(featured, idCol, trainFraction)
+        .select("_feat").persist()
+      val coarse = new KMeans()
+        .setK(nCentroids).setSeed(seed).setMaxIter(quantizerIter)
+        .setInitMode("random")
+        .setFeaturesCol("_feat").setPredictionCol("cell")
+        .fit(train)
+      train.unpersist(blocking = false)
+      val pq = pqTrain(corpus, idCol, vecCol, m, k, seed, quantizerIter,
+        trainFraction)
+      pqEncode(coarse.transform(featured).drop("_feat"), vecCol, pq)
+        .select(col(idCol), col("codes"), col("cell"))
+        .repartition(col("cell"))  // cluster rows by the partition column first:
+        // without it every task opens a file per cell it sees (tasks x
+        // cells small files — the classic partitioned-write fanout)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+      coarse.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("cell", "center")
+        .write.mode("overwrite").parquet(s"$dir/centers")
+      val cb = for { j <- 0 until m; c <- 0 until k }
+        yield (j, c, pq.centroids(j)(c).toSeq)
+      cb.toDF("j", "code", "center")
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+      writeMaxIdMeta(spark, dir,
+        StoredIndex.requiredMaxId(corpus, idCol))
+    }
   }
 
   /** Probe a TRAINED composed index: L2 routing to the `nProbe` nearest
@@ -1048,31 +1064,36 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxFilesPerCell: Int = 1): Unit = {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crowded = fs.listStatus(dataPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .filter(s => fs.listStatus(s.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toInt)
-    if (crowded.nonEmpty) {
-      val merged = spark.read.parquet(s"$dir/data")
-        .filter(col("cell").isin(crowded: _*)) // partition-pruned read
-        .repartition(col("cell")) // one writer task per cell → one file
-        .localCheckpoint() // stable snapshot of the cells being replaced
-      // Durability note: dynamic partition overwrite STAGES the
-      // replacement files on durable storage before job commit, so no
-      // point in the rewrite holds the data in memory only. The commit
-      // itself is per-partition delete-then-rename, so a crash MID
-      // COMMIT can leave a cell deleted with its replacement still in
-      // the dot-prefixed staging dir (probes skip it silently) —
-      // recover by finishing the rename from .spark-staging-*, or
-      // re-run the compaction. The flat signature/postings compactions
-      // use StoredIndex.swapRewrite, whose failure mode is loud
-      // instead (complete copy always at path or path_tmp).
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // replace ONLY crowded cells
-        .partitionBy("cell").parquet(s"$dir/data")
+    // single-writer: files appended into a crowded cell between the
+    // snapshot below and the dynamic-overwrite commit would be wiped
+    // with the cell — the lock makes that append fail loudly instead
+    StoredIndex.withAppendLock(spark, dir) {
+      val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val crowded = fs.listStatus(dataPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .filter(s => fs.listStatus(s.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+        .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      if (crowded.nonEmpty) {
+        val merged = spark.read.parquet(s"$dir/data")
+          .filter(col("cell").isin(crowded: _*)) // partition-pruned read
+          .repartition(col("cell")) // one writer task per cell → one file
+          .localCheckpoint() // stable snapshot of the cells being replaced
+        // Durability note: dynamic partition overwrite STAGES the
+        // replacement files on durable storage before job commit, so no
+        // point in the rewrite holds the data in memory only. The commit
+        // itself is per-partition delete-then-rename, so a crash MID
+        // COMMIT can leave a cell deleted with its replacement still in
+        // the dot-prefixed staging dir (probes skip it silently) —
+        // recover by finishing the rename from .spark-staging-*, or
+        // re-run the compaction. The flat signature/postings compactions
+        // use StoredIndex.swapRewrite, whose failure mode is loud
+        // instead (complete copy always at path or path_tmp).
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic") // replace ONLY crowded cells
+          .partitionBy("cell").parquet(s"$dir/data")
+      }
     }
   }
 }

@@ -76,44 +76,99 @@ object StoredIndex {
       }
     }
 
-  /** SINGLE-WRITER enforcement for the append path: the whole
-    * validate → prepare → pending → write → clear sequence is a
-    * read-modify-write over shared state (meta watermark, stats rows,
-    * segment numbering), so two concurrent appends that both pass
-    * validation would read the same old stats/segment listing and one
-    * delta would be silently lost. The lock is an atomically-created
-    * file (`FileSystem.create` with overwrite=false — atomic on HDFS;
-    * best-effort on a raw local FS, which has no concurrent executors
-    * anyway): the second writer fails LOUDLY instead of racing.
-    * Crash recovery mirrors the pending-meta contract: a lock left by
-    * a dead writer blocks appends until an operator verifies the
-    * meta/pending state and deletes `<dir>/_append_lock`. */
+  /** SINGLE-WRITER enforcement for every mutation of shared index
+    * state: appends (the original client — the whole validate →
+    * prepare → pending → write → clear sequence is a read-modify-write
+    * over meta watermark, stats rows, segment numbering), and since
+    * round 10 also COMPACTIONS and whole-index REBUILDS, whose
+    * read-then-swap would otherwise silently drop a delta that a
+    * concurrent (locked!) append committed between the read and the
+    * swap. The lock is an atomically-created file (`FileSystem.create`
+    * with overwrite=false — atomic on HDFS; best-effort on a raw local
+    * FS, which has no concurrent executors anyway): the second writer
+    * fails LOUDLY instead of racing.
+    *
+    * Two subtleties for WHOLE-DIR swap holders ([[Retrieval.writeRetrievalIndex]]
+    * swaps `dir` itself while the lock lives INSIDE `dir`):
+    *  - acquisition first finishes any crashed swap of `dir` (live name
+    *    missing, complete `_tmp`/`_old` present): creating the lock file
+    *    would CREATE the bare dir and mask the leftovers from
+    *    [[swapRewrite]]'s own recovery;
+    *  - release verifies OWNERSHIP by payload: the swap's rename
+    *    relocates the holder's lock file into `<dir>_old` (deleted with
+    *    it), so after the swap the live path may hold a DIFFERENT
+    *    writer's fresh lock — an unconditional delete would break its
+    *    mutual exclusion.
+    *
+    * Crash recovery: a lock whose payload names a SAME-HOST pid that is
+    * no longer alive is broken automatically (delete + one retry —
+    * both stale-breakers racing resolves loudly, since only one
+    * re-create can win). Any other lock — live pid, other host, or
+    * unreadable payload — blocks mutations until an operator verifies
+    * the meta/pending state and deletes `<dir>/_append_lock`, the
+    * pending-meta contract's repair discipline. Without the same-host
+    * breaker a SIGKILLed writer would wedge every future append AND
+    * every oracle query that rebuilds its index (the correctness gate
+    * rebuilds retrieval/IVF indexes per run). */
   def withAppendLock[A](spark: SparkSession, dir: String)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
+    recoverSwap(fs, new org.apache.hadoop.fs.Path(dir))
+    def readLock(): Option[String] = scala.util.Try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }.toOption
+    def acquire(retryStale: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(lock, false)
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"another append to $dir holds $lock (or a crashed one left " +
-            "it): concurrent appends would lose a stats/watermark delta. " +
-            "If the holder is dead, verify meta pending state, then " +
-            "delete the lock file.", e)
+        case e: java.io.IOException =>
+          val held = readLock()
+          val staleSameHost = retryStale && held.exists { s =>
+            "host=(\\S+) pid=(\\d+)".r.findFirstMatchIn(s).exists { g =>
+              val ph = ProcessHandle.of(g.group(2).toLong)
+              g.group(1) == hostName && (!ph.isPresent || !ph.get.isAlive)
+            }
+          }
+          if (staleSameHost) {
+            try fs.delete(lock, false) catch { case _: Throwable => () }
+            acquire(retryStale = false)
+          } else throw new IllegalStateException(
+            s"another writer to $dir holds $lock (${held.getOrElse("unreadable")}; " +
+              "or a crashed one on another host left it): concurrent index " +
+              "mutations would lose a stats/watermark delta. If the holder " +
+              "is dead, verify meta pending state, then delete the lock file.", e)
       }
+    val out = acquire(retryStale = true)
+    val payload =
+      s"host=$hostName pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
     // the diagnostic payload write must not be able to LEAK the lock:
     // a transient failure after create would otherwise leave a
     // holderless lock that blocks every future append until manual
     // cleanup — delete-and-rethrow instead
     try {
-      out.write(s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     } catch { case e: Throwable =>
       try fs.delete(lock, false) catch { case _: Throwable => () }
       throw e
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // ownership-checked release (see scaladoc): delete only a lock
+      // that still carries OUR payload; a missing file means a
+      // whole-dir swap already retired it with `_old`
+      val mine = readLock().map(_ == payload).getOrElse(!fs.exists(lock))
+      if (mine) { try fs.delete(lock, false) catch { case _: Throwable => () } }
+    }
   }
+
+  private lazy val hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown-host" }
 
   /** Max id already in the stored index: from `dir/meta` when present,
     * else (indexes written before meta existed) one column-pruned agg
@@ -137,25 +192,34 @@ object StoredIndex {
     * the delete-then-rename form), a crash inside the gap leaves BOTH
     * a complete `_tmp` and a rollback `_old`, and the old copy is only
     * deleted after the new one holds the live name. */
+  /** Finish a crashed swap of `p` (shared by [[swapRewrite]] retries
+    * and [[withAppendLock]] acquisition): if the live name is missing,
+    * a prior swap died between its two renames and the only complete
+    * copies are `<p>_tmp` (the fully-written replacement — write()
+    * finished or the first rename would not have run; prefer it) and
+    * `<p>_old` (the rollback). Restore BEFORE any cleanup or lock
+    * creation: deleting the leftovers first would destroy the index on
+    * the very retry that is supposed to repair it, and creating a lock
+    * file first would materialize a bare live dir that masks the
+    * leftovers from this check. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(p)) {
+      val tmp = p.suffix("_tmp")
+      val old = p.suffix("_old")
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, p), s"crash recovery: rename $tmp -> $p failed")
+      else if (fs.exists(old))
+        require(fs.rename(old, p), s"crash recovery: rename $old -> $p failed")
+    }
+
   def swapRewrite(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash RECOVERY must run before cleanup: if the live name is
-    // missing, a prior swap died between its two renames and the only
-    // complete copies are `_tmp` (the fully-written replacement —
-    // write() finished or the first rename would not have run; prefer
-    // it) and `_old` (the rollback). Deleting them first — the naive
-    // "clear leftovers" order — would destroy the index on the very
-    // retry that is supposed to repair it.
-    if (!fs.exists(p)) {
-      if (fs.exists(tmp))
-        require(fs.rename(tmp, p), s"crash recovery: rename $tmp -> $path failed")
-      else if (fs.exists(old))
-        require(fs.rename(old, p), s"crash recovery: rename $old -> $path failed")
-    }
+    recoverSwap(fs, p)
     fs.delete(tmp, true) // an incomplete tmp from a crash DURING write
     fs.delete(old, true) // a rollback the prior swap never cleaned
     write(tmp.toString)

@@ -65,6 +65,53 @@ class StoredIndexDurabilitySpec extends SparkSpec {
     fs(dir).exists(new org.apache.hadoop.fs.Path(dir + "_old")) shouldBe false
   }
 
+  test("two-writer pin: compaction fails loudly while an appender holds the lock") {
+    val dir = tmpDir("lock_compact")
+    Dedup.writeSimhashIndex(spark,
+      Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // a LIVE same-host holder (our own pid): must NOT be auto-broken
+    val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
+    val out = fs(dir).create(lock, false)
+    out.write((s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"pid=${ProcessHandle.current.pid} t=0").getBytes("UTF-8"))
+    out.close()
+    intercept[IllegalStateException] { Dedup.compactSignatureIndex(spark, dir) }
+    // the holder's lock survives the refused compaction
+    fs(dir).exists(lock) shouldBe true
+    fs(dir).delete(lock, false)
+    Dedup.compactSignatureIndex(spark, dir) // and with it gone, compaction runs
+    spark.read.parquet(s"$dir/data").count() shouldBe 2L
+  }
+
+  test("a stale same-host lock from a dead writer is broken automatically") {
+    val dir = tmpDir("lock_stale")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
+    // pid far above linux pid_max: ProcessHandle.of is empty => dead
+    val out = fs(dir).create(lock, false)
+    out.write((s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      "pid=2147483646 t=0").getBytes("UTF-8"))
+    out.close()
+    StoredIndex.withAppendLock(spark, dir) { 7 } shouldBe 7
+    fs(dir).exists(lock) shouldBe false // broken, used, released
+  }
+
+  test("release is ownership-checked: a foreign lock is left in place") {
+    val dir = tmpDir("lock_foreign")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
+    StoredIndex.withAppendLock(spark, dir) {
+      // simulate a whole-dir swap retiring our lock and a new writer
+      // acquiring afterwards: replace the file with a foreign payload
+      fs(dir).delete(lock, false)
+      val out = fs(dir).create(lock, false)
+      out.write("host=elsewhere pid=1 t=0".getBytes("UTF-8"))
+      out.close()
+    }
+    // the finally must NOT have deleted the other writer's lock
+    fs(dir).exists(lock) shouldBe true
+    fs(dir).delete(lock, false)
+  }
+
   test("swapRewrite retry restores from _old when no _tmp survived") {
     val dir = tmpDir("swap_crash2") + "/idx"
     def write(path: String, tag: String): Unit =
