@@ -93,13 +93,26 @@ object PipelineQueries {
     "q24_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.5)
       .orderBy("block", "id_a", "id_b"),
+    // Oracle shape: EXPLODED-token join + hash aggregation, not per-pair
+    // list_intersect — n_int is count of shared tokens grouped by pair,
+    // n_uni = |a| + |b| - n_int from the stored per-doc distinct counts.
+    // Row-identical to the pair-intersect form (pairs with zero shared
+    // tokens, absent here, have jaccard 0 < threshold) but ~11x faster
+    // in DuckDB at sf0.1 (6.5 s vs 70 s: the intersect form sorts two
+    // 25-element lists TWICE per 3.3M pairs; this form is one
+    // vectorized hash join + group-by). Was the comparator wall's
+    // single largest row (~90 s of 290 s).
     Some(s"""CREATE OR REPLACE TEMP TABLE graft_q24_d AS
         SELECT lang AS block, doc_id AS id,
           list_distinct(string_split(text, ' ')) AS toks FROM documents;
-      WITH p AS (SELECT a.block, a.id AS id_a, b.id AS id_b,
-        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_int,
-        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_uni
-        FROM graft_q24_d a JOIN graft_q24_d b ON a.block = b.block AND a.id < b.id)
+      CREATE OR REPLACE TEMP TABLE graft_q24_t AS
+        SELECT block, id, len(toks) AS n, unnest(toks) AS tok FROM graft_q24_d;
+      WITH p AS (SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        CAST(count(*) AS BIGINT) AS n_int,
+        CAST(any_value(a.n) + any_value(b.n) - count(*) AS BIGINT) AS n_uni
+        FROM graft_q24_t a JOIN graft_q24_t b
+          ON a.block = b.block AND a.tok = b.tok AND a.id < b.id
+        GROUP BY 1, 2, 3)
       SELECT block, id_a, id_b, n_int, n_uni,
         ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
       FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
@@ -228,12 +241,8 @@ object PipelineQueries {
     (s, dir) => Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.5)
       .orderBy("id_a", "id_b"),
     Some((Seq(lshSigStmt, lshCandStmt, lshToksStmt) :+
-      s"""WITH p AS (SELECT id_a, id_b,
-          CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
-          CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_uni
-          FROM graft_lsh_cand cand
-            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
-            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
+      s"""WITH p AS (SELECT id_a, id_b, n_int, la + lb - n_int AS n_uni
+          FROM ($lshPairCountsCte))
         SELECT id_a, id_b, n_int, n_uni,
           ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} AS jaccard
         FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_uni")} >= 0.5
@@ -248,12 +257,8 @@ object PipelineQueries {
     (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", K, BAND, 0.8)
       .orderBy("id_a", "id_b"),
     Some((Seq(lshSigStmt, lshCandStmt, lshToksStmt) :+
-      s"""WITH p AS (SELECT id_a, id_b,
-          CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_int,
-          CAST(least(len(da.toks), len(db.toks)) AS BIGINT) AS n_min
-          FROM graft_lsh_cand cand
-            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
-            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
+      s"""WITH p AS (SELECT id_a, id_b, n_int, least(la, lb) AS n_min
+          FROM ($lshPairCountsCte))
         SELECT id_a, id_b, n_int, n_min,
           ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} AS containment
         FROM p WHERE ${PortableRound.sql4("CAST(n_int AS DOUBLE) / n_min")} >= 0.8
@@ -371,9 +376,32 @@ object PipelineQueries {
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id"""
   }
+  // EXPLODED (doc_id, n, tok) rows, not per-doc token LISTS: the
+  // Jaccard/containment verifies aggregate shared-token counts with a
+  // vectorized hash join + group-by instead of sorting two token lists
+  // per candidate pair (list_intersect) — 6.5x faster at sf0.1's 6M
+  // candidates (1.2 s vs 7.9 s), row-identical since a candidate pair
+  // with ZERO shared tokens (absent from the exploded join) has
+  // jaccard/containment 0, below every verify threshold.
   private lazy val lshToksStmt =
-    """CREATE OR REPLACE TEMP TABLE graft_lsh_toks AS
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"""
+    """CREATE OR REPLACE TEMP TABLE graft_lsh_tokx AS
+      WITH d AS (SELECT doc_id,
+        list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM d"""
+
+  /** Shared verify CTE body: exploded-token shared-count aggregation
+    * over `graft_lsh_cand` — n_int = count of shared tokens, with both
+    * sides' distinct-token counts for the jaccard / containment
+    * denominators. */
+  private lazy val lshPairCountsCte =
+    """SELECT cand.id_a, cand.id_b,
+      CAST(count(*) AS BIGINT) AS n_int,
+      CAST(any_value(ta.n) AS BIGINT) AS la,
+      CAST(any_value(tb.n) AS BIGINT) AS lb
+      FROM graft_lsh_cand cand
+        JOIN graft_lsh_tokx ta ON ta.doc_id = cand.id_a
+        JOIN graft_lsh_tokx tb ON tb.doc_id = cand.id_b AND tb.tok = ta.tok
+      GROUP BY 1, 2"""
 
   /** Full-corpus CC-over-cosine-pairs oracle — shared by q32 (one-shot
     * clustering) and q117 (incremental maintenance), whose outputs must
@@ -675,12 +703,10 @@ object PipelineQueries {
           .orderBy("cluster_id")
       },
       Some(ccTempFixpointSql("q104",
-        s"""WITH vp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-            CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
-              (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jr
-          FROM graft_lsh_cand cand
-            JOIN graft_lsh_toks da ON cand.id_a = da.doc_id
-            JOIN graft_lsh_toks db ON cand.id_b = db.doc_id)
+        s"""WITH vp AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+              CAST(n_int AS DOUBLE) / (la + lb - n_int) AS jr
+            FROM ($lshPairCountsCte))
           WHERE ${PortableRound.sql4("jr")} >= $threshold)
         SELECT id_a AS src, id_b AS dst FROM vp UNION SELECT id_b, id_a FROM vp""",
         """, cl AS (SELECT doc_id, COALESCE(LEAST(m.mn, doc_id), doc_id) AS cluster_id
