@@ -101,41 +101,49 @@ object StoredIndex {
     *    mutual exclusion.
     *
     * Crash recovery: a lock whose payload names a SAME-HOST pid that is
-    * no longer alive is broken automatically (delete + one retry —
-    * both stale-breakers racing resolves loudly, since only one
-    * re-create can win). Any other lock — live pid, other host, or
-    * unreadable payload — blocks mutations until an operator verifies
-    * the meta/pending state and deletes `<dir>/_append_lock`, the
-    * pending-meta contract's repair discipline. Without the same-host
-    * breaker a SIGKILLed writer would wedge every future append AND
-    * every oracle query that rebuilds its index (the correctness gate
-    * rebuilds retrieval/IVF indexes per run). */
+    * no longer alive is broken automatically — by RENAMING it aside
+    * first (rename is the atomic claim: of N racers that all saw the
+    * dead pid, exactly one rename succeeds; a delete-then-create break
+    * would let racer A delete the lock racer B just re-created and put
+    * two writers inside the critical section). Any other lock — live
+    * pid, other host, or unreadable payload — blocks mutations until an
+    * operator verifies the meta/pending state and deletes
+    * `<dir>/_append_lock`, the pending-meta contract's repair
+    * discipline. Without the same-host breaker a SIGKILLed writer would
+    * wedge every future append AND every oracle query that rebuilds its
+    * index (the correctness gate rebuilds retrieval/IVF indexes per
+    * run).
+    *
+    * After acquisition (and before the body) any crashed SUB-PATH swap
+    * under `dir` is finished too: a compaction that died between its
+    * two renames leaves e.g. `data` missing with the full index in
+    * `data_tmp` — an append that ran before the compaction's own retry
+    * would otherwise re-create a batch-only `data`, and the retry's
+    * leftover cleanup would then destroy the stranded full copy. Doing
+    * this INSIDE the lock means it can never touch another writer's
+    * in-flight sub-path swap (all sub-path swaps run under the lock). */
   def withAppendLock[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
     val lock = new org.apache.hadoop.fs.Path(dir, "_append_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, new org.apache.hadoop.fs.Path(dir))
-    def readLock(): Option[String] = scala.util.Try {
-      val in = fs.open(lock)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    }.toOption
+    recoverSwap(fs, dirPath)
     def acquire(retryStale: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(lock, false)
       catch {
         case e: java.io.IOException =>
-          val held = readLock()
-          val staleSameHost = retryStale && held.exists { s =>
-            "host=(\\S+) pid=(\\d+)".r.findFirstMatchIn(s).exists { g =>
-              val ph = ProcessHandle.of(g.group(2).toLong)
-              g.group(1) == hostName && (!ph.isPresent || !ph.get.isAlive)
-            }
-          }
+          val held = readSmall(fs, lock)
+          val staleSameHost = retryStale && held.exists(s => isDeadSameHost(s))
           if (staleSameHost) {
-            try fs.delete(lock, false) catch { case _: Throwable => () }
+            // atomic claim of the stale lock: rename to a unique name —
+            // exactly one racer's rename wins; winner and losers alike
+            // then re-acquire WITHOUT the stale retry, so a loser that
+            // collides with the winner's fresh live lock fails loudly
+            // instead of deleting it (the delete-then-create break let
+            // two writers into the critical section)
+            val aside = new org.apache.hadoop.fs.Path(dir,
+              s"_append_lock_broken_${ProcessHandle.current.pid}_${System.nanoTime}")
+            val won = try fs.rename(lock, aside) catch { case _: Throwable => false }
+            if (won) { try fs.delete(aside, false) catch { case _: Throwable => () } }
             acquire(retryStale = false)
           } else throw new IllegalStateException(
             s"another writer to $dir holds $lock (${held.getOrElse("unreadable")}; " +
@@ -157,11 +165,22 @@ object StoredIndex {
       try fs.delete(lock, false) catch { case _: Throwable => () }
       throw e
     }
-    try body finally {
+    try {
+      // sub-path swap recovery, under the lock (see scaladoc above)
+      scala.util.Try(fs.listStatus(dirPath)).getOrElse(Array.empty)
+        .map(_.getPath.getName)
+        .collect {
+          case n if n.endsWith("_tmp") => n.stripSuffix("_tmp")
+          case n if n.endsWith("_old") => n.stripSuffix("_old")
+        }
+        .distinct.filter(_.nonEmpty)
+        .foreach(base => recoverSwap(fs, new org.apache.hadoop.fs.Path(dir, base)))
+      body
+    } finally {
       // ownership-checked release (see scaladoc): delete only a lock
       // that still carries OUR payload; a missing file means a
       // whole-dir swap already retired it with `_old`
-      val mine = readLock().map(_ == payload).getOrElse(!fs.exists(lock))
+      val mine = readSmall(fs, lock).map(_ == payload).getOrElse(!fs.exists(lock))
       if (mine) { try fs.delete(lock, false) catch { case _: Throwable => () } }
     }
   }
@@ -170,6 +189,31 @@ object StoredIndex {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "unknown-host" }
 
+  /** Full contents of a small control file (lock payloads), reading to
+    * EOF — a single read() may legally return short on a loaded DFS,
+    * and a truncated payload would fail the release ownership check and
+    * leak the caller's own live lock. */
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = scala.util.Try {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream(256)
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0 && bos.size < 4096) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }.toOption
+
+  /** True iff a lock payload names THIS host and a pid that is no
+    * longer alive — the only state the automatic stale-breaker may
+    * claim. */
+  private def isDeadSameHost(payload: String): Boolean =
+    "host=(\\S+) pid=(\\d+)".r.findFirstMatchIn(payload).exists { g =>
+      val ph = ProcessHandle.of(g.group(2).toLong)
+      g.group(1) == hostName && (!ph.isPresent || !ph.get.isAlive)
+    }
+
   /** Max id already in the stored index: from `dir/meta` when present,
     * else (indexes written before meta existed) one column-pruned agg
     * over the data files. */
@@ -177,6 +221,45 @@ object StoredIndex {
     scala.util.Try(spark.read.parquet(s"$dir/meta").head.getLong(0))
       .getOrElse(spark.read.parquet(s"$dir/data")
         .agg(max(col(idCol).cast("long"))).head.getLong(0))
+
+  /** Finish a crashed swap of `p` (shared by [[swapRewrite]] retries
+    * and [[withAppendLock]]): if the live name is missing, a prior
+    * swap died between its two renames and the only complete copies
+    * are `<p>_tmp` (the fully-written replacement — write() finished
+    * or the first rename would not have run; prefer it) and `<p>_old`
+    * (the rollback). Restore BEFORE any cleanup or lock creation:
+    * deleting the leftovers first would destroy the index on the very
+    * retry that is supposed to repair it, and creating a lock file
+    * first would materialize a bare live dir that masks the leftovers
+    * from this check.
+    *
+    * IN-FLIGHT guard (the whole-dir case, where this runs before the
+    * lock can possibly be held): a live-name gap is also what a
+    * HEALTHY whole-dir swap passes through for one rename — and its
+    * holder's lock file travelled into `<p>_old` with the retired dir.
+    * If that relocated lock names a live same-host pid, the swap is in
+    * flight, not crashed: fail loudly instead of "recovering" (which
+    * would steal the rename from under the live writer). A dead
+    * same-host pid proceeds as crash recovery; an other-host or
+    * unreadable holder also fails loudly (can't verify liveness —
+    * manual repair, per the lock contract). */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(p)) {
+      val tmp = p.suffix("_tmp")
+      val old = p.suffix("_old")
+      val relocated = new org.apache.hadoop.fs.Path(old, "_append_lock")
+      if ((fs.exists(tmp) || fs.exists(old)) && fs.exists(relocated) &&
+          !readSmall(fs, relocated).exists(isDeadSameHost))
+        throw new IllegalStateException(
+          s"a swap of $p appears IN FLIGHT (live or unverifiable lock " +
+            s"holder at $relocated): refusing to finish it. If the " +
+            "holder is dead, delete the relocated lock and retry.")
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, p), s"crash recovery: rename $tmp -> $p failed")
+      else if (fs.exists(old))
+        require(fs.rename(old, p), s"crash recovery: rename $old -> $p failed")
+    }
 
   /** Crash-durable in-place rewrite of an index data directory: the
     * replacement is FULLY written to `<path>_tmp` before the old copy
@@ -192,27 +275,6 @@ object StoredIndex {
     * the delete-then-rename form), a crash inside the gap leaves BOTH
     * a complete `_tmp` and a rollback `_old`, and the old copy is only
     * deleted after the new one holds the live name. */
-  /** Finish a crashed swap of `p` (shared by [[swapRewrite]] retries
-    * and [[withAppendLock]] acquisition): if the live name is missing,
-    * a prior swap died between its two renames and the only complete
-    * copies are `<p>_tmp` (the fully-written replacement — write()
-    * finished or the first rename would not have run; prefer it) and
-    * `<p>_old` (the rollback). Restore BEFORE any cleanup or lock
-    * creation: deleting the leftovers first would destroy the index on
-    * the very retry that is supposed to repair it, and creating a lock
-    * file first would materialize a bare live dir that masks the
-    * leftovers from this check. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.exists(p)) {
-      val tmp = p.suffix("_tmp")
-      val old = p.suffix("_old")
-      if (fs.exists(tmp))
-        require(fs.rename(tmp, p), s"crash recovery: rename $tmp -> $p failed")
-      else if (fs.exists(old))
-        require(fs.rename(old, p), s"crash recovery: rename $old -> $p failed")
-    }
-
   def swapRewrite(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

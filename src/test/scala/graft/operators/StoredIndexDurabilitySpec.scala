@@ -112,6 +112,51 @@ class StoredIndexDurabilitySpec extends SparkSpec {
     fs(dir).delete(lock, false)
   }
 
+  test("lock acquisition finishes a crashed SUB-PATH swap before the body") {
+    val dir = tmpDir("lock_subswap")
+    // simulate a compaction of <dir>/data that died between its two
+    // renames: data missing, the full index stranded in data_tmp
+    Seq((1L, 9L), (2L, 8L)).toDF("doc_id", "simhash")
+      .write.parquet(s"$dir/data_tmp")
+    StoredIndex.writeMaxIdMeta(spark, dir, 2L)
+    StoredIndex.withAppendLock(spark, dir) {
+      // the recovery must have restored data from data_tmp BEFORE the
+      // body — an append here would otherwise re-create a batch-only
+      // data dir and the compaction retry would destroy the full copy
+      spark.read.parquet(s"$dir/data").count() shouldBe 2L
+    }
+    fs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/data_tmp")) shouldBe false
+  }
+
+  test("recoverSwap refuses to finish a whole-dir swap whose holder is live") {
+    val base = tmpDir("lock_inflight")
+    val dir = base + "/idx"
+    // mid-swap state of a LIVE holder: live name missing, complete
+    // _tmp, and the holder's relocated lock (our own live pid) in _old
+    Seq((1L, "new")).toDF("id", "v").write.parquet(dir + "_tmp")
+    val relocated = new org.apache.hadoop.fs.Path(dir + "_old", "_append_lock")
+    val out = fs(base).create(relocated, false)
+    out.write((s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"pid=${ProcessHandle.current.pid} t=0").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      StoredIndex.withAppendLock(spark, dir) { fail("body must not run") }
+    }
+    e.getMessage should include("IN FLIGHT")
+    // the in-flight swap's artifacts are untouched
+    fs(base).exists(new org.apache.hadoop.fs.Path(dir + "_tmp")) shouldBe true
+    fs(base).exists(relocated) shouldBe true
+    // once the holder is DEAD (dead-pid payload), recovery proceeds
+    fs(base).delete(relocated, false)
+    val out2 = fs(base).create(relocated, false)
+    out2.write((s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      "pid=2147483646 t=0").getBytes("UTF-8"))
+    out2.close()
+    StoredIndex.withAppendLock(spark, dir) {
+      spark.read.parquet(dir).select("v").head.getString(0) shouldBe "new"
+    }
+  }
+
   test("swapRewrite retry restores from _old when no _tmp survived") {
     val dir = tmpDir("swap_crash2") + "/idx"
     def write(path: String, tag: String): Unit =
