@@ -1096,4 +1096,158 @@ object Similarity {
       }
     }
   }
+
+  // --------------------------------------------------------------------
+  // Exact-arithmetic (oracle-portable) k-means — the TRAINED-quantizer
+  // counterpart of the deterministic-IVF family. [[ivfTopK]]'s MLlib
+  // k-means (q137) stays the float production trainer, recall-tracked
+  // per bench run; this trainer runs Lloyd's iterations entirely in
+  // INTEGER micro-units (the integer-PageRank discipline applied to
+  // clustering), so a DuckDB oracle can unroll the same iterations and
+  // hash-match the full train→assign→probe loop — iterative TRAINING
+  // itself becomes oracle-checkable, not just closed-form routing.
+  //
+  // Portability contract (each step identical on both engines):
+  //  - quantize: floor(x·1e6 + 0.5) on the float→double-exact value —
+  //    one IEEE multiply/add/floor, bitwise-equal across engines (the
+  //    l2sqScaled discipline); everything after is exact integers.
+  //  - distance: Σ(aᵢ−bᵢ)² in int64 (≤ ~9.2e13 at unit-norm-ish 64-dim
+  //    inputs — no overflow; DuckDB folds the same values in HUGEINT).
+  //  - assign: argmin by (d2, cell) — lexicographic struct min here,
+  //    row_number() over (ORDER BY d2, cell) there.
+  //  - recompute: per-dimension Σ/count with TRUNCATION toward zero
+  //    (Scala Long division ≡ DuckDB `//`, both -7/2 = -3); empty
+  //    cells keep their previous centroid.
+  //  - init: quantized vectors of the k lowest-id rows, cells 0..k-1.
+  // Determinism across partitionings is structural (integer sums
+  // commute; no float fold order, no seed, no sample) — the property
+  // the MLlib trainer cannot offer (q137's scaladoc caveat).
+  // --------------------------------------------------------------------
+
+  /** Micro-unit quantization: float component → int64 micro-units via
+    * `floor(x·1e6 + 0.5)` (exact double arithmetic on an exact
+    * float→double promotion — both engines compute the identical
+    * int64). */
+  private def microQuant(vec: Column): Column =
+    transform(asDouble(vec), x => floor(x * lit(1000000.0) + lit(0.5)))
+
+  /** Exact squared L2 between two int64 micro-unit vectors. Codegen'd
+    * higher-order functions; integer sums are fold-order-free. */
+  private def d2Micro(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Centroid table as a nested literal: per-row argmin needs no join
+    * at all — k·dim longs folded into the plan (512 for k=8, d=64). */
+  private def kmCentersLit(centers: Seq[(Int, Array[Long])]): Column =
+    array(centers.map { case (cell, c) =>
+      struct(typedLit(c.toSeq).as("c"), lit(cell).as("cell")) }: _*)
+
+  /** Nearest-centroid assignment: a NARROW projection (no join, no
+    * shuffle) — `array_min` over per-centroid (d2, cell) structs is the
+    * lexicographic argmin with the lowest-cell tie-break. */
+  private def kmAssign(vq: DataFrame, centers: Seq[(Int, Array[Long])]): DataFrame = {
+    val cand = transform(kmCentersLit(centers),
+      ct => struct(d2Micro(col("_v"), ct.getField("c")).as("_d2"),
+        ct.getField("cell").as("_cell")))
+    vq.withColumn("_b", array_min(cand))
+      .select(col("_id"), col("_v"),
+        col("_b._cell").as("_cell"), col("_b._d2").as("_d2"))
+  }
+
+  /** Quantized training frame: (id, micro-unit vector), nulls out. */
+  private def kmQuant(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), microQuant(col(vecCol)).as("_v"))
+
+  /** Train `iters` Lloyd iterations of exact micro-unit k-means;
+    * returns the final centroids (cell → int64 micro-unit vector).
+    *
+    * Scale shape: per iteration ONE narrow pass over the corpus
+    * (literal-centroid argmin) feeding a (cell, dim)-keyed partial
+    * aggregate — map-side combine leaves k·dim rows to shuffle, and the
+    * two driver collects per round (k·dim sums; k init rows) are
+    * bounded by the model size, never the corpus. The quantized frame
+    * is cached across iterations (T scans of one projection, not T
+    * re-reads of the source — drop-in for a 100 TB corpus where the
+    * re-read IS the cost). */
+  def kmeansMicroExact(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Int, Array[Long])] = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val vq = kmQuant(df, idCol, vecCol)
+    if (iters > 0) vq.persist()
+    try {
+      // init: the k lowest-id vectors, cells 0..k-1 (bounded: k rows)
+      var centers: Seq[(Int, Array[Long])] =
+        vq.orderBy(col("_id")).limit(k).collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }.toSeq
+      var it = 0
+      while (it < iters) {
+        // (cell, dim) sums/counts: k·dim rows — bounded model-size collect
+        val sums = kmAssign(vq, centers)
+          .select(col("_cell"), posexplode(col("_v")).as(Seq("_dim", "_x")))
+          .groupBy(col("_cell"), col("_dim"))
+          .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        centers = centers.map { case (cell, prev) =>
+          byCell.get(cell) match {
+            case Some(rows) =>
+              val c = prev.clone()
+              // Long division truncates toward zero — DuckDB's `//`
+              rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+              (cell, c)
+            case None => (cell, prev) // empty cell keeps its centroid
+          }
+        }
+        it += 1
+      }
+      centers
+    } finally if (iters > 0) vq.unpersist()
+  }
+
+  /** Final cluster assignment under trained centroids:
+    * (idCol, cell, d2) — the whole training loop's outcome as a
+    * hash-checkable frame (q150). */
+  def kmeansAssignMicro(df: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Int, Array[Long])]): DataFrame =
+    kmAssign(kmQuant(df, idCol, vecCol), centers)
+      .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"),
+        col("_d2").as("d2"))
+
+  /** IVF top-k through the TRAINED exact quantizer: train
+    * [[kmeansMicroExact]] centroids, assign the corpus, probe each
+    * query's `nProbe` nearest cells (by exact centroid d2, ties →
+    * lowest cell), exact d2 rank within the probed cells (ties →
+    * lowest id). The all-integer twin of q137's float trained-IVF
+    * probe: every step — INCLUDING the iterative training — mirrors
+    * into SQL, so the oracle hash-checks the trained index end to end.
+    *
+    * Plan shape: corpus assignment is narrow (literal centroids);
+    * probes frame is query-sized and broadcast into the cell join, so
+    * only probed-cell candidates shuffle into the per-query rank
+    * window. */
+  def ivfTopKMicroExact(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int, iters: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = kmeansMicroExact(corpus, idCol, vecCol, nCentroids, iters)
+    val assigned = kmAssign(kmQuant(corpus, idCol, vecCol), centers)
+    val pc = transform(kmCentersLit(centers),
+      ct => struct(d2Micro(col("_qv"), ct.getField("c")).as("_d2"),
+        ct.getField("cell").as("_cell")))
+    val probes = kmQuant(queries, qIdCol, qVecCol)
+      .select(col("_id").as("query_id"), col("_v").as("_qv"))
+      .select(col("query_id"), col("_qv"),
+        explode(slice(array_sort(pc), 1, nProbe)).as("_p"))
+      .select(col("query_id"), col("_qv"), col("_p._cell").as("_cell"))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+    assigned.join(broadcast(probes), Seq("_cell"))
+      .select(col("query_id"), col("_id").as(idCol),
+        d2Micro(col("_v"), col("_qv")).as("d2"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
 }

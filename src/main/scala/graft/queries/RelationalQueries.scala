@@ -392,6 +392,127 @@ object RelationalQueries {
       None)
   }
 
+  // ---- Exact-arithmetic trained k-means (q150/q151): the oracled
+  // answer to q137's declared rows-only gap. q137's MLlib trainer
+  // cannot be mirrored in SQL (seeded float Lloyd's over a partition-
+  // dependent init sample); `Similarity.kmeansMicroExact` re-expresses
+  // the SAME training loop in integer micro-units with deterministic
+  // init/tie-breaks, so the oracle UNROLLS the iterations as
+  // temp-table statements (the q147-proven multi-statement form) and
+  // the full train→assign→probe round trip hash-checks. Iterative
+  // TRAINING — the one operator class SURVEY §5 had to declare
+  // spec-only — is thereby oracle-checkable; q137 remains the float
+  // production face with its per-run recall trend. ----
+
+  /** Exact micro-unit squared-L2 in DuckDB: int64 lists in, HUGEINT
+    * fold — the same integers Spark's long fold produces. */
+  private def kmD2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** Shared oracle prelude for the q150/q151 family: quantize, init
+    * from the k lowest-id vectors, unroll `iters` assign→recompute
+    * Lloyd rounds, materialize the final assignment (`_af`). Each
+    * step pins the engine contract stated in kmeansMicroExact's
+    * scaladoc: floor(x·1e6+0.5) quantization, (d2, cell) argmin,
+    * truncating `//` per-dimension means (Scala Long division
+    * semantics), COALESCE carry-over for empty cells. Temp tables are
+    * shared across the family within a comparator connection
+    * (identical k/iters); CREATE OR REPLACE keeps reruns idempotent.
+    * dims is pinned to the testdata's 64 (the `range(0, 64)` oracle
+    * precedent in CurationQueries). */
+  private def kmPreludeSql(tag: String, k: Int, iters: Int): Seq[String] = {
+    val quant = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_v AS
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL"""
+    val init = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_c0 AS
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+      FROM (SELECT vec_id, v FROM graft_${tag}_v ORDER BY vec_id LIMIT $k)"""
+    val steps = (1 to iters).flatMap { i =>
+      val assign = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_a AS
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${kmD2Sql("e.v", "c.c")} ASC, c.cell ASC) AS rn
+          FROM graft_${tag}_v e CROSS JOIN graft_${tag}_c${i - 1} c)
+        WHERE rn = 1"""
+      val recompute = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_c$i AS
+        SELECT p.cell, COALESCE(n.c, p.c) AS c
+        FROM graft_${tag}_c${i - 1} p LEFT JOIN (
+          SELECT cell, array_agg(s ORDER BY dim) AS c FROM (
+            SELECT a.cell, r.dim, CAST(sum(a.v[r.dim]) // count(*) AS BIGINT) AS s
+            FROM graft_${tag}_a a, range(1, 65) r(dim)
+            GROUP BY a.cell, r.dim) GROUP BY cell) n ON p.cell = n.cell"""
+      Seq(assign, recompute)
+    }
+    val finalAssign = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_af AS
+      SELECT vec_id, v, cell, d2 FROM (
+        SELECT e.vec_id, e.v, c.cell, ${kmD2Sql("e.v", "c.c")} AS d2,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${kmD2Sql("e.v", "c.c")} ASC, c.cell ASC) AS rn
+        FROM graft_${tag}_v e CROSS JOIN graft_${tag}_c$iters c)
+      WHERE rn = 1"""
+    (Seq(quant, init) ++ steps) :+ finalAssign
+  }
+
+  private val (kmK, kmIters) = (8, 4)
+
+  /** Trained-clustering assignments, fully oracled: 4 exact Lloyd
+    * rounds from the deterministic init, then every vector's
+    * (cell, d2) under the FINAL centroids — a hash mismatch anywhere
+    * in the iterative training (one wrong argmin, one float-folded
+    * mean, one tie broken differently) shifts centroids and surfaces
+    * here. */
+  private val q150 = Q(
+    "q150_kmeans_portable",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centers = graft.operators.Similarity.kmeansMicroExact(
+        emb, "vec_id", "embedding", k = kmK, iters = kmIters)
+      graft.operators.Similarity.kmeansAssignMicro(
+        emb, "vec_id", "embedding", centers)
+        .orderBy(col("vec_id"))
+    },
+    Some((kmPreludeSql("km150", kmK, kmIters) :+
+      s"""SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2
+        FROM graft_km150_af ORDER BY vec_id""")
+      .mkString("; ").replaceAll("\\s+", " ")))
+
+  /** The trained index PROBED — q137's shape with every number exact:
+    * route each query to its `nProbe` nearest trained cells, exact-d2
+    * top-k within the probed cells. Hash-green here means the
+    * ITERATIVELY TRAINED IVF index answers queries identically on both
+    * engines, closing the loop q137 could only cover with recall
+    * floors. */
+  private val q151 = {
+    val (kTop, nP) = (5, 3)
+    Q(
+      "q151_ivf_trained_portable",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Similarity.ivfTopKMicroExact(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nCentroids = kmK, iters = kmIters, nProbe = nP)
+          .orderBy(col("query_id").asc, col("d2").asc, col("vec_id").asc)
+      },
+      Some((kmPreludeSql("km150", kmK, kmIters) :+
+        s"""WITH q AS (SELECT vec_id AS query_id, v AS qv
+            FROM graft_km150_v WHERE vec_id < 3),
+          pr AS (SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${kmD2Sql("q.qv", "c.c")} ASC, c.cell ASC) AS pr
+            FROM q CROSS JOIN graft_km150_c$kmIters c) WHERE pr <= $nP)
+          SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+            SELECT pr.query_id, a.vec_id, ${kmD2Sql("a.v", "pr.qv")} AS d2,
+              row_number() OVER (PARTITION BY pr.query_id
+                ORDER BY ${kmD2Sql("a.v", "pr.qv")} ASC, a.vec_id ASC) AS r
+            FROM graft_km150_af a JOIN pr USING (cell)) WHERE r <= $kTop
+          ORDER BY query_id, d2, vec_id""")
+        .mkString("; ").replaceAll("\\s+", " ")))
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1423,5 +1544,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133, q137)
+      q106, q133, q137, q150, q151)
 }

@@ -1183,3 +1183,94 @@ class SnapshotDiffSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 }
+
+/** Exact-arithmetic k-means (q150/q151): pins the portability contract
+  * that makes iterative TRAINING oracle-checkable — integer micro-unit
+  * quantization, truncating per-dimension means, (d2, cell) argmin
+  * tie-breaks, empty-cell carry-over — and the determinism property
+  * (partitioning invariance) the MLlib trainer structurally lacks. */
+class KmeansMicroExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+  test("planted well-separated clusters are recovered with exact integer centroids") {
+    // two clusters on axis ±x; k=2 seeds from the two lowest ids (one
+    // in each cluster by construction) → Lloyd converges in one round
+    val a = Seq(0L -> Array(1.0f, 0f), 2L -> Array(1.2f, 0f), 4L -> Array(0.8f, 0f))
+    val b = Seq(1L -> Array(-1.0f, 0f), 3L -> Array(-1.2f, 0f), 5L -> Array(-0.8f, 0f))
+    val centers = Similarity.kmeansMicroExact(df(a ++ b), "vec_id", "embedding",
+      k = 2, iters = 3)
+    // exact integer means: (1e6 + 1.2e6 + 0.8e6)/3 = 1_000_000
+    centers.toMap.apply(0).toSeq shouldBe Seq(1000000L, 0L)
+    centers.toMap.apply(1).toSeq shouldBe Seq(-1000000L, 0L)
+    val asg = Similarity.kmeansAssignMicro(df(a ++ b), "vec_id", "embedding", centers)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    Seq(0L, 2L, 4L).map(asg) shouldBe Seq(0L, 0L, 0L)
+    Seq(1L, 3L, 5L).map(asg) shouldBe Seq(1L, 1L, 1L)
+  }
+
+  test("per-dimension means truncate toward zero — the DuckDB `//` contract") {
+    // one cluster, negative component sum: (-1.1e6 + -1.2e6 + 0)/3 =
+    // -766666.67 → Scala Long division gives -766666 (toward zero);
+    // floor division would give -766667. The oracle's `//` matches the
+    // former (pinned by q150's hash match; this pins the engine side).
+    val rows = Seq(0L -> Array(-1.1f), 1L -> Array(-1.2f), 2L -> Array(0.0f))
+    val centers = Similarity.kmeansMicroExact(df(rows), "vec_id", "embedding",
+      k = 1, iters = 1)
+    centers.head._2.toSeq shouldBe Seq(-766666L)
+  }
+
+  test("training is invariant to input partitioning (the property MLlib lacks)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val one = Similarity.kmeansMicroExact(df(rows).repartition(1),
+      "vec_id", "embedding", k = 4, iters = 3)
+    val many = Similarity.kmeansMicroExact(df(rows).repartition(7),
+      "vec_id", "embedding", k = 4, iters = 3)
+    one.map { case (c, v) => (c, v.toSeq) } shouldBe
+      many.map { case (c, v) => (c, v.toSeq) }
+  }
+
+  test("empty cells keep their previous centroid instead of dying") {
+    // k=3 over two tight clusters: seed 2 sits in seed 0's cluster and
+    // loses every point to it after the first recompute (0's centroid
+    // moves to the cluster mean, 2's stays at its seed) — the cell must
+    // survive with its last centroid, as the oracle's COALESCE does
+    val rows = Seq(
+      0L -> Array(1.0f, 0f), 1L -> Array(-1.0f, 0f), 2L -> Array(1.0f, 0.1f),
+      3L -> Array(1.0f, 0.05f), 4L -> Array(-1.0f, 0.1f))
+    val centers = Similarity.kmeansMicroExact(df(rows), "vec_id", "embedding",
+      k = 3, iters = 4)
+    centers.length shouldBe 3
+    centers.map(_._1) shouldBe Seq(0, 1, 2)
+    centers.foreach { case (_, v) => v.length shouldBe 2 }
+  }
+
+  test("ivfTopKMicroExact: identity query ranks itself first with d2 = 0") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val corpus = df(rows)
+    val got = Similarity.ivfTopKMicroExact(corpus, "vec_id", "embedding",
+      corpus.filter(col("vec_id") === 7L), "vec_id", "embedding",
+      k = 3, nCentroids = 4, iters = 2, nProbe = 2)
+      .select("query_id", "vec_id", "d2").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    got.head shouldBe ((7L, 7L, 0L))
+    got.map(_._3) shouldBe got.map(_._3).sorted // exact integer ranking
+  }
+
+  test("null embeddings are excluded from training and assignment") {
+    val rows = Seq((0L, Array(1.0f)), (1L, Array(2.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((2L, Option.empty[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val centers = Similarity.kmeansMicroExact(rows, "vec_id", "embedding",
+      k = 1, iters = 1)
+    centers.head._2.toSeq shouldBe Seq(1500000L)
+    Similarity.kmeansAssignMicro(rows, "vec_id", "embedding", centers)
+      .count() shouldBe 2L
+  }
+}
