@@ -1127,9 +1127,24 @@ object Similarity {
   /** Micro-unit quantization: float component → int64 micro-units via
     * `floor(x·1e6 + 0.5)` (exact double arithmetic on an exact
     * float→double promotion — both engines compute the identical
-    * int64). */
-  private def microQuant(vec: Column): Column =
-    transform(asDouble(vec), x => floor(x * lit(1000000.0) + lit(0.5)))
+    * int64). Components large enough to overflow the int64 distance
+    * fold fail LOUDLY here instead of wrapping into silently-wrong
+    * argmins: Σ(aᵢ−bᵢ)² over d dims is safe iff every |component| ≤
+    * √(Long.Max / 4d) micro-units (≈190 raw at d = 64 — two orders
+    * above any normalized embedding), checked per row against the
+    * vector's own length. One compare per element, one sqrt per row —
+    * noise next to the multiply it guards. */
+  private def microQuant(vec: Column): Column = {
+    val lim = sqrt(lit(9.223372036854775e18) /
+      (lit(4.0) * size(vec).cast("double")))
+    transform(asDouble(vec), x => {
+      val q = floor(x * lit(1000000.0) + lit(0.5))
+      when(abs(q).cast("double") > lim, raise_error(concat(
+        lit("kmeansMicroExact: |component| overflows exact int64 " +
+          "distances at this dimensionality: "), x.cast("string"))))
+        .otherwise(q)
+    })
+  }
 
   /** Exact squared L2 between two int64 micro-unit vectors. Codegen'd
     * higher-order functions; integer sums are fold-order-free. */
@@ -1173,42 +1188,51 @@ object Similarity {
     * re-read IS the cost). */
   def kmeansMicroExact(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Seq[(Int, Array[Long])] = {
-    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
     val vq = kmQuant(df, idCol, vecCol)
     if (iters > 0) vq.persist()
-    try {
-      // init: the k lowest-id vectors, cells 0..k-1 (bounded: k rows)
-      var centers: Seq[(Int, Array[Long])] =
-        vq.orderBy(col("_id")).limit(k).collect().zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }.toSeq
-      var it = 0
-      while (it < iters) {
-        // (cell, dim) sums/counts: k·dim rows — bounded model-size collect
-        val sums = kmAssign(vq, centers)
-          .select(col("_cell"), posexplode(col("_v")).as(Seq("_dim", "_x")))
-          .groupBy(col("_cell"), col("_dim"))
-          .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
-          .collect()
-        val byCell = sums.groupBy(_.getInt(0))
-        centers = centers.map { case (cell, prev) =>
-          byCell.get(cell) match {
-            case Some(rows) =>
-              val c = prev.clone()
-              // Long division truncates toward zero — DuckDB's `//`
-              rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
-              (cell, c)
-            case None => (cell, prev) // empty cell keeps its centroid
-          }
+    try trainMicro(vq, k, iters) finally if (iters > 0) vq.unpersist()
+  }
+
+  /** The Lloyd loop over an already-quantized (and caller-cached)
+    * frame — shared so [[ivfTopKMicroExact]] trains, assigns, and
+    * probes against ONE persisted projection instead of re-quantizing
+    * the corpus per stage. */
+  private def trainMicro(vq: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    // init: the k lowest-id vectors, cells 0..k-1 (bounded: k rows)
+    var centers: Seq[(Int, Array[Long])] =
+      vq.orderBy(col("_id")).limit(k).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }.toSeq
+    var it = 0
+    while (it < iters) {
+      // (cell, dim) sums/counts: k·dim rows — bounded model-size collect
+      val sums = kmAssign(vq, centers)
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_dim", "_x")))
+        .groupBy(col("_cell"), col("_dim"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centers = centers.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val c = prev.clone()
+            // Long division truncates toward zero — DuckDB's `//`
+            rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            (cell, c)
+          case None => (cell, prev) // empty cell keeps its centroid
         }
-        it += 1
       }
-      centers
-    } finally if (iters > 0) vq.unpersist()
+      it += 1
+    }
+    centers
   }
 
   /** Final cluster assignment under trained centroids:
     * (idCol, cell, d2) — the whole training loop's outcome as a
-    * hash-checkable frame (q150). */
+    * hash-checkable frame (q150). Lazy by design (corpus-sized output
+    * — the caller decides where it lands), so its one narrow
+    * scan+quantize pass is the OUTPUT materialization, additional to
+    * training's cached iterations. */
   def kmeansAssignMicro(df: DataFrame, idCol: String, vecCol: String,
       centers: Seq[(Int, Array[Long])]): DataFrame =
     kmAssign(kmQuant(df, idCol, vecCol), centers)
@@ -1223,31 +1247,44 @@ object Similarity {
     * probe: every step — INCLUDING the iterative training — mirrors
     * into SQL, so the oracle hash-checks the trained index end to end.
     *
-    * Plan shape: corpus assignment is narrow (literal centroids);
-    * probes frame is query-sized and broadcast into the cell join, so
-    * only probed-cell candidates shuffle into the per-query rank
-    * window. */
+    * Plan shape: the corpus is quantized ONCE into a persisted
+    * projection shared by training AND the probe-time assignment (no
+    * per-stage re-read); probes are query-sized and broadcast into the
+    * cell join, so only probed-cell candidates shuffle into the
+    * per-query rank window. The result (nQueries·k rows) is collected
+    * and rebuilt as a local frame — bounded by the query batch, and it
+    * lets the corpus cache be released deterministically instead of
+    * leaking past the lazy plan (the [[materializeProbes]]
+    * discipline). */
   def ivfTopKMicroExact(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCentroids: Int, iters: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centers = kmeansMicroExact(corpus, idCol, vecCol, nCentroids, iters)
-    val assigned = kmAssign(kmQuant(corpus, idCol, vecCol), centers)
-    val pc = transform(kmCentersLit(centers),
-      ct => struct(d2Micro(col("_qv"), ct.getField("c")).as("_d2"),
-        ct.getField("cell").as("_cell")))
-    val probes = kmQuant(queries, qIdCol, qVecCol)
-      .select(col("_id").as("query_id"), col("_v").as("_qv"))
-      .select(col("query_id"), col("_qv"),
-        explode(slice(array_sort(pc), 1, nProbe)).as("_p"))
-      .select(col("query_id"), col("_qv"), col("_p._cell").as("_cell"))
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col(idCol).asc)
-    assigned.join(broadcast(probes), Seq("_cell"))
-      .select(col("query_id"), col("_id").as(idCol),
-        d2Micro(col("_v"), col("_qv")).as("d2"))
-      .withColumn("_r", row_number().over(rank))
-      .filter(col("_r") <= k)
-      .drop("_r")
+    val spark = corpus.sparkSession
+    val vq = kmQuant(corpus, idCol, vecCol)
+    vq.persist()
+    try {
+      val centers = trainMicro(vq, nCentroids, iters)
+      val assigned = kmAssign(vq, centers)
+      val pc = transform(kmCentersLit(centers),
+        ct => struct(d2Micro(col("_qv"), ct.getField("c")).as("_d2"),
+          ct.getField("cell").as("_cell")))
+      val probes = kmQuant(queries, qIdCol, qVecCol)
+        .select(col("_id").as("query_id"), col("_v").as("_qv"))
+        .select(col("query_id"), col("_qv"),
+          explode(slice(array_sort(pc), 1, nProbe)).as("_p"))
+        .select(col("query_id"), col("_qv"), col("_p._cell").as("_cell"))
+      val rank = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col(idCol).asc)
+      val res = assigned.join(broadcast(probes), Seq("_cell"))
+        .select(col("query_id"), col("_id").as(idCol),
+          d2Micro(col("_v"), col("_qv")).as("d2"))
+        .withColumn("_r", row_number().over(rank))
+        .filter(col("_r") <= k)
+        .drop("_r")
+      val schema = res.schema
+      val rows = res.collect() // bounded: nQueries × k
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally vq.unpersist()
   }
 }

@@ -1234,18 +1234,46 @@ class KmeansMicroExactSpec extends SparkSpec {
   }
 
   test("empty cells keep their previous centroid instead of dying") {
-    // k=3 over two tight clusters: seed 2 sits in seed 0's cluster and
-    // loses every point to it after the first recompute (0's centroid
-    // moves to the cluster mean, 2's stays at its seed) — the cell must
-    // survive with its last centroid, as the oracle's COALESCE does
+    // ids 0 and 1 carry the SAME vector, so seeds c0 and c1 coincide
+    // and the (d2, cell) tie-break routes BOTH points to c0 — cell 1 is
+    // EMPTY in round 1's recompute and must survive at its seed (the
+    // `case None` carry-over / the oracle's COALESCE). Round 1 pulls c0
+    // to the {0, 0, 0.1} mean (33333 µ); in round 2 the carried-over
+    // c1 = 0 is now CLOSER to the zero points and wins them back —
+    // the final centers are reachable ONLY through the carry-over, so
+    // a broken empty-cell branch (dropped cell, zeroed centroid)
+    // cannot reproduce them.
     val rows = Seq(
-      0L -> Array(1.0f, 0f), 1L -> Array(-1.0f, 0f), 2L -> Array(1.0f, 0.1f),
-      3L -> Array(1.0f, 0.05f), 4L -> Array(-1.0f, 0.1f))
+      0L -> Array(0.0f), 1L -> Array(0.0f), 2L -> Array(1.0f),
+      3L -> Array(0.1f), 4L -> Array(0.9f))
     val centers = Similarity.kmeansMicroExact(df(rows), "vec_id", "embedding",
-      k = 3, iters = 4)
-    centers.length shouldBe 3
+      k = 3, iters = 3)
     centers.map(_._1) shouldBe Seq(0, 1, 2)
-    centers.foreach { case (_, v) => v.length shouldBe 2 }
+    // steady state: c0 owns {0.1} → 100000, c1 owns {0, 0} → 0,
+    // c2 owns {1.0, 0.9} → 950000
+    centers.toMap.apply(0).toSeq shouldBe Seq(100000L)
+    centers.toMap.apply(1).toSeq shouldBe Seq(0L)
+    centers.toMap.apply(2).toSeq shouldBe Seq(950000L)
+    val asg = Similarity.kmeansAssignMicro(df(rows), "vec_id", "embedding",
+      centers).select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    asg shouldBe Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 2L)
+  }
+
+  test("components that would overflow the int64 distance fold fail loudly") {
+    // |x| = 4000 quantizes to 4e9 micro-units; a 1-dim squared diff can
+    // reach (8e9)^2 ≈ 6.4e19 > Long.Max — the quantizer must raise, not
+    // wrap into a silently-wrong argmin (review finding, round 10)
+    val bad = Seq(0L -> Array(0.0f), 1L -> Array(4000.0f))
+    val e = intercept[Exception] {
+      Similarity.kmeansMicroExact(df(bad), "vec_id", "embedding",
+        k = 1, iters = 1)
+    }
+    e.getMessage should include("overflows exact int64")
+    // the documented safe range passes untouched (components ≤ ~190
+    // at 64 dims; unit-norm embeddings are two orders below the limit)
+    Similarity.kmeansMicroExact(df(Seq(0L -> Array(150.0f))),
+      "vec_id", "embedding", k = 1, iters = 1)
+      .head._2.toSeq shouldBe Seq(150000000L)
   }
 
   test("ivfTopKMicroExact: identity query ranks itself first with d2 = 0") {
