@@ -286,14 +286,25 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    // Compact recall SCALARS on the driver-visible line (round-9
-    // verdict item 5): the full config objects stay in BENCH_FULL.json;
-    // the two scalars cost ~44 chars against the ~200-char margin under
-    // the driver's ~2000-char tail window.
+    // Compact trained-recall SCALAR on the driver-visible line (round-9
+    // verdict item 5). Line budget, re-measured at 151 queries: the
+    // full line must fit the driver's ~2000-char tail window MINUS the
+    // trailing sbt success line (~72 chars) — at 151 queries the
+    // round-10 field set measured 1924 chars, four chars of margin. So
+    // the stdout line carries control_total + trained_recall only;
+    // control_n, ivfpq_recall (verdict item 8's home is BENCH_FULL),
+    // and the drift fields stay in the full artifact. The println
+    // below warns on stderr when the line crosses 1870 so the next
+    // query-count growth is caught here, not as a parsed:null driver
+    // artifact.
     val recallShort =
-      trainedRecall.map(v => s""","trained_recall":${fmt(v)}""").getOrElse("") +
-        ivfpqRecall.map(v => s""","ivfpq_recall":${fmt(v)}""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)},"control_n":$controlN$recallShort,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}""")
+      trainedRecall.map(v => s""","trained_recall":${fmt(v)}""").getOrElse("")
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallShort,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}"""
+    if (stdoutLine.length > 1900) System.err.println(
+      s"BENCH LINE BUDGET: stdout line is ${stdoutLine.length} chars — " +
+        "within ~30 of the driver's tail window; trim fields or decimals")
+    println(stdoutLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
