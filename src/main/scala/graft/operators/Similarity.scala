@@ -1287,4 +1287,72 @@ object Similarity {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally vq.unpersist()
   }
+
+  /** Persist the exact-trained IVF index: [[kmeansMicroExact]]
+    * centroids, corpus partitioned by trained cell under `dir/data`
+    * (micro-unit vectors — probes stay all-integer), centroids under
+    * `dir/centers`. Completes the stored-index matrix: q84 is
+    * stored+closed-form, q137 is stored+trained-float (recall-gated);
+    * this is stored+TRAINED with the full write→probe round trip
+    * oracle-checkable (q152). Same fanout-avoiding write discipline as
+    * the other IVF writers. */
+  def writeIvfIndexMicroExact(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, iters: Int): Unit = {
+    // single-writer: same rebuild-vs-append race as the other writers
+    StoredIndex.withAppendLock(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val vq = kmQuant(corpus, idCol, vecCol)
+      vq.persist()
+      try {
+        val centers = trainMicro(vq, nCentroids, iters)
+        kmAssign(vq, centers)
+          .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+          .repartition(col("cell")) // one writer task per cell (fanout guard)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+        centers.map { case (cell, c) => (cell, c.toSeq) }
+          .toDF("cell", "center")
+          .write.mode("overwrite").parquet(s"$dir/centers")
+        writeMaxIdMeta(spark, dir, StoredIndex.requiredMaxId(corpus, idCol))
+      } finally vq.unpersist()
+    }
+  }
+
+  /** Probe a [[writeIvfIndexMicroExact]] index: queries quantize to
+    * micro-units, probe cells come from the STORED centroids (exact
+    * integer d2, ties → lowest cell), and the data scan prunes to the
+    * probed `cell=` directories — nProbe/nCentroids of the corpus in
+    * I/O, with every ranking number an exact int64. Semantics identical
+    * to [[ivfTopKMicroExact]] over the same corpus/params by
+    * construction (spec-pinned), which is what lets q151's oracle shape
+    * serve the stored round trip. */
+  def probeIvfIndexMicroExact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = spark.read.parquet(s"$dir/centers")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val pc = transform(kmCentersLit(centers),
+      ct => struct(d2Micro(col("_qv"), ct.getField("c")).as("_d2"),
+        ct.getField("cell").as("_cell")))
+    val (probes, probedCells) = materializeProbes(spark,
+      kmQuant(queries, qIdCol, qVecCol)
+        .select(col("_id").as("query_id"), col("_v").as("_qv"))
+        .select(col("query_id"), col("_qv"),
+          explode(slice(array_sort(pc), 1, nProbe)).as("_p"))
+        .select(col("query_id"), col("_qv"), col("_p._cell").as("_cell")))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), col("cell") === col("_cell"))
+      .select(col("query_id"), col(idCol),
+        d2Micro(col("v"), col("_qv")).as("d2"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
 }

@@ -513,6 +513,49 @@ object RelationalQueries {
         .mkString("; ").replaceAll("\\s+", " ")))
   }
 
+  /** q151's probe semantics with the STORED index in the loop: write
+    * the exact-trained index (trained centroids + cell-partitioned
+    * micro-unit corpus) to a scratch dir, probe through the stored
+    * centroids with directory-level partition pruning. Completes the
+    * stored-index matrix — q84 stored+closed-form, q137 stored+trained-
+    * float (recall-gated), q152 stored+TRAINED hash-checked — the
+    * trained analog of the q43→q84 pairing. Different k/nProbe than
+    * q151 so the result sets stay distinct. */
+  private val q152 = {
+    val (kTop, nP) = (4, 2)
+    Q(
+      "q152_ivf_trained_stored",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q152_kmidx_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, idxDir) {
+          graft.operators.Similarity.writeIvfIndexMicroExact(
+            emb, "vec_id", "embedding", idxDir, nCentroids = kmK, iters = kmIters)
+        }
+        graft.operators.Similarity.probeIvfIndexMicroExact(
+          s, idxDir, "vec_id",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nProbe = nP)
+          .orderBy(col("query_id").asc, col("d2").asc, col("vec_id").asc)
+      },
+      Some((kmPreludeSql("km150", kmK, kmIters) :+
+        s"""WITH q AS (SELECT vec_id AS query_id, v AS qv
+            FROM graft_km150_v WHERE vec_id < 3),
+          pr AS (SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${kmD2Sql("q.qv", "c.c")} ASC, c.cell ASC) AS pr
+            FROM q CROSS JOIN graft_km150_c$kmIters c) WHERE pr <= $nP)
+          SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+            SELECT pr.query_id, a.vec_id, ${kmD2Sql("a.v", "pr.qv")} AS d2,
+              row_number() OVER (PARTITION BY pr.query_id
+                ORDER BY ${kmD2Sql("a.v", "pr.qv")} ASC, a.vec_id ASC) AS r
+            FROM graft_km150_af a JOIN pr USING (cell)) WHERE r <= $kTop
+          ORDER BY query_id, d2, vec_id""")
+        .mkString("; ").replaceAll("\\s+", " ")))
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1544,5 +1587,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133, q137, q150, q151)
+      q106, q133, q137, q150, q151, q152)
 }

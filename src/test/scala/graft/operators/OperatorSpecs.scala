@@ -1302,3 +1302,35 @@ class KmeansMicroExactSpec extends SparkSpec {
       .count() shouldBe 2L
   }
 }
+
+/** Stored exact-trained IVF (q152): the write→probe round trip must
+  * equal the in-memory [[Similarity.ivfTopKMicroExact]] bit-for-bit
+  * (the q43↔q84 relationship, trained flavor), and the probe's data
+  * scan must prune to the probed cell directories. */
+class KmeansStoredIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored probe equals the in-memory trained probe; scan prunes to probed cells") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 150)
+      .map(i => (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+    val dir = tmpDir("kmidx")
+    Similarity.writeIvfIndexMicroExact(corpus, "vec_id", "embedding",
+      dir, nCentroids = 4, iters = 3)
+    val stored = Similarity.probeIvfIndexMicroExact(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+    val mem = Similarity.ivfTopKMicroExact(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCentroids = 4, iters = 3,
+      nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    rows(stored) shouldBe rows(mem)
+    // partition pruning: the probe plan carries PartitionFilters on the
+    // stored cell directories, not a full-index scan
+    stored.queryExecution.executedPlan.toString should include("PartitionFilters: [")
+    stored.queryExecution.executedPlan.toString should include("cell#")
+  }
+}
