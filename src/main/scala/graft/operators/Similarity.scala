@@ -1330,15 +1330,26 @@ object Similarity {
     * to [[ivfTopKMicroExact]] over the same corpus/params by
     * construction (spec-pinned), which is what lets q151's oracle shape
     * serve the stored round trip. */
+  /** Load a [[writeIvfIndexMicroExact]] index's trained centroids
+    * (model-sized collect). Besides the probe below, this is the
+    * STREAMING routing hook: [[kmeansAssignMicro]] with these centers
+    * is a stateless narrow projection — no watermark, no state store —
+    * so the same call assigns ingest-time vectors to their trained
+    * cells on a readStream, bit-equal to the batch assignment
+    * (stream/batch parity spec-pinned in StreamingSpec). */
+  def readIvfCentersMicro(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Array[Long])] =
+    spark.read.parquet(s"$dir/centers")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
   def probeIvfIndexMicroExact(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centers = spark.read.parquet(s"$dir/centers")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1).toSeq
+    val centers = readIvfCentersMicro(spark, dir)
     val pc = transform(kmCentersLit(centers),
       ct => struct(d2Micro(col("_qv"), ct.getField("c")).as("_d2"),
         ct.getField("cell").as("_cell")))

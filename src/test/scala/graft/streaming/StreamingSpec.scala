@@ -925,4 +925,38 @@ class StreamingSpec extends SparkSpec {
     streamOut shouldBe batchOut
     streamOut.map(t => (t._1, t._2)) shouldBe Seq((0L, 10L), (1L, 11L))
   }
+
+  test("trained-cell routing at ingest: stream assignment ≡ batch assignment") {
+    // The q152 index's ingest-time face: route arriving vectors to
+    // their trained cells through the STORED centroids. The assignment
+    // is a stateless literal-centroid argmin (no watermark, no state
+    // store), so the same kmeansAssignMicro call runs unchanged on a
+    // readStream and must emit exactly the batch rows — d2 included,
+    // since every number is an exact int64.
+    import graft.operators.Similarity
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Array(i % 3 * 1.0f, (i % 3) - 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("km_stream_idx")
+    Similarity.writeIvfIndexMicroExact(corpus, "vec_id", "embedding",
+      dir, nCentroids = 3, iters = 2)
+    val centers = Similarity.readIvfCentersMicro(spark, dir)
+    val arriving = Seq(
+      (100L, Array(0.1f, -0.9f)), (101L, Array(2.1f, 1.2f)),
+      (102L, Array(1.0f, 0.1f)))
+    val in = MemoryStream[(Long, Array[Float])]
+    val routed = Similarity.kmeansAssignMicro(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", centers)
+    val q = routed.writeStream.format("memory").queryName("t_km_route")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val streamOut = norm(spark.table("t_km_route"))
+    streamOut shouldBe norm(Similarity.kmeansAssignMicro(
+      arriving.toDF("vec_id", "embedding"), "vec_id", "embedding", centers))
+    streamOut.map(_._1) shouldBe Seq(100L, 101L, 102L) // every arrival routed
+  }
 }
