@@ -18,6 +18,53 @@ import graft.functions.{ExactAgg, PortableRound}
   */
 object Embeddings {
 
+  /** Deterministic ±1 sign matrix for [[srpProjectMicro]]
+    * (outDims × dims): sign(j)(i) = +1 iff the engine's portable
+    * 32-bit md5 hash of the literal string `srp:<j>:<i>` is even —
+    * computed here with java MessageDigest but BIT-EQUAL to
+    * [[graft.functions.PortableHash.md5Hash32]] on the same string
+    * (first 4 digest bytes as an unsigned int; spec-pinned), which is
+    * what lets the DuckDB oracle regenerate the matrix from
+    * `md5(concat('srp:', j, ':', i))` instead of shipping 1024
+    * literals. Model-sized, built once on the driver. */
+  def srpSigns(dims: Int, outDims: Int): Array[Array[Long]] = {
+    require(dims >= 1 && outDims >= 1, "need dims >= 1, outDims >= 1")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, dims) { (j, i) =>
+      val d = md.digest(s"srp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(3) & 1) == 0) 1L else -1L
+    }
+  }
+
+  /** Signed random projection (Achlioptas/JL with ±1 entries) of a
+    * float embedding column into `outDims` exact int64 micro-unit
+    * components: out_j = Σᵢ sign(j)(i)·⌊vᵢ·1e6+0.5⌋. The
+    * dimension-reduction front end for the ANN/clustering family — a
+    * 64→16 projection cuts every downstream distance loop and sign
+    * bucket 4× — and, because signs are hash-derived and the sums are
+    * integer, the WHOLE projection is oracle-portable (q153), unlike
+    * float Gaussian projections.
+    *
+    * Plan shape: one narrow projection (sign matrix folded in as
+    * literals, no join, no shuffle); output exploded to
+    * (id, j, out_j) rows so downstream re-assembly or per-component
+    * comparison is a plain groupBy. Cosine/L2 geometry is preserved in
+    * the JL sense (distortion spec-checked loosely); exact equality is
+    * only claimed for the projection itself. */
+  def srpProjectMicro(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, outDims: Int): DataFrame = {
+    val signs = srpSigns(dims, outDims)
+    val vq = Similarity.microQuant(col(vecCol))
+    val outs = array(signs.map { row =>
+      aggregate(
+        zip_with(vq, typedLit(row.toSeq), (x, s) => x * s),
+        lit(0L), (acc, t) => acc + t)
+    }: _*)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol), posexplode(outs).as(Seq("j", "out_j")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("out_j"))
+  }
+
   /** Per-`labelCol` exact component-wise mean of `vecCol` (4dp) plus
     * member count. Vectors must share one dimensionality. Output:
     * (label, n, centroid: array&lt;double&gt;). */

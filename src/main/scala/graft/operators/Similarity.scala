@@ -1134,7 +1134,7 @@ object Similarity {
     * above any normalized embedding), checked per row against the
     * vector's own length. One compare per element, one sqrt per row —
     * noise next to the multiply it guards. */
-  private def microQuant(vec: Column): Column = {
+  private[operators] def microQuant(vec: Column): Column = {
     val lim = sqrt(lit(9.223372036854775e18) /
       (lit(4.0) * size(vec).cast("double")))
     transform(asDouble(vec), x => {

@@ -556,6 +556,34 @@ object RelationalQueries {
         .mkString("; ").replaceAll("\\s+", " ")))
   }
 
+  /** Signed-random-projection dimension reduction (64 → 16), fully
+    * oracled: the sign matrix regenerates ON BOTH ENGINES from the
+    * portable md5 of `srp:<j>:<i>` (no literals shipped), the sums are
+    * exact micro-unit integers, so the entire JL front end of the
+    * ANN/clustering family hash-checks. Output exploded to
+    * (vec_id, j, out_j) — plain long columns. */
+  private val q153 = {
+    val outDims = 16
+    Q(
+      "q153_srp_project",
+      (s, dir) =>
+        graft.operators.Embeddings.srpProjectMicro(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, outDims = outDims)
+          .orderBy(col("vec_id"), col("j")),
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        signs AS (SELECT rj.j, ri.i,
+            CASE WHEN ${PortableHash.md5Hash32Sql("concat('srp:', rj.j, ':', ri.i)")} % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM range(0, $outDims) rj(j), range(0, 64) ri(i))
+        SELECT vec_id, CAST(s.j AS BIGINT) AS j,
+          CAST(sum(s.s * v.v[s.i + 1]) AS BIGINT) AS out_j
+        FROM v, signs s GROUP BY 1, 2
+        ORDER BY vec_id, j""".replaceAll("\\s+", " ")))
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1587,5 +1615,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133, q137, q150, q151, q152)
+      q106, q133, q137, q150, q151, q152, q153)
 }

@@ -1372,3 +1372,64 @@ class L2MicroSquaredSpec extends SparkSpec {
     run(Seq.empty, Seq.empty) shouldBe 0L
   }
 }
+
+/** SRP projection (q153): the driver-side sign derivation must be
+  * bit-equal to the engine's portable md5 hash (the bridge that lets
+  * the oracle REGENERATE the matrix), and the projection itself must
+  * be the exact integer sum it claims. */
+class SrpProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("srpSigns parity with the engine's portable md5Hash32") {
+    // the critical cross-representation pin: MessageDigest first-4-
+    // bytes parity == md5Hash32 (first 8 hex chars as long) % 2
+    val cases = for (j <- 0 until 4; i <- 0 until 8) yield s"srp:$j:$i"
+    val engine = cases.toDF("s")
+      .select((graft.functions.PortableHash.md5Hash32(col("s")) % 2).as("p"))
+      .as[Long].collect()
+    val signs = Embeddings.srpSigns(8, 4)
+    val driver = for (j <- 0 until 4; i <- 0 until 8)
+      yield if (signs(j)(i) == 1L) 0L else 1L
+    engine.toSeq shouldBe driver
+  }
+
+  test("projection is the exact signed micro-unit sum; wrong-dim rows drop") {
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f)),
+      (1L, Array(0.5f, 0.5f)),
+      (2L, Array(1.0f, 2.0f, 3.0f))) // wrong dims -> excluded
+      .toDF("vec_id", "embedding")
+    val signs = Embeddings.srpSigns(2, 3)
+    val got = Embeddings.srpProjectMicro(df, "vec_id", "embedding",
+      dims = 2, outDims = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expect = (for {
+      (id, v) <- Seq(0L -> Array(1000000L, -2000000L), 1L -> Array(500000L, 500000L))
+      j <- 0 until 3
+    } yield (id, j.toLong, signs(j)(0) * v(0) + signs(j)(1) * v(1))).sorted
+    got shouldBe expect
+  }
+
+  test("JL sanity: projected cosine separates aligned from orthogonal pairs") {
+    val rnd = new scala.util.Random(53)
+    // exactly orthogonal by construction: disjoint supports — the
+    // projected cosine then measures pure JL distortion (~1/sqrt(16)),
+    // not the random pair's own accidental alignment
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) rnd.nextFloat() * 2 - 1 else 0f)
+    val aligned = base.map(x => x * 0.9f + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 1) rnd.nextFloat() * 2 - 1 else 0f)
+    val df = Seq((0L, base), (1L, aligned), (2L, ortho)).toDF("vec_id", "embedding")
+    val proj = Embeddings.srpProjectMicro(df, "vec_id", "embedding", 64, 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val near = cos(proj(0L), proj(1L))
+    val far = math.abs(cos(proj(0L), proj(2L)))
+    near should be > 0.7
+    near should be > far + 0.3 // separation survives the projection
+  }
+}
