@@ -294,7 +294,7 @@ object Bench {
     // the stdout line carries control_total + trained_recall only;
     // control_n, ivfpq_recall (verdict item 8's home is BENCH_FULL),
     // and the drift fields stay in the full artifact. The println
-    // below warns on stderr when the line crosses 1870 so the next
+    // below warns on stderr when the line crosses 1900 so the next
     // query-count growth is caught here, not as a parsed:null driver
     // artifact.
     val recallShort =

@@ -365,6 +365,86 @@ case class L2MicroSquared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused exact int64 dot product — [[L2MicroSquared]]'s sibling (one
+  * loop, one long accumulator, Unsafe fast path, same null algebra:
+  * null on length mismatch or any null component). Built for the SRP
+  * projection's signed sums (q153), where the zip_with/aggregate
+  * composition would pay outDims product-array allocations per corpus
+  * row — the pattern the k-means fusion already measured at 6× on the
+  * ×100 face. Overflow is the caller's contract (SRP sums of ±1·micro
+  * components are ≤ dims·maxAbs, far inside int64; general micro-unit
+  * dots must bound inputs like `Similarity.microQuant` does). */
+case class DotMicro(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_micro"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val ua = ctx.freshName("ua")
+      val ub = ctx.freshName("ub")
+      val aBase = ctx.freshName("aBase")
+      val bBase = ctx.freshName("bBase")
+      val aElems = ctx.freshName("aElems")
+      val bElems = ctx.freshName("bElems")
+      val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      val platform = "org.apache.spark.unsafe.Platform"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else if ($a instanceof $uad && $b instanceof $uad) {
+         |  final $uad $ua = ($uad) $a;
+         |  final $uad $ub = ($uad) $b;
+         |  final Object $aBase = $ua.getBaseObject();
+         |  final Object $bBase = $ub.getBaseObject();
+         |  final long $aElems = $ua.getBaseOffset() + 8L + ((($n + 63) / 64)) * 8L;
+         |  final long $bElems = $ub.getBaseOffset() + 8L + ((($n + 63) / 64)) * 8L;
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($ua.isNullAt($i) || $ub.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      $acc += $platform.getLong($aBase, $aElems + 8L * $i)
+         |        * $platform.getLong($bBase, $bElems + 8L * $i);
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $acc += $a.getLong($i) * $b.getLong($i); }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotMicro =
+    copy(left = newLeft, right = newRight)
+}
+
 /** First-collision test for dedup-free LSH enumeration: TRUE iff the
   * two key vectors DIFFER at every index j < `bandId` — i.e. `bandId`
   * is the first band where the docs collide, so this band (alone)
@@ -450,11 +530,20 @@ object ArrayOps {
       ColumnBridge.expression(keysA), ColumnBridge.expression(keysB),
       ColumnBridge.expression(bandId)))
 
-  /** Column API for [[L2MicroSquared]] — int64 micro-unit arrays in,
-    * exact int64 squared distance out. */
+  /** Column API for [[L2MicroSquared]] — inputs cast to array<bigint>
+    * (the cast is a no-op on long arrays; on anything narrower it
+    * guards the Unsafe fast path's 8-byte element stride, which would
+    * otherwise read int arrays at wrong offsets silently). */
   def l2MicroSquared(a: Column, b: Column): Column =
     ColumnBridge.column(L2MicroSquared(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
+
+  /** Column API for [[DotMicro]] — same cast guard. */
+  def dotMicro(a: Column, b: Column): Column =
+    ColumnBridge.column(DotMicro(
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
 
   /** Column API for [[CosineSimilarity]] — inputs cast to array<double>. */
   def cosineSimilarity(a: Column, b: Column): Column =

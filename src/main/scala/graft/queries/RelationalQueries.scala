@@ -573,7 +573,8 @@ object RelationalQueries {
           .orderBy(col("vec_id"), col("j")),
       Some(s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
-          FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+          FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         signs AS (SELECT rj.j, ri.i,
             CASE WHEN ${PortableHash.md5Hash32Sql("concat('srp:', rj.j, ':', ri.i)")} % 2 = 0
               THEN 1 ELSE -1 END AS s

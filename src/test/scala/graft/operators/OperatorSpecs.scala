@@ -1328,10 +1328,14 @@ class KmeansStoredIndexSpec extends SparkSpec {
       .select("query_id", "vec_id", "d2")
       .as[(Long, Long, Long)].collect().sorted.toSeq
     rows(stored) shouldBe rows(mem)
-    // partition pruning: the probe plan carries PartitionFilters on the
-    // stored cell directories, not a full-index scan
-    stored.queryExecution.executedPlan.toString should include("PartitionFilters: [")
-    stored.queryExecution.executedPlan.toString should include("cell#")
+    // partition pruning: a NON-EMPTY cell IN (...) PartitionFilters on
+    // the scan line (the bare "PartitionFilters: [" header prints even
+    // when pushdown fails — review finding, round 10)
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains(" IN ")),
+      s"expected a cell IN (...) partition filter in:\n$scan")
   }
 }
 
@@ -1371,6 +1375,29 @@ class L2MicroSquaredSpec extends SparkSpec {
     assert(run(Seq(1L, null), Seq(1L, 2L)) == null)   // null element
     run(Seq.empty, Seq.empty) shouldBe 0L
   }
+
+  test("DotMicro: fused dot == zip_with/aggregate composition + null algebra") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      (Seq.fill(n)(rnd.nextLong() % 2000000L), Seq.fill(n)(if (rnd.nextBoolean()) 1L else -1L))
+    }
+    val both = rows.toDF("a", "b").select(
+      graft.functions.ArrayOps.dotMicro(col("a"), col("b")).as("fused"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, t) => acc + t).as("composed"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (f, c) => f shouldBe c }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def arr(xs: Seq[java.lang.Long]): Literal =
+      Literal.create(xs, ArrayType(LongType, containsNull = true))
+    def run(a: Seq[java.lang.Long], b: Seq[java.lang.Long]): Any =
+      graft.functions.DotMicro(arr(a), arr(b)).eval(null)
+    run(Seq(2L, -3L), Seq(4L, 5L)) shouldBe -7L
+    assert(run(Seq(1L, 2L), Seq(1L)) == null)
+    assert(run(Seq(1L, null), Seq(1L, 2L)) == null)
+  }
 }
 
 /** SRP projection (q153): the driver-side sign derivation must be
@@ -1400,9 +1427,13 @@ class SrpProjectSpec extends SparkSpec {
       (2L, Array(1.0f, 2.0f, 3.0f))) // wrong dims -> excluded
       .toDF("vec_id", "embedding")
     val signs = Embeddings.srpSigns(2, 3)
-    val got = Embeddings.srpProjectMicro(df, "vec_id", "embedding",
+    val withNullComp = df.unionByName(
+      Seq((3L, Array(1.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), array(col("embedding")(0), lit(null)).as("embedding")))
+    val got = Embeddings.srpProjectMicro(withNullComp, "vec_id", "embedding",
       dims = 2, outDims = 3)
       .as[(Long, Long, Long)].collect().toSeq.sorted
+    got.map(_._1).toSet should not contain 3L // null-component row drops
     val expect = (for {
       (id, v) <- Seq(0L -> Array(1000000L, -2000000L), 1L -> Array(500000L, 500000L))
       j <- 0 until 3
