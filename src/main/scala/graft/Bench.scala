@@ -130,7 +130,15 @@ object Bench {
     // artifact's reader) but leaves trained_recall to BENCH_FULL.json,
     // and prints per-query values at 2 decimals (10 ms resolution; full
     // fidelity lives in the docs artifact). ~1790 chars, ~200 margin.
-    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Trailing zeros carry no information at 10 ms resolution, and at
+    // 153 queries they were ~100 chars of the line (the q153 addition
+    // left ~15 chars of margin): "0.50" -> "0.5", "1.00" -> "1". Still
+    // plain JSON numbers; full 3-decimal fidelity stays in BENCH_FULL.
+    def fmt2(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    }
     def obj2(key: String => String, f: R => Double): String =
       ok.map(r => "\"" + key(r.name) + "\":" + fmt2(f(r))).mkString("{", ",", "}")
     val errPart =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{ExactAgg, PortableRound}
 
@@ -58,6 +58,18 @@ object Embeddings {
     * preserved in the JL sense (distortion spec-checked loosely);
     * exact equality is only claimed for the projection itself. */
   def srpProjectMicro(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, outDims: Int): DataFrame =
+    srpProjectMicroVec(df, idCol, vecCol, dims, outDims)
+      .select(col(idCol), posexplode(col("_proj")).as(Seq("j", "out_j")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("out_j"))
+
+  /** [[srpProjectMicro]] kept in ARRAY form — `(idCol, _proj:
+    * array<bigint>)` — for consumers that feed the projection straight
+    * into a distance loop ([[srpShortlistRerank]]) and would otherwise
+    * pay an explode + groupBy re-assembly shuffle to undo the row
+    * form. Same validity filter, same values; the exploded face is a
+    * posexplode over this one. */
+  def srpProjectMicroVec(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, outDims: Int): DataFrame = {
     val signs = srpSigns(dims, outDims)
     val outs = graft.functions.ArrayOps.bind(Similarity.microQuant(col(vecCol))) {
@@ -66,8 +78,74 @@ object Embeddings {
     }
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
         !exists(col(vecCol), x => x.isNull))
-      .select(col(idCol), posexplode(outs).as(Seq("j", "out_j")))
-      .select(col(idCol), col("j").cast("long").as("j"), col("out_j"))
+      .select(col(idCol), outs.as("_proj"))
+  }
+
+  /** The composed dimension-reduction ANN pipeline — the reason
+    * [[srpProjectMicro]] exists: shortlist candidates by exact int64
+    * squared-L2 in the PROJECTED space (outDims components per
+    * distance instead of dims — the 4× cut at 64→16), then re-rank the
+    * shortlist by exact FULL-dimension micro squared-L2. JL distortion
+    * can only cost recall at the shortlist boundary; everything the
+    * shortlist admits is ordered by the true metric.
+    *
+    * Plan shape, scan by scan: (1) one narrow corpus scan projects to
+    * outDims and scores against the BROADCAST projected queries
+    * (queries are ingest-sized by contract); the per-query shortlist
+    * is a row_number window whose `<= shortlist` filter Spark pushes
+    * into a per-partition WindowGroupLimit — each map partition
+    * forwards at most |queries|·shortlist rows, so the window shuffle
+    * is output-sized, never corpus-sized. (2) the rerank joins the
+    * (|queries|·shortlist)-row shortlist BACK to the corpus as a
+    * broadcast equi-join — a semi-join-pruned second scan, no shuffle
+    * of corpus data — and windows over shortlist-sized input. At
+    * 100 TB the whole operator is two corpus scans and two tiny
+    * broadcasts.
+    *
+    * Everything is integer (micro-unit quantization, int64 distance
+    * folds via the fused [[graft.functions.L2MicroSquared]]), ties
+    * break on id, so the complete pipeline — projection, shortlist
+    * membership, final ranking — is oracle-portable and hash-checked
+    * (q154). Projected components are guarded against int64 distance
+    * overflow the same way [[Similarity.microQuant]] guards raw
+    * components: loudly, per element, at ≤ √(Long.Max/4·outDims).
+    *
+    * Returns `(query_id, idCol, d2)`, `k` rows per query, ordered by
+    * the caller. */
+  def srpShortlistRerank(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      dims: Int, outDims: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val lim = math.sqrt(9.223372036854775e18 / (4.0 * outDims))
+    def guarded(proj: Column): Column = transform(proj, x =>
+      when(abs(x).cast("double") > lim, raise_error(concat(
+        lit("srpShortlistRerank: |projected component| overflows exact " +
+          "int64 distances at this outDims: "), x.cast("string"))))
+        .otherwise(x))
+    val cp = srpProjectMicroVec(df, idCol, vecCol, dims, outDims)
+      .select(col(idCol), guarded(col("_proj")).as("_cp"))
+    val qp = srpProjectMicroVec(queries, qIdCol, qVecCol, dims, outDims)
+      .select(col(qIdCol).as("query_id"), guarded(col("_proj")).as("_qp"))
+    val slWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("_pd2").asc, col(idCol).asc)
+    val sl = cp.crossJoin(broadcast(qp))
+      .select(col("query_id"), col(idCol),
+        graft.functions.ArrayOps.l2MicroSquared(col("_cp"), col("_qp")).as("_pd2"))
+      .withColumn("_r", row_number().over(slWin))
+      .filter(col("_r") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    val rkWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+    df.select(col(idCol), Similarity.microQuant(col(vecCol)).as("_cv"))
+      .join(broadcast(sl), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        Similarity.microQuant(col(qVecCol)).as("_qv"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        graft.functions.ArrayOps.l2MicroSquared(col("_cv"), col("_qv")).as("d2"))
+      .withColumn("_r", row_number().over(rkWin))
+      .filter(col("_r") <= k)
+      .drop("_r")
   }
 
   /** Per-`labelCol` exact component-wise mean of `vecCol` (4dp) plus

@@ -585,6 +585,56 @@ object RelationalQueries {
         ORDER BY vec_id, j""".replaceAll("\\s+", " ")))
   }
 
+  /** The COMPOSED face of q153: SRP-project corpus and queries to 16
+    * dims, shortlist per query by exact int64 squared-L2 in projected
+    * space (4× less distance work per corpus row), exact full-dim
+    * micro rerank of the shortlist. Projection, shortlist membership
+    * AND final ordering are all integer with id tie-breaks, so the
+    * whole two-stage pipeline hash-checks — the oracle regenerates the
+    * sign matrix from the portable md5 and mirrors both ranking
+    * windows. JL distortion lives only at the shortlist boundary; the
+    * oracle computes the SAME projected shortlist, so this is exact
+    * equivalence of the declared algorithm, not a recall claim. */
+  private val q154 = {
+    val (outDims, slN, kTop) = (16, 32, 5)
+    Q(
+      "q154_srp_shortlist_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Embeddings.srpShortlistRerank(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dims = 64, outDims = outDims, shortlist = slN, k = kTop)
+          .orderBy(col("query_id").asc, col("d2").asc, col("vec_id").asc)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        signs AS (SELECT rj.j, ri.i,
+            CASE WHEN ${PortableHash.md5Hash32Sql("concat('srp:', rj.j, ':', ri.i)")} % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM range(0, $outDims) rj(j), range(0, 64) ri(i)),
+        p AS (SELECT vec_id, s.j, sum(s.s * v.v[s.i + 1]) AS out_j
+          FROM v, signs s GROUP BY 1, 2),
+        pd AS (SELECT q.vec_id AS query_id, c.vec_id,
+            sum((c.out_j - q.out_j) * (c.out_j - q.out_j)) AS pd2
+          FROM p c JOIN p q ON c.j = q.j AND q.vec_id < 5 GROUP BY 1, 2),
+        sl AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY pd2 ASC, vec_id ASC) AS r FROM pd)
+          WHERE r <= $slN)
+        SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+          SELECT sl.query_id, sl.vec_id, ${kmD2Sql("c.v", "q.v")} AS d2,
+            row_number() OVER (PARTITION BY sl.query_id
+              ORDER BY ${kmD2Sql("c.v", "q.v")} ASC, sl.vec_id ASC) AS r
+          FROM sl JOIN v c ON sl.vec_id = c.vec_id
+            JOIN v q ON sl.query_id = q.vec_id)
+        WHERE r <= $kTop
+        ORDER BY query_id, d2, vec_id""".replaceAll("\\s+", " ")))
+  }
+
   /** Set operations with SQL DISTINCT semantics: customers ordering in
     * both of two status classes (INTERSECT) and in the first only
     * (EXCEPT). Catalyst plans both as aggregates over a single-shuffle
@@ -1616,5 +1666,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133, q137, q150, q151, q152, q153)
+      q106, q133, q137, q150, q151, q152, q153, q154)
 }

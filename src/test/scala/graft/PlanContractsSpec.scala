@@ -116,6 +116,26 @@ class PlanContractsSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("SRP shortlist-rerank: group-limited windows, keyed broadcast rerank joins") {
+    // q154's contract: both ranking windows push their k-limit below
+    // the sort (WindowGroupLimit — map partitions forward at most
+    // |queries|*shortlist rows into the window shuffle), and the rerank
+    // fetch is a broadcast equi-join back to the corpus — the only
+    // unkeyed join in the plan is the deliberate broadcast of the
+    // ingest-sized projected query table.
+    val emb = t(spark, dir, "embeddings")
+    val res = graft.operators.Embeddings.srpShortlistRerank(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      dims = 64, outDims = 16, shortlist = 32, k = 5)
+    val plan = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan.split("WindowGroupLimit").length should be >= 3
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("persisted IVF index probe prunes to the probed cell= partitions") {
     // q84's contract: the stored-index probe must reach the data scan as
     // PARTITION pruning (directory-level skip), not a post-scan filter —

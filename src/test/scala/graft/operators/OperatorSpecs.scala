@@ -1463,4 +1463,48 @@ class SrpProjectSpec extends SparkSpec {
     near should be > 0.7
     near should be > far + 0.3 // separation survives the projection
   }
+
+  test("shortlist-rerank: identity probes rank first; full-corpus shortlist == exact top-k") {
+    val rnd = new scala.util.Random(71)
+    val rows = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 3)
+    val got = Embeddings.srpShortlistRerank(df, "vec_id", "embedding",
+      qs, "vec_id", "embedding", dims = 64, outDims = 16, shortlist = 40, k = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // identity probe: each query's rank-1 hit is itself at d2 = 0
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      rs.minBy(r => (r._3, r._2)) shouldBe ((q, q, 0L))
+    }
+    // shortlist covering the whole corpus leaves no JL boundary: the
+    // result must equal the exact full-dimension micro top-k
+    val micro = rows.toMap.view.mapValues(
+      _.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = (0L until 3L).flatMap { q =>
+      rows.map { case (id, _) => (q, id, d2(micro(q), micro(id))) }
+        .sortBy(r => (r._3, r._2)).take(4)
+    }.sorted
+    got shouldBe expect
+  }
+
+  test("shortlist-rerank guards projected int64 distance overflow loudly") {
+    // components sized to PASS microQuant's raw-component guard
+    // (|150| raw < ~190 at d=64) but aligned with sign row 0 so the
+    // projected component j=0 sums to 64 x 1.5e8 — far past the
+    // projected-space bound sqrt(Long.Max / 4*16) ~ 3.8e8
+    val signs = Embeddings.srpSigns(64, 16)
+    val v = Array.tabulate(64)(i => (signs(0)(i) * 150L).toFloat)
+    val df = Seq((0L, v)).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      Embeddings.srpShortlistRerank(df, "vec_id", "embedding",
+        df, "vec_id", "embedding", 64, 16, shortlist = 1, k = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows")),
+      s"expected a loud projected-overflow error, got: $e")
+  }
 }
