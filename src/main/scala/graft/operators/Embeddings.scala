@@ -137,7 +137,14 @@ object Embeddings {
       .select(col("query_id"), col(idCol))
     val rkWin = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col(idCol).asc)
-    df.select(col(idCol), Similarity.microQuant(col(vecCol)).as("_cv"))
+    // Same validity predicate as srpProjectMicroVec: without it, a
+    // malformed corpus row (wrong dimensionality with an oversized
+    // component) that the SHORTLIST phase and the oracle both drop
+    // would still reach microQuant here and raise — the rerank scan
+    // must honor the same "malformed rows DROP" contract on dirty data.
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
+        !exists(col(vecCol), x => x.isNull))
+      .select(col(idCol), Similarity.microQuant(col(vecCol)).as("_cv"))
       .join(broadcast(sl), Seq(idCol))
       .join(broadcast(queries.select(col(qIdCol).as("query_id"),
         Similarity.microQuant(col(qVecCol)).as("_qv"))), Seq("query_id"))

@@ -130,7 +130,24 @@ class PlanContractsSpec extends SparkSpec {
       dims = 64, outDims = 16, shortlist = 32, k = 5)
     val plan = res.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    plan.split("WindowGroupLimit").length should be >= 3
+    // Count actual physical nodes, not explain-string substrings:
+    // formatted explain prints each node at least twice (tree line +
+    // "(n) WindowGroupLimit" detail block), so a substring threshold of
+    // 2 occurrences would pass with only ONE of the two ranking windows
+    // group-limited. And Spark inserts WindowGroupLimitExec in BOTH
+    // Partial (below the window shuffle) and Final mode per pushed
+    // window, so a raw node count of 2 could still be a single window.
+    // Final-mode nodes are 1:1 with pushed windows — require one per
+    // ranking window.
+    // (Parsed from the formatted detail blocks, not collect()ed off
+    // executedPlan: AQE's AdaptiveSparkPlanExec exposes no children
+    // pre-execution, so a tree collect sees zero nodes.)
+    val finalGroupLimits =
+      """\(\d+\) WindowGroupLimit\n(?:[^\n]*\n){1,2}?Arguments:[^\n]*Final""".r
+        .findAllIn(plan).size
+    withClue(s"expected both ranking windows group-limited (Final mode) in:\n$plan\n") {
+      finalGroupLimits should be >= 2
+    }
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"

@@ -1489,6 +1489,26 @@ class SrpProjectSpec extends SparkSpec {
     got shouldBe expect
   }
 
+  test("shortlist-rerank drops malformed corpus rows in the RERANK scan too") {
+    // A wrong-dimensionality row whose own component would trip
+    // microQuant's per-row overflow guard at ITS length (1 element →
+    // bound ~1519 raw; 2000 raw overflows): the shortlist phase drops
+    // it via the validity filter, and the rerank scan must apply the
+    // SAME filter — quantizing the unfiltered corpus there would
+    // raise and fail the whole job on dirty data the contract says
+    // DROPs (round-10 advice, Embeddings.scala rerank scan).
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 10L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val dirty = rows.toDF("vec_id", "embedding").unionByName(
+      Seq((99L, Array(2000.0f))).toDF("vec_id", "embedding"))
+    val qs = dirty.filter(col("vec_id") < 2)
+    val got = Embeddings.srpShortlistRerank(dirty, "vec_id", "embedding",
+      qs, "vec_id", "embedding", dims = 64, outDims = 16, shortlist = 10, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    got should not be empty
+    got.map(_._2).toSet should not contain 99L
+  }
+
   test("shortlist-rerank guards projected int64 distance overflow loudly") {
     // components sized to PASS microQuant's raw-component guard
     // (|150| raw < ~190 at d=64) but aligned with sign row 0 so the
