@@ -41,24 +41,28 @@ object Bench {
     catch { case _: Throwable => () }
     // Deterministic measurement: iterate in sorted-name order (a Map's
     // hash order shifts whenever the query set changes, silently moving
-    // which query absorbs residual warmup), and report min-of-2 passes
-    // per query so ambient machine load and one-off JIT spikes don't
-    // pollute the artifact. Pass 1 runs the query's full declared
-    // semantics (for stored-artifact queries that includes the index /
-    // model build); pass 2 sets graft.bench.reuseArtifacts so
-    // Artifacts.prepare skips the (deterministic) rebuild and the warm
-    // number times the probe steady state. Semantics untouched —
-    // measurement hygiene; Verify never sets the property.
+    // which query absorbs residual warmup), and report min-of-N SWEEPS
+    // per query. Sweep-major, not pass-major (round-10 verdict item 1):
+    // sweep 1 runs EVERY query's full declared semantics (stored-
+    // artifact builds included), then sweep 2 re-times every query with
+    // graft.bench.reuseArtifacts set (Artifacts.prepare/memo skip the
+    // deterministic rebuilds — the warm number times the probe steady
+    // state). With back-to-back per-query passes, one co-tenant load
+    // burst double-hit a contiguous alphabetical block and poisoned the
+    // whole artifact (BENCH_r10: 92 s driver vs 64 s judge, q112 8.98 s
+    // vs a true 0.65); sweeps minutes apart mean a burst can contaminate
+    // at most ONE sweep of any query, and the min rejects it. Semantics
+    // untouched — measurement hygiene; Verify never sets the property.
     // Dev-only subset filter (comma-separated name prefixes), same as
     // Verify's; the driver never sets it, so its runs stay full-surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String): Boolean =
       only.forall(_.exists(p => name.startsWith(p)))
     case class R(name: String, warm: Double, cold: Double, err: Option[String])
-    val results = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      def once(reuseArtifacts: Boolean): (Double, Option[String]) = {
-        System.setProperty("graft.bench.reuseArtifacts", reuseArtifacts.toString)
+    val named = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+    def sweep(reuseArtifacts: Boolean): Seq[(Double, Option[String])] = {
+      System.setProperty("graft.bench.reuseArtifacts", reuseArtifacts.toString)
+      try named.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
@@ -66,20 +70,22 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }
         ((System.nanoTime() - t0) / 1e9, err)
-      }
-      // SPARK_GRAFT_BENCH_PASSES (default 2, min 2): min-of-N. Pass 1
-      // always runs the full declared semantics; passes 2..N reuse
-      // pass-1 artifacts. N=3 tightens the tail against bursty
-      // co-tenant load at +50% wall cost — worth it when regenerating
-      // the committed quiet-box artifact, not for dev loops.
-      val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-        .flatMap(_.toIntOption).getOrElse(2).max(2)
-      val (cold, errCold) = once(reuseArtifacts = false)
-      val warmRuns = (2 to passes).map(_ => once(reuseArtifacts = true))
-      System.clearProperty("graft.bench.reuseArtifacts")
-      val warm = (cold +: warmRuns.map(_._1)).min
-      val err = (errCold +: warmRuns.map(_._2)).flatten.headOption
-      R(name, warm, cold, err)
+      } finally System.clearProperty("graft.bench.reuseArtifacts")
+    }
+    // SPARK_GRAFT_BENCH_PASSES (default 2, min 2): min-of-N sweeps.
+    // Sweep 1 always runs the full declared semantics; sweeps 2..N
+    // reuse sweep-1 artifacts. N=3 tightens the tail against bursty
+    // co-tenant load at +50% wall cost — worth it when regenerating
+    // the committed quiet-box artifact, not for dev loops.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2).max(2)
+    val coldSweep = sweep(reuseArtifacts = false)
+    val warmSweeps = (2 to passes).map(_ => sweep(reuseArtifacts = true))
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val (cold, errCold) = coldSweep(i)
+      val warms = warmSweeps.map(_(i))
+      R(name, (cold +: warms.map(_._1)).min, cold,
+        (errCold +: warms.map(_._2)).flatten.headOption)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jstr(s: String): String =
@@ -294,21 +300,23 @@ object Bench {
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
-    // Compact trained-recall SCALAR on the driver-visible line (round-9
-    // verdict item 5). Line budget, re-measured at 151 queries: the
-    // full line must fit the driver's ~2000-char tail window MINUS the
-    // trailing sbt success line (~72 chars) — at 151 queries the
-    // round-10 field set measured 1924 chars, four chars of margin. So
-    // the stdout line carries control_total + trained_recall only;
-    // control_n, ivfpq_recall (verdict item 8's home is BENCH_FULL),
-    // and the drift fields stay in the full artifact. The println
-    // below warns on stderr when the line crosses 1900 so the next
-    // query-count growth is caught here, not as a parsed:null driver
-    // artifact.
+    // Compact recall SCALARS on the driver-visible line (round-9 item
+    // 5 gave it trained_recall; round-10 item 5 adds ivfpq_recall so
+    // quantization drift is driver-visible too). Line budget: the full
+    // line must fit the driver's ~2000-char tail window MINUS the
+    // trailing sbt success line (~72 chars). To make room for the
+    // second scalar (~22 chars) the stdout line DROPS total_cold —
+    // its consumer is the judge, who reads BENCH_FULL.json / the
+    // queries_cold map, both still carrying it; the driver artifact
+    // only ever surfaced the warm total. control_n and the drift
+    // fields stay in the full artifact. The println below warns on
+    // stderr when the line crosses 1900 so the next query-count growth
+    // is caught here, not as a parsed:null driver artifact.
     val recallShort =
-      trainedRecall.map(v => s""","trained_recall":${fmt(v)}""").getOrElse("")
+      trainedRecall.map(v => s""","trained_recall":${fmt(v)}""").getOrElse("") +
+      ivfpqRecall.map(v => s""","ivfpq_recall":${fmt(v)}""").getOrElse("")
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallShort,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"control_total":${fmt(controlTotal)}$recallShort,"unit":"sec","n_failed":${failed.size},"cpus":$cpus,"queries":${obj2(shortKey, _.warm)}$errPartShort,"sf":"$sfDir"}"""
     if (stdoutLine.length > 1900) System.err.println(
       s"BENCH LINE BUDGET: stdout line is ${stdoutLine.length} chars — " +
         "within ~30 of the driver's tail window; trim fields or decimals")

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Link-graph centrality: fixed-iteration PageRank in exact integer
@@ -35,9 +37,22 @@ import org.apache.spark.storage.StorageLevel
   * re-read a materialized edge list instead of re-deriving it; ranks
   * are node-sized, never edge-sized. The iteration count is a fixed
   * small constant, so the whole computation is one static DAG that
-  * Catalyst/AQE plans end-to-end.
+  * Catalyst/AQE plans end-to-end. Small graphs short-circuit to a
+  * driver-side solve of the same recurrence (see
+  * [[DefaultDriverSolveMaxEdges]]) — identical ranks, none of the
+  * per-superstep scheduling latency.
   */
 object Graph {
+
+  /** Edge-count ceiling for the driver-side solve — the
+    * [[Clustering.DefaultDriverSolveMaxEdges]] pattern applied to
+    * PageRank: on a graph this small the distributed loop's cost is
+    * per-superstep job scheduling, not data (the round-10 q126
+    * finding: ~160k edges at bench SF spent seconds on ~10 stage
+    * launches), while 2M edges collect to ~32 MB and iterate locally
+    * in well under a second. The arithmetic is pure int64 either way,
+    * so both paths produce BITWISE equal ranks (spec-pinned). */
+  val DefaultDriverSolveMaxEdges: Long = 2000000L
 
   /** PageRank over the undirected closure of `pairs` (each input pair
     * (a, b) becomes edges a→b and b→a; duplicates removed). Every node
@@ -48,15 +63,42 @@ object Graph {
     * Input columns: `a`, `b` (long-castable). Output: (node, deg,
     * rank_micro) — rank in micro-units after `iterations` damped
     * supersteps from a uniform 10⁶ start.
+    *
+    * Adaptive execution: the deduped pair list is counted first; at or
+    * below `driverSolveMaxEdges` undirected-closure edges the fixed
+    * iterations run on the driver over the collected (bounded) edge
+    * list — identical integer recurrence, identical ranks, none of the
+    * per-superstep scheduling latency that dominates small graphs.
+    * Above the ceiling the declarative superstep loop runs (pass 0 to
+    * force it).
     */
-  /** The returned frame is backed by a node-sized local checkpoint
-    * (that is what lets the edge-sized caches drop at return instead of
-    * living as long as the caller's plan); a long-lived driver calling
-    * this repeatedly should `CheckpointBridge.release` the frame once
-    * done with it rather than waiting for the ContextCleaner. */
+  /** The returned frame is backed by a node-sized local checkpoint /
+    * local rows (that is what lets the edge-sized caches drop at
+    * return instead of living as long as the caller's plan); a
+    * long-lived driver calling this repeatedly should
+    * `CheckpointBridge.release` the frame once done with it rather
+    * than waiting for the ContextCleaner. */
   def pageRankUndirectedMicro(pairs: DataFrame, aCol: String, bCol: String,
-      iterations: Int): DataFrame = {
-    val (ranks, edges, deg) = pageRankFrame(pairs, aCol, bCol, iterations)
+      iterations: Int,
+      driverSolveMaxEdges: Long = DefaultDriverSolveMaxEdges): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1,10], got $iterations")
+    // dedup + null-filter ONCE, distributed (at 100 TB the raw pair
+    // list is the big side; what's counted/collected is the deduped
+    // projection), materialized so the count and its consumer don't
+    // re-run the upstream plan
+    val p = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .transform(Checkpoints.stable)
+    // each deduped pair yields ≤ 2 closure edges
+    if (p.count() * 2 <= driverSolveMaxEdges) {
+      val out = driverSolve(pairs.sparkSession, p.collect(), iterations)
+      CheckpointBridge.release(p)
+      return out
+    }
+    val (ranks, edges, deg) = pageRankFrame(p, "src", "dst", iterations)
     // Materialize the node-sized result so the edge-sized caches can be
     // dropped NOW instead of pinning executor storage until the caller's
     // frame is GC'd — on a long-lived driver the edge list is the big
@@ -64,7 +106,43 @@ object Graph {
     val out = Checkpoints.stable(ranks)
     edges.unpersist(blocking = false)
     deg.unpersist(blocking = false)
+    CheckpointBridge.release(p)
     out
+  }
+
+  /** The driver-side fixed-iteration solve: the same integer recurrence
+    * over the collected deduped pair list. HashSet-deduped closure,
+    * `rank div deg` contributions, `150000 + (85·Σ) div 100` damping —
+    * each step is the distributed plan's arithmetic verbatim, and
+    * integer sums are order-free, so the two paths cannot diverge. */
+  private def driverSolve(spark: SparkSession, rows: Array[Row],
+      iterations: Int): DataFrame = {
+    val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    def nbrs(n: Long): java.util.HashSet[Long] = {
+      var s = adj.get(n)
+      if (s == null) { s = new java.util.HashSet[Long](); adj.put(n, s) }
+      s
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      nbrs(a).add(b); nbrs(b).add(a)
+    }
+    val nodes = adj.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue())
+    val deg = nodes.map(n => n -> adj.get(n).size.toLong).toMap
+    var rank = nodes.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val sums = new java.util.HashMap[Long, Long]()
+      nodes.foreach { src =>
+        val c = rank(src) / deg(src) // non-negative: floor ≡ Spark's div
+        adj.get(src).forEach(d => sums.merge(d, c, (x, y) => x + y))
+      }
+      rank = nodes.map(n => n -> (150000L + 85L * sums.get(n) / 100L)).toMap
+    }
+    val out = new java.util.ArrayList[Row](nodes.length)
+    nodes.foreach(n => out.add(Row(n, deg(n), rank(n))))
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", LongType), StructField("deg", LongType),
+      StructField("rank_micro", LongType))))
   }
 
   /** The un-materialized superstep pipeline (plus the two persisted

@@ -158,6 +158,23 @@ class ArtifactsPrepareSpec extends SparkSpec {
     } finally System.clearProperty("graft.bench.reuseArtifacts")
   }
 
+  test("memo rebuilds by default; reuses a prior full-pass value only under the property") {
+    // The driver-side twin of prepare (q150/q151's trained centers):
+    // default path ALWAYS rebuilds (Verify semantics), property path
+    // returns the value a full pass stored in this JVM.
+    val key = s"memo-spec:${System.nanoTime()}"
+    var builds = 0
+    Artifacts.memo(key) { builds += 1; Seq(builds) } shouldBe Seq(1)
+    Artifacts.memo(key) { builds += 1; Seq(builds) } shouldBe Seq(2) // no property -> rebuilt
+    System.setProperty("graft.bench.reuseArtifacts", "true")
+    try {
+      Artifacts.memo(key) { builds += 1; Seq(builds) } shouldBe Seq(2) // reused
+      builds shouldBe 2
+      // a key never built in this JVM still builds under the property
+      Artifacts.memo(key + ":other") { builds += 1; Seq(builds) } shouldBe Seq(3)
+    } finally System.clearProperty("graft.bench.reuseArtifacts")
+  }
+
   test("a failed build leaves no marker, so the next run rebuilds even under reuse") {
     val dir = tmpDir("artifacts") + "/c"
     an[RuntimeException] should be thrownBy

@@ -37,7 +37,10 @@ class CheckpointsSpec extends SparkSpec {
   }
 
   test("pageRank identical under local and reliable checkpoints") {
-    def run() = Graph.pageRankUndirectedMicro(pairs, "a", "b", iterations = 3)
+    // force the DISTRIBUTED loop — the adaptive driver solve touches
+    // no checkpoints, so it would test nothing here
+    def run() = Graph.pageRankUndirectedMicro(pairs, "a", "b", iterations = 3,
+      driverSolveMaxEdges = 0L)
       .orderBy("node").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val local = run()

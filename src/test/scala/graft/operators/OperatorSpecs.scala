@@ -1290,6 +1290,26 @@ class KmeansMicroExactSpec extends SparkSpec {
     got.map(_._3) shouldBe got.map(_._3).sorted // exact integer ranking
   }
 
+  test("ivfTopKMicroExactTrained equals the fused train+probe bit-for-bit") {
+    // The factored form (pre-trained centers in, probe core shared) is
+    // what q151 runs via the Bench memo; it must be indistinguishable
+    // from the fused form for the same corpus/params.
+    val rnd = new scala.util.Random(41)
+    val corpus = df((0 until 120).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1))))
+    val queries = corpus.filter(col("vec_id") < 3)
+    def rows(r: org.apache.spark.sql.DataFrame) = r
+      .select("query_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val fused = Similarity.ivfTopKMicroExact(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCentroids = 4, iters = 2, nProbe = 2)
+    val centers = Similarity.kmeansMicroExact(corpus, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val factored = Similarity.ivfTopKMicroExactTrained(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nProbe = 2, centers = centers)
+    rows(factored) shouldBe rows(fused)
+  }
+
   test("null embeddings are excluded from training and assignment") {
     val rows = Seq((0L, Array(1.0f)), (1L, Array(2.0f)))
       .toDF("vec_id", "embedding")

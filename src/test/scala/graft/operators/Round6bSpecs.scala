@@ -41,6 +41,22 @@ class GraphSpec extends SparkSpec {
       refPageRank(Seq((1L, 2L), (2L, 3L)), 2)
   }
 
+  test("driver solve equals the distributed superstep loop bit-for-bit") {
+    // The adaptive short-circuit (round-10 q126 scheduling-overhead
+    // fix) must be output-indistinguishable from the declarative loop:
+    // same deg, same rank_micro, on a graph with dupes and self-loops.
+    val rnd = new scala.util.Random(13)
+    val pairs = (Seq.fill(250)((rnd.nextInt(30).toLong, rnd.nextInt(36).toLong))
+      :+ (5L, 5L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("node", "deg", "rank_micro")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val driver = Graph.pageRankUndirectedMicro(pairs, "a", "b", 3)
+    val dist = Graph.pageRankUndirectedMicro(pairs, "a", "b", 3,
+      driverSolveMaxEdges = 0L)
+    rows(driver) shouldBe rows(dist)
+  }
+
   test("higher-degree hubs accumulate more rank on a star graph") {
     // star: node 0 linked to 1..8 — the hub must outrank every leaf
     val pairs = (1L to 8L).map(i => (0L, i))
