@@ -750,9 +750,18 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
       .select("_h")
+    spanStats(docs, idCol, textCol, w.join(dupHashes, Seq("_h"), "left_semi"), k)
+  }
+
+  /** Shared tail of the duplicated-span family: merge verified
+    * duplicated window starts (`dupPos`: (idCol, pos)) into maximal
+    * per-document spans (gaps-and-islands) and emit the per-document
+    * stats row — (idCol, n_spans, dup_tokens, n_tokens, dup_frac). */
+  private def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      dupPos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val spans = w
-      .join(dupHashes, Seq("_h"), "left_semi")
+    val spans = dupPos
       .withColumn("_new", when(
         lag(col("pos"), 1).over(byDoc).isNull ||
           col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L).otherwise(0L))
@@ -772,6 +781,90 @@ object Dedup {
         PortableRound.round4(
           coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
+  }
+
+  /** [[dupSpans]] rebuilt for HEAVY window widths — the ≥50-token
+    * exact-substring dedup class (Lee et al. 2021's suffix-array pass;
+    * the span family's winnowing/CDC members approximate it, this
+    * computes it exactly). Output is BIT-IDENTICAL to `dupSpans(k)`
+    * (spec-pinned); the construction differs where naive window
+    * hashing stops scaling in k:
+    *
+    *  - CANDIDATES by double polynomial hashing over per-token
+    *    md5-derived 32-bit values: each position's k-window folds to
+    *    `Σ h[p+j]·C^j mod M` under two independent (C, M) pairs packed
+    *    into one int64 — ~2k integer multiply-adds per position
+    *    against `dupSpans`' md5 over the k-token gram STRING (~6k
+    *    bytes digested per position at k=50, a 300× CPU blowup that
+    *    is the whole cost of the naive form at heavy widths). A
+    *    distributed suffix array finds the same ≥k-token repeats but
+    *    needs O(log n) sort rounds; one hash pass + one verify pass
+    *    is two shuffles total.
+    *  - VERIFY on the dup-rate-sized survivor set only: positions
+    *    whose packed hash occurs in ≥2 distinct docs join back to
+    *    their documents (doc-keyed, candidate-sized) and re-hash with
+    *    the full 128-bit md5 of the actual gram text — a 62-bit
+    *    birthday collision (~4% expected ONCE corpus-wide at 600M
+    *    windows) therefore cannot mark unrelated text as duplicated;
+    *    the exact digest has the final word, the rolling hash only
+    *    nominates. No false negatives: equal windows hash equal, so
+    *    every true dup position reaches (and survives) the verify.
+    *
+    * Scale shape (100 TB): one corpus-sized shuffle of (digest, id,
+    * pos) int64 triples for the candidate count, then everything is
+    * dup-rate-sized — the verify's md5 work included. Within-document
+    * repeats don't qualify (≥2 DISTINCT docs), mirroring dupSpans. */
+  def dupSpansRolling(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import graft.functions.ArrayOps
+    val docs = df.filter(col(textCol).isNotNull)
+    // two fixed public-constant hash lines: Mersenne-ish primes below
+    // 2^31 keep every product under 2^62 and the k-term sum under 2^37
+    // before its reduction — all exact int64, all DuckDB-mirrorable
+    val (m1, m2) = (2147483647L, 2147483629L)
+    def pows(c: Long, m: Long): Seq[Long] =
+      Iterator.iterate(1L)(x => x * c % m).take(k).toSeq
+    val pw1 = typedLit(pows(1000003L, m1))
+    val pw2 = typedLit(pows(1000033L, m2))
+    val digests = ArrayOps.bind(
+      transform(tokens(col(textCol)), t => graft.functions.PortableHash.md5Hash32(t))) { h =>
+      when(size(h) >= k,
+        transform(sequence(lit(1), size(h) - (k - 1)), p => {
+          def line(pw: Column, m: Long): Column =
+            aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+              (acc, j) =>
+                acc + element_at(h, p + j) % m * element_at(pw, j + 1) % m) % m
+          line(pw1, m1) * lit(4294967296L) + line(pw2, m2)
+        }))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val rollPos = docs
+      .select(col(idCol), posexplode(digests).as(Seq("_p0", "_d")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("_d"))
+      .localCheckpoint() // feeds the dup count AND the semi-join (the
+      // dupSpans discipline) — without it the hash pass runs twice
+    val dupRoll = rollPos.groupBy("_d")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_d")
+    // candidate starts folded to one array per doc: the verify join
+    // back into the corpus is then doc-keyed and dup-rate-sized
+    val cand = rollPos.join(dupRoll, Seq("_d"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
+    val exact = docs.join(cand, Seq(idCol))
+      .select(col(idCol), ArrayOps.bind(tokens(col(textCol))) { toks =>
+        transform(col("_ps"), p => struct(p.as("pos"),
+          md5(concat_ws(" ", slice(toks, p, lit(k)))).as("_h")))
+      }.as("_pe"))
+      .select(col(idCol), explode(col("_pe")).as("_x"))
+      .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
+      .localCheckpoint() // candidate-sized; feeds count + semi-join
+    val dupExact = exact.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_h")
+    spanStats(docs, idCol, textCol, exact.join(dupExact, Seq("_h"), "left_semi"), k)
   }
 
   /** Duplicated-span REMOVAL — the cut [[dupSpans]] only measures: every

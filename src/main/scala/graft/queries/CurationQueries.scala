@@ -548,17 +548,13 @@ object CurationQueries {
     },
     Some(dsirOracleSql(64)))
 
-  /** Cross-document duplicated spans: 5-token windows occurring in ≥2
-    * distinct docs, merged per doc into maximal spans (the k-gram form
-    * of exact-substring dedup). */
-  private val q99 = {
-    val k = 5
+  /** The duplicated-span oracle, shared by q99 (k = 5) and q155
+    * (k = 50): md5 over EVERY k-token window — the straightforward
+    * exact definition, which the engine's rolling-candidate + exact-
+    * verify construction must reproduce bit-for-bit. */
+  private def dupSpansOracleSql(k: Int): String = {
     val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
-    Q(
-      "q99_dup_spans",
-      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", k)
-        .orderBy("doc_id"),
-      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE text IS NOT NULL),
         w AS (SELECT doc_id,
             unnest(range(1, len(toks) - ${k - 2})) AS pos,
@@ -583,7 +579,36 @@ object CurationQueries {
           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
           n_tokens,
           ${PortableRound.sql4("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens")} AS dup_frac
-        FROM nt LEFT JOIN ag USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")))
+        FROM nt LEFT JOIN ag USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")
+  }
+
+  /** Cross-document duplicated spans: 5-token windows occurring in ≥2
+    * distinct docs, merged per doc into maximal spans (the k-gram form
+    * of exact-substring dedup). */
+  private val q99 = {
+    val k = 5
+    Q(
+      "q99_dup_spans",
+      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", k)
+        .orderBy("doc_id"),
+      Some(dupSpansOracleSql(k)))
+  }
+
+  /** Exact-substring dedup at the HEAVY window width (50 tokens — the
+    * Lee et al. 2021 suffix-array class, round-10 verdict item 6):
+    * [[Dedup.dupSpansRolling]]'s double-polynomial rolling candidates
+    * + candidate-sized md5 verify, hash-checked against the oracle's
+    * straightforward every-window md5 form. Same output contract as
+    * q99; the operator exists because the naive construction's md5
+    * cost grows 10× from k=5 to k=50 while the rolling candidates
+    * stay O(k) integer ops per position. */
+  private val q155 = {
+    val k = 50
+    Q(
+      "q155_substring_dedup_50",
+      (s, dir) => Dedup.dupSpansRolling(t(s, dir, "documents"), "doc_id", "text", k)
+        .orderBy("doc_id"),
+      Some(dupSpansOracleSql(k)))
   }
 
   /** Duplicated-span removal: q99's spans actually cut, keep-first
@@ -1460,5 +1485,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141)
+    q141, q155)
 }

@@ -355,6 +355,42 @@ class CurationSpec extends SparkSpec {
     got.map(_._3) shouldBe Array(6L, 6L)   // 3 + 3 covered tokens
   }
 
+  test("dupSpansRolling equals dupSpans bit-for-bit (incl. randomized corpus)") {
+    import graft.operators.Dedup
+    // The rolling-candidate + exact-verify construction is an internal
+    // rewrite; its output contract is "dupSpans at this k". Fixture
+    // corpus plus a randomized one with planted shared substrings,
+    // short docs, within-doc repeats, and a null text.
+    val fixed = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p a b c d r"),
+      (3L, "q q q q q"),
+      (4L, "t u")
+    ).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val planted = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rndDocs = (10L until 40L).map { i =>
+      val body = Seq.fill(20 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i % 3 == 0) (body.take(5) :+ planted) ++ body.drop(5) mkString " "
+        else body.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+      .unionByName(Seq((99L, Option.empty[String])).toDF("doc_id", "text"))
+    for ((docs, k) <- Seq((fixed, 3), (rndDocs, 4), (rndDocs, 8))) {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+      withClue(s"k=$k: ") {
+        rows(Dedup.dupSpansRolling(docs, "doc_id", "text", k)) shouldBe
+          rows(Dedup.dupSpans(docs, "doc_id", "text", k))
+      }
+    }
+    // the planted 8-token substring is actually detected at k=8
+    val det = Dedup.dupSpansRolling(rndDocs, "doc_id", "text", 8)
+    det.filter(col("n_spans") > 0).count() should be >= 2L
+  }
+
   test("cdcChunks reassembles losslessly and localizes edits to one boundary region") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(7)
