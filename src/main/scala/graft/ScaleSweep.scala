@@ -41,7 +41,25 @@ object ScaleSweep {
     // round-10: the exact-trained k-means family — iterative TRAINING
     // curvature (T corpus passes + model-sized shuffles, expected
     // near-linear) and its stored write→probe round trip
-    "q150_kmeans_portable", "q152_ivf_trained_stored")
+    "q150_kmeans_portable", "q152_ivf_trained_stored",
+    // round-11: the SRP dimension-reduction front end and its composed
+    // shortlist+rerank pipeline (verdict item 4 — the ANN shape users
+    // actually run), plus the rolling-hash exact-substring dedup (the
+    // 50-token suffix-array class, candidate+verify construction)
+    "q153_srp_project", "q154_srp_shortlist_rerank",
+    "q155_substring_dedup_50")
+
+  /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
+    * every measured row first, the box-speed controls LAST (flag =
+    * true). Controls measured before the rows absorb parquet-reader /
+    * codegen session init and once recorded a 2.46× phantom "box
+    * slowdown" (SURVEY §15.8) — post-rows placement is what makes
+    * control_ratio mean host speed on warm code paths. main() iterates
+    * this plan in order; reordering the artifact requires editing THIS
+    * function, which ScaleSweepSpec guards. */
+  private[graft] def sweepPlan(rows: Seq[String],
+      controls: Seq[String]): Seq[(String, Boolean)] =
+    rows.map((_, false)) ++ controls.map((_, true))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,29 +158,30 @@ object ScaleSweep {
     // min-of-3) — so each row also reports ratio_vs_committed, the
     // curvature against the baseline's min-of-3 base number.
 
-    val rows = names.map { n =>
-      val (cb, wb) = time(n, baseDir)
-      val (cB, wB) = time(n, bigDir)
-      val committedPart = committedWarm.get(n)
-        .map(c => s""","committed_base":${fmt(c)},"ratio_vs_committed":${fmt(wB / c)}""")
-        .getOrElse("")
-      val line =
-        s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
-        s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
-        s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}$committedPart}"""
-      System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
-        s"ratio=${fmt(wB / wb)}" +
-        committedWarm.get(n).map(c => s"  vs_committed=${fmt(wB / c)}").getOrElse(""))
-      (n, wb, wB, line)
+    // ONE ordered loop over sweepPlan: measured rows first, controls
+    // after them in the fully-warmed session (see sweepPlan's scaladoc
+    // for why the order is load-bearing; ScaleSweepSpec pins it).
+    val rowsBuf = Seq.newBuilder[(String, Double, Double, String)]
+    var controlTotal = 0.0
+    sweepPlan(names, controls).foreach {
+      case (n, true) =>
+        controlTotal += time(n, baseDir)._2
+      case (n, false) =>
+        val (cb, wb) = time(n, baseDir)
+        val (cB, wB) = time(n, bigDir)
+        val committedPart = committedWarm.get(n)
+          .map(c => s""","committed_base":${fmt(c)},"ratio_vs_committed":${fmt(wB / c)}""")
+          .getOrElse("")
+        val line =
+          s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
+          s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
+          s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}$committedPart}"""
+        System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
+          s"ratio=${fmt(wB / wb)}" +
+          committedWarm.get(n).map(c => s"  vs_committed=${fmt(wB / c)}").getOrElse(""))
+        rowsBuf += ((n, wb, wB, line))
     }
-    // Controls are timed AFTER the sweep rows, in the fully-warmed
-    // session: measured first, they absorb parquet-reader/codegen
-    // session init that Bench's mid-run controls never see and
-    // recorded a 2.46x "box slowdown" on a day the heavy queries put
-    // at ~1.1x — a normalization that would understate every
-    // curvature by ~2x. Post-rows they measure what they claim: host
-    // speed on warm code paths.
-    val controlTotal = controls.map(n => time(n, baseDir)._2).sum
+    val rows = rowsBuf.result()
     val controlPart =
       s""""control_total":${fmt(controlTotal)},"control_n":${controls.size},""" +
         controlRef.map(r => s""""control_ratio":${fmt(controlTotal / r)},""")

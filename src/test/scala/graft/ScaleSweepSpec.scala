@@ -109,6 +109,21 @@ class ScaleSweepSpec extends SparkSpec {
     }
   }
 
+  test("sweep plan places every control AFTER every measured row") {
+    // SURVEY §15.8: controls measured before the rows absorb session
+    // init (parquet reader, codegen) and once recorded a 2.46× phantom
+    // box slowdown that would have halved every curvature reading.
+    // main() iterates sweepPlan in order, so pinning the plan pins the
+    // artifact's control placement.
+    val plan = ScaleSweep.sweepPlan(
+      Seq("qA", "qB", "qC"), Seq("c1", "c2"))
+    plan.map(_._1) shouldBe Seq("qA", "qB", "qC", "c1", "c2")
+    val firstControl = plan.indexWhere(_._2)
+    val lastRow = plan.lastIndexWhere(!_._2)
+    firstControl should be > lastRow
+    plan.count(_._2) shouldBe 2
+  }
+
   test("ensure() regenerates when the marker's recorded factor differs") {
     // the _SCALE_OK marker records the factor: reusing a dir built at a
     // different factor would let a factor-stamped sweep artifact record

@@ -926,6 +926,37 @@ class StreamingSpec extends SparkSpec {
     streamOut.map(t => (t._1, t._2)) shouldBe Seq((0L, 10L), (1L, 11L))
   }
 
+  test("SRP projection at ingest: stream ≡ batch, malformed rows drop") {
+    // q153's ingest-time face (round-10 verdict item 8): the signed-
+    // random-projection screen is a stateless narrow projection — the
+    // sign matrix is hash-derived (md5 of `srp:<j>:<i>`, the same
+    // matrix every engine regenerates), the sums exact int64 — so the
+    // same srpProjectMicro call runs unchanged on a readStream and
+    // must emit exactly the batch projection's rows, including the
+    // validity filter dropping a wrong-dimensionality arrival.
+    import graft.operators.Embeddings
+    val rnd = new scala.util.Random(29)
+    val arriving = (0 until 8).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Array(1.0f, 2.0f)) // wrong dims -> must drop on both faces
+    val in = MemoryStream[(Long, Array[Float])]
+    val projected = Embeddings.srpProjectMicro(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dims = 6, outDims = 3)
+    val q = projected.writeStream.format("memory").queryName("t_srp_stream")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamOut = norm(spark.table("t_srp_stream"))
+    streamOut shouldBe norm(Embeddings.srpProjectMicro(
+      arriving.toDF("vec_id", "embedding"), "vec_id", "embedding", 6, 3))
+    streamOut.map(_._1).distinct shouldBe (0L until 8L) // 99 dropped
+  }
+
   test("trained-cell routing at ingest: stream assignment ≡ batch assignment") {
     // The q152 index's ingest-time face: route arriving vectors to
     // their trained cells through the STORED centroids. The assignment
