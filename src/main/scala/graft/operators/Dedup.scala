@@ -814,20 +814,22 @@ object Dedup {
     * pos) int64 triples for the candidate count, then everything is
     * dup-rate-sized — the verify's md5 work included. Within-document
     * repeats don't qualify (≥2 DISTINCT docs), mirroring dupSpans. */
-  def dupSpansRolling(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+  /** Per-document array of packed double-polynomial k-window digests
+    * (index i ⇒ the window starting at 1-based token position i) — the
+    * candidate-nomination hash shared by [[dupSpansRolling]] and
+    * [[cutDupSpansRolling]]. Two fixed public-constant hash lines:
+    * Mersenne-ish primes below 2^31 keep every product under 2^62 and
+    * the k-term sum under 2^37 before its reduction — all exact int64,
+    * all DuckDB-mirrorable (though the oracles use the plain
+    * every-window md5 definition — the rolling hash only NOMINATES). */
+  private def rollingWindowDigests(textCol: String, k: Int): Column = {
     import graft.functions.ArrayOps
-    val docs = df.filter(col(textCol).isNotNull)
-    // two fixed public-constant hash lines: Mersenne-ish primes below
-    // 2^31 keep every product under 2^62 and the k-term sum under 2^37
-    // before its reduction — all exact int64, all DuckDB-mirrorable
     val (m1, m2) = (2147483647L, 2147483629L)
     def pows(c: Long, m: Long): Seq[Long] =
       Iterator.iterate(1L)(x => x * c % m).take(k).toSeq
     val pw1 = typedLit(pows(1000003L, m1))
     val pw2 = typedLit(pows(1000033L, m2))
-    val digests = ArrayOps.bind(
+    ArrayOps.bind(
       transform(tokens(col(textCol)), t => graft.functions.PortableHash.md5Hash32(t))) { h =>
       when(size(h) >= k,
         transform(sequence(lit(1), size(h) - (k - 1)), p => {
@@ -839,6 +841,14 @@ object Dedup {
         }))
         .otherwise(array().cast("array<bigint>"))
     }
+  }
+
+  def dupSpansRolling(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import graft.functions.ArrayOps
+    val docs = df.filter(col(textCol).isNotNull)
+    val digests = rollingWindowDigests(textCol, k)
     val rollPos = docs
       .select(col(idCol), posexplode(digests).as(Seq("_p0", "_d")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("_d"))
@@ -902,6 +912,17 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(gramStructs).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.h").as("h"))
       .localCheckpoint() // feeds keepers AND covered — hash once
+    cutFromGrams(docs, idCol, textCol, grams, k)
+  }
+
+  /** Shared tail of the span-CUT family: given the exact md5 gram
+    * shadow (`doc_id`, 0-based `start`, `h`) — complete for
+    * [[cutDupSpans]], candidate-restricted for [[cutDupSpansRolling]]
+    * (restriction is lossless: every occurrence of a cross-doc dup
+    * hash is a rolling candidate) — pick keepers, expand covered
+    * positions, rebuild each doc without them. */
+  private def cutFromGrams(docs: DataFrame, idCol: String, textCol: String,
+      grams: DataFrame, k: Int): DataFrame = {
     val keepers = grams
       .groupBy("h")
       .agg(min(col("doc_id")).as("_keeper"), countDistinct(col("doc_id")).as("_nd"))
@@ -932,6 +953,44 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
         coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+  }
+
+  /** [[cutDupSpans]] at heavy window widths — the CUT action paired
+    * with [[dupSpansRolling]]'s measurement, same construction: the
+    * rolling digests nominate candidate starts (O(k) integer ops per
+    * position), only the dup-rate-sized survivors re-hash with the
+    * full md5 that decides keepers and covered positions. Output is
+    * BIT-IDENTICAL to `cutDupSpans(k)` (spec-pinned): the exact-gram
+    * keeper choice (min doc_id) and coverage are computed over a
+    * candidate set that provably contains every occurrence of every
+    * cross-doc dup gram. */
+  def cutDupSpansRolling(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import graft.functions.ArrayOps
+    val docs = df.filter(col(textCol).isNotNull)
+    val rollPos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(rollingWindowDigests(textCol, k)).as(Seq("_p0", "_d")))
+      .select(col("doc_id"), col("_p0").cast("long").as("start"), col("_d"))
+      .localCheckpoint() // feeds the dup count AND the semi-join
+    val dupRoll = rollPos.groupBy("_d")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_d")
+    val cand = rollPos.join(dupRoll, Seq("_d"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("_ss"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .join(cand, Seq("doc_id"))
+      .select(col("doc_id"), ArrayOps.bind(col("_toks")) { toks =>
+        transform(col("_ss"), s0 => struct(s0.as("start"),
+          md5(concat_ws(" ", slice(toks, s0 + 1, lit(k)))).as("h")))
+      }.as("_pe"))
+      .select(col("doc_id"), explode(col("_pe")).as("_x"))
+      .select(col("doc_id"), col("_x.start").as("start"), col("_x.h").as("h"))
+      .localCheckpoint() // candidate-sized; feeds keepers AND covered
+    cutFromGrams(docs, idCol, textCol, grams, k)
   }
 
   /** Position multiplier for the winnowing (hash, pos) encoding:

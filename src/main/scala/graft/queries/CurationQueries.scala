@@ -614,14 +614,12 @@ object CurationQueries {
   /** Duplicated-span removal: q99's spans actually cut, keep-first
     * (lowest doc_id keeps its copy). Digest output keeps the verified
     * frame narrow. */
-  private val q100 = {
-    val k = 5
+  /** The cut-action oracle, shared by q100 (k = 5) and q156 (k = 50):
+    * keeper = min doc_id per cross-doc-duplicated window hash,
+    * non-keepers cut the union of covered positions. */
+  private def cutDupSpansOracleSql(k: Int): String = {
     val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
-    Q(
-      "q100_cut_dup_spans",
-      (s, dir) => Dedup.cutDupSpans(t(s, dir, "documents"), "doc_id", "text", k)
-        .orderBy("doc_id"),
-      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE text IS NOT NULL),
         tks AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
             unnest(toks) AS tok FROM base),
@@ -645,8 +643,24 @@ object CurationQueries {
           CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
           COALESCE(a.clean_digest, md5('')) AS clean_digest
         FROM base b LEFT JOIN agg a USING (doc_id)
-        ORDER BY b.doc_id""".replaceAll("\\s+", " ")))
+        ORDER BY b.doc_id""".replaceAll("\\s+", " ")
   }
+
+  private val q100 = Q(
+    "q100_cut_dup_spans",
+    (s, dir) => Dedup.cutDupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+      .orderBy("doc_id"),
+    Some(cutDupSpansOracleSql(5)))
+
+  /** q155's CUT action: remove every non-keeper copy of a 50-token
+    * cross-doc duplicated window (keep-first), through the rolling-
+    * candidate + exact-verify construction. Completes the heavy-width
+    * substring-dedup pair the way q100 completes q99. */
+  private val q156 = Q(
+    "q156_cut_substring_dedup_50",
+    (s, dir) => Dedup.cutDupSpansRolling(t(s, dir, "documents"), "doc_id", "text", 50)
+      .orderBy("doc_id"),
+    Some(cutDupSpansOracleSql(50)))
 
   /** Content-defined chunking: rolling-hash boundaries (token hash ≡ 0
     * mod 8, expected chunk ≈ 8 tokens), digests per chunk — the
@@ -1485,5 +1499,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155)
+    q141, q155, q156)
 }

@@ -391,6 +391,34 @@ class CurationSpec extends SparkSpec {
     det.filter(col("n_spans") > 0).count() should be >= 2L
   }
 
+  test("cutDupSpansRolling equals cutDupSpans bit-for-bit") {
+    import graft.operators.Dedup
+    val fixed = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p a b c d r"),
+      (3L, "q q q q q")
+    ).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val planted = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rndDocs = (10L until 40L).map { i =>
+      val body = Seq.fill(20 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i % 3 == 0) (body.take(5) :+ planted) ++ body.drop(5) mkString " "
+        else body.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+      .unionByName(Seq((99L, Option.empty[String])).toDF("doc_id", "text"))
+    for ((docs, k) <- Seq((fixed, 3), (rndDocs, 4), (rndDocs, 8))) {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      withClue(s"k=$k: ") {
+        rows(Dedup.cutDupSpansRolling(docs, "doc_id", "text", k)) shouldBe
+          rows(Dedup.cutDupSpans(docs, "doc_id", "text", k))
+      }
+    }
+  }
+
   test("cdcChunks reassembles losslessly and localizes edits to one boundary region") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(7)
