@@ -47,7 +47,11 @@ object ScaleSweep {
     // actually run), plus the rolling-hash exact-substring dedup (the
     // 50-token suffix-array class, candidate+verify construction)
     "q153_srp_project", "q154_srp_shortlist_rerank",
-    "q155_substring_dedup_50")
+    "q155_substring_dedup_50",
+    // the cross-corpus face of the rolling construction: train side is
+    // shuffle-free (broadcast-nominated), so its curvature should stay
+    // flat where q155's within-corpus digest count shuffles
+    "q157_substring_decontam_50")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

@@ -934,6 +934,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .distinct()
+    rebuildWithout(docs, idCol, textCol, covered)
+  }
+
+  /** Shared rebuild of the span-CUT family: drop every (doc_id, 0-based
+    * pos) in `covered` from each doc's token stream and emit the
+    * keep/cut accounting row — (doc_id, n_kept, n_cut, clean_digest). */
+  private def rebuildWithout(docs: DataFrame, idCol: String, textCol: String,
+      covered: DataFrame): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
@@ -991,6 +999,98 @@ object Dedup {
       .select(col("doc_id"), col("_x.start").as("start"), col("_x.h").as("h"))
       .localCheckpoint() // candidate-sized; feeds keepers AND covered
     cutFromGrams(docs, idCol, textCol, grams, k)
+  }
+
+  /** Every-window exact md5 array (index i ⇒ the window starting at
+    * 1-based token position i) — the verify-line identity the rolling
+    * digests only nominate for. Used on the REFERENCE side of the
+    * cross-corpus pair, where the corpus is benchmark-sized and hashing
+    * every window outright is cheaper than a nomination round trip. */
+  private def exactWindowHashes(textCol: String, k: Int): Column =
+    graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          p => md5(concat_ws(" ", slice(toks, p, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Shared front of the cross-corpus substring pair: a position in
+    * `df` qualifies when its exact k-token window occurs ANYWHERE in
+    * `ref`. Returns (df's non-null docs, verified (idCol, 1-based pos,
+    * _h) positions).
+    *
+    * Construction: `ref` is the benchmark/held-out side — ingest-sized
+    * by the problem statement (mirrors [[Decontaminate.clean]]'s
+    * test-gram design) — so it is digested BOTH ways up front: the
+    * rolling line nominates, the every-window exact md5 line verifies,
+    * each folded to a distinct broadcast-joinable set. The 100 TB `df`
+    * side then needs ONE narrow pass: O(k) integer ops per position for
+    * the rolling digests, a broadcast semi-join against the ref digest
+    * set (no shuffle of df at all), and the full md5 re-hash only at
+    * the match-rate-sized surviving positions, where the exact digest
+    * set has the final word. A 62-bit rolling collision can nominate a
+    * false candidate but never flag one (the md5 line rejects it);
+    * equal windows hash equal on both lines, so no true contamination
+    * is missed. */
+  private def crossVerifiedPositions(df: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      broadcastRef: Boolean): (DataFrame, DataFrame) = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import graft.functions.ArrayOps
+    val docs = df.filter(col(textCol).isNotNull)
+    val refDocs = ref.filter(col(textCol).isNotNull)
+    val refRollSet = refDocs
+      .select(explode(rollingWindowDigests(textCol, k)).as("_d")).distinct()
+    val refExactSet = refDocs
+      .select(explode(exactWindowHashes(textCol, k)).as("_h")).distinct()
+    val cand = docs
+      .select(col(idCol), posexplode(rollingWindowDigests(textCol, k)).as(Seq("_p0", "_d")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("_d"))
+      .join(Plans.maybeBroadcast(refRollSet, broadcastRef), Seq("_d"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
+    val exact = docs.join(cand, Seq(idCol))
+      .select(col(idCol), ArrayOps.bind(tokens(col(textCol))) { toks =>
+        transform(col("_ps"), p => struct(p.as("pos"),
+          md5(concat_ws(" ", slice(toks, p, lit(k)))).as("_h")))
+      }.as("_pe"))
+      .select(col(idCol), explode(col("_pe")).as("_x"))
+      .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
+    (docs, exact.join(Plans.maybeBroadcast(refExactSet, broadcastRef), Seq("_h"), "left_semi"))
+  }
+
+  /** Cross-corpus exact-substring CONTAMINATION spans —
+    * [[dupSpansRolling]] re-aimed at train/test decontamination: a
+    * position in `df` is contaminated when its exact k-token window
+    * occurs anywhere in `ref` (the held-out benchmark). The n-gram
+    * family ([[Decontaminate.clean]]) flags whole documents at small
+    * gram widths; this localizes the shared text at the heavy widths
+    * (k ≈ 50) real pipelines screen at, so the cut can surgically
+    * remove the overlap instead of dropping the document. Output
+    * contract = [[dupSpans]] over df's docs (n_spans, dup_tokens,
+    * n_tokens, dup_frac); within-`df` duplication does NOT qualify —
+    * that is [[dupSpansRolling]]'s signal. Scale shape: see
+    * [[crossVerifiedPositions]] — the train side never shuffles. */
+  def dupSpansRollingAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, k: Int, broadcastRef: Boolean = true): DataFrame = {
+    val (docs, verified) = crossVerifiedPositions(df, ref, idCol, textCol, k, broadcastRef)
+    spanStats(docs, idCol, textCol, verified, k)
+  }
+
+  /** The decontamination CUT: remove EVERY copy in `df` of any k-token
+    * window occurring in `ref` — no keeper, unlike
+    * [[cutDupSpansRolling]]'s keep-first (benchmark text must not
+    * survive in the train corpus at all). Output contract =
+    * [[cutDupSpans]] over df's docs (doc_id, n_kept, n_cut,
+    * clean_digest). */
+  def cutDupSpansRollingAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, k: Int, broadcastRef: Boolean = true): DataFrame = {
+    val (docs, verified) = crossVerifiedPositions(df, ref, idCol, textCol, k, broadcastRef)
+    val covered = verified
+      .select(col(idCol).as("doc_id"),
+        explode(sequence((col("pos") - 1).cast("long"),
+          (col("pos") + (k - 2)).cast("long"))).as("pos"))
+      .distinct()
+    rebuildWithout(docs, idCol, textCol, covered)
   }
 
   /** Position multiplier for the winnowing (hash, pos) encoding:

@@ -662,6 +662,114 @@ object CurationQueries {
       .orderBy("doc_id"),
     Some(cutDupSpansOracleSql(50)))
 
+  /** The cross-corpus contamination oracle (q157): md5 over EVERY
+    * k-token window of BOTH splits (q44's doc_id % 53 holdout split) —
+    * the straightforward exact definition the engine's broadcast-
+    * nominated rolling construction must reproduce bit-for-bit. Same
+    * island-merge tail as [[dupSpansOracleSql]], restricted to train
+    * docs and to windows present in the holdout set. */
+  private def crossSpansOracleSql(k: Int): String = {
+    val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
+    val winList = s"list_transform(range(1, len(toks) - ${k - 2}), i -> md5(concat_ws(' ', $gramSql)))"
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL AND doc_id % 53 <> 0),
+        w AS (SELECT doc_id,
+            unnest(range(1, len(toks) - ${k - 2})) AS pos,
+            unnest($winList) AS h
+          FROM tr WHERE len(toks) >= $k),
+        hw AS (SELECT DISTINCT unnest($winList) AS h
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE text IS NOT NULL AND doc_id % 53 = 0)
+          WHERE len(toks) >= $k),
+        dp AS (SELECT doc_id, pos FROM w JOIN hw USING (h)),
+        fl AS (SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w1 IS NULL
+              OR pos > lag(pos) OVER w1 + $k THEN 1 ELSE 0 END AS nf
+          FROM dp WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+        il AS (SELECT doc_id, pos,
+            sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+        sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + ${k - 1} AS e
+          FROM il GROUP BY 1, 2),
+        ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
+        nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr)
+        SELECT nt.doc_id,
+          CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          n_tokens,
+          ${PortableRound.sql4("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens")} AS dup_frac
+        FROM nt LEFT JOIN ag USING (doc_id) ORDER BY nt.doc_id""".replaceAll("\\s+", " ")
+  }
+
+  /** Substring-level train/test DECONTAMINATION, measure face: spans of
+    * train text (doc_id % 53 ≠ 0) exactly repeated in the held-out
+    * split (doc_id % 53 = 0) at the heavy 50-token width — the overlap
+    * screen the n-gram family (q44/q93/q124) applies per-document,
+    * localized to the shared substrings so the cut face (q158) can
+    * remove just the overlap. Broadcast-nominated rolling candidates +
+    * exact md5 verify; the train side never shuffles. */
+  private val q157 = {
+    val k = 50
+    Q(
+      "q157_substring_decontam_50",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dupSpansRollingAgainst(
+          docs.filter(col("doc_id") % 53 =!= 0),
+          docs.filter(col("doc_id") % 53 === 0), "doc_id", "text", k)
+          .orderBy("doc_id")
+      },
+      Some(crossSpansOracleSql(k)))
+  }
+
+  /** The q158 cut-action oracle: every train window present in the
+    * holdout set cuts ALL its covered positions — no keeper (contrast
+    * [[cutDupSpansOracleSql]]): benchmark text must not survive in the
+    * train corpus at all. */
+  private def crossCutOracleSql(k: Int): String = {
+    val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
+    val winList = s"list_transform(range(1, len(toks) - ${k - 2}), i -> md5(concat_ws(' ', $gramSql)))"
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL AND doc_id % 53 <> 0),
+        tks AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+            unnest(toks) AS tok FROM base),
+        gr AS (SELECT doc_id, CAST(unnest(range(len(toks) - ${k - 1})) AS BIGINT) AS start,
+            unnest($winList) AS h
+          FROM base WHERE len(toks) >= $k),
+        hw AS (SELECT DISTINCT unnest($winList) AS h
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE text IS NOT NULL AND doc_id % 53 = 0)
+          WHERE len(toks) >= $k),
+        cov AS (SELECT DISTINCT g.doc_id, g.start + o.off AS pos
+          FROM gr g JOIN hw USING (h)
+          CROSS JOIN (SELECT CAST(unnest(range($k)) AS BIGINT) AS off) o),
+        kept AS (SELECT t.doc_id, t.pos, t.tok FROM tks t
+          WHERE NOT EXISTS (SELECT 1 FROM cov c
+            WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
+          COALESCE(a.clean_digest, md5('')) AS clean_digest
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY b.doc_id""".replaceAll("\\s+", " ")
+  }
+
+  /** q157's CUT action: surgically remove every 50-token window of
+    * train text that appears in the held-out split — the substring-
+    * granular alternative to q44's whole-document drop. */
+  private val q158 = Q(
+    "q158_cut_substring_decontam_50",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.cutDupSpansRollingAgainst(
+        docs.filter(col("doc_id") % 53 =!= 0),
+        docs.filter(col("doc_id") % 53 === 0), "doc_id", "text", 50)
+        .orderBy("doc_id")
+    },
+    Some(crossCutOracleSql(50)))
+
   /** Content-defined chunking: rolling-hash boundaries (token hash ≡ 0
     * mod 8, expected chunk ≈ 8 tokens), digests per chunk — the
     * insertion-robust sub-document dedup unit. */
@@ -1499,5 +1607,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156)
+    q141, q155, q156, q157, q158)
 }

@@ -419,6 +419,96 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dupSpansRollingAgainst flags only cross-corpus overlap, in every train copy") {
+    import graft.operators.Dedup
+    val k = 3
+    // "a b c" is benchmark text present in train docs 1 AND 2 (both must
+    // flag — no keeper in decontamination); "m n o" is duplicated
+    // within train only (docs 3+31: NOT contamination); doc 4 is clean;
+    // the null-text doc drops.
+    val train = Seq(
+      (1L, "a b c x1 x2 x3"),
+      (2L, "y1 a b c y2 y3"),
+      (3L, "m n o z1 z2 z3"),
+      (31L, "w1 w2 m n o w3"),
+      (4L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+      .unionByName(Seq((99L, Option.empty[String])).toDF("doc_id", "text"))
+    val ref = Seq((100L, "h1 a b c h2")).toDF("doc_id", "text")
+    val got = Dedup.dupSpansRollingAgainst(train, ref, "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    got.map(_._1) shouldBe Array(1L, 2L, 3L, 4L, 31L)
+    got.map(_._2) shouldBe Array(1L, 1L, 0L, 0L, 0L)      // spans
+    got.map(_._3) shouldBe Array(3L, 3L, 0L, 0L, 0L)      // covered tokens
+  }
+
+  test("dupSpansRollingAgainst matches an independent naive cross computation (randomized)") {
+    import graft.operators.Dedup
+    val k = 4
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val planted = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (10L until 40L).map { i =>
+      val body = Seq.fill(15 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i % 4 == 0) (body.take(3) :+ planted) ++ body.drop(3) mkString " "
+        else body.mkString(" ")
+      (i, text)
+    }
+    val refTexts = Seq(
+      s"r1 r2 $planted r3",
+      Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // independent implementation: set of ref windows, scan train
+    // positions, merge islands with the pos <= prev + k rule
+    val refSet = refTexts.flatMap(_.split(" ").sliding(k).filter(_.size == k)
+      .map(_.mkString(" "))).toSet
+    val expected = train.map { case (id, text) =>
+      val toks = text.split(" ")
+      val hits = toks.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k && refSet(w.mkString(" ")) => i + 1 }
+        .toSeq
+      var spans = 0L; var covered = 0L
+      var start = -1; var end = -1
+      (hits :+ Int.MaxValue).foreach { p =>
+        if (start < 0) { start = p; end = p }
+        else if (p <= end + k) end = p
+        else {
+          spans += 1; covered += end + k - 1 - start + 1
+          start = p; end = p
+        }
+      }
+      if (hits.nonEmpty) (id, spans, covered, toks.length.toLong)
+      else (id, 0L, 0L, toks.length.toLong)
+    }.sortBy(_._1)
+    val got = Dedup.dupSpansRollingAgainst(
+      train.toDF("doc_id", "text"),
+      refTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSeq
+    got shouldBe expected
+  }
+
+  test("cutDupSpansRollingAgainst cuts every train copy — no keeper") {
+    import graft.operators.Dedup
+    val k = 3
+    val train = Seq(
+      (1L, "a b c x1 x2 x3"),
+      (2L, "y1 a b c y2 y3"),
+      (3L, "m n o z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "h1 a b c h2")).toDF("doc_id", "text")
+    val got = Dedup.cutDupSpansRollingAgainst(train, ref, "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // contamination cuts BOTH copies (contrast cutDupSpansRolling's
+    // keep-first, where doc 1 would keep its occurrence)
+    got(0) shouldBe ((1L, 3L, 3L, md5hex("x1 x2 x3")))
+    got(1) shouldBe ((2L, 3L, 3L, md5hex("y1 y2 y3")))
+    got(2) shouldBe ((3L, 6L, 0L, md5hex("m n o z1 z2 z3")))
+  }
+
   test("cdcChunks reassembles losslessly and localizes edits to one boundary region") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(7)
