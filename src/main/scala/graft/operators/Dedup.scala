@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Plans, PortableHash, PortableRound}
 
@@ -1036,17 +1036,29 @@ object Dedup {
       idCol: String, textCol: String, k: Int,
       broadcastRef: Boolean): (DataFrame, DataFrame) = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
-    import graft.functions.ArrayOps
     val docs = df.filter(col(textCol).isNotNull)
     val refDocs = ref.filter(col(textCol).isNotNull)
     val refRollSet = refDocs
       .select(explode(rollingWindowDigests(textCol, k)).as("_d")).distinct()
     val refExactSet = refDocs
       .select(explode(exactWindowHashes(textCol, k)).as("_h")).distinct()
+    (docs, crossVerifiedFromSets(docs, idCol, textCol, k,
+      refRollSet, refExactSet, broadcastRef))
+  }
+
+  /** The screen itself, reference sets given: nominate `docs` positions
+    * against the rolling-digest set, exact-verify the survivors against
+    * the window-md5 set — shared by the inline pair (sets built from a
+    * ref frame) and the stored probe (sets read from an artifact). */
+  private def crossVerifiedFromSets(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, refRollSet: DataFrame, refExactSet: DataFrame,
+      broadcastRef: Boolean): DataFrame = {
+    import graft.functions.ArrayOps
     val cand = docs
       .select(col(idCol), posexplode(rollingWindowDigests(textCol, k)).as(Seq("_p0", "_d")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("_d"))
-      .join(Plans.maybeBroadcast(refRollSet, broadcastRef), Seq("_d"), "left_semi")
+      .join(Plans.maybeBroadcast(refRollSet.select(col("_d")), broadcastRef),
+        Seq("_d"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
     val exact = docs.join(cand, Seq(idCol))
       .select(col(idCol), ArrayOps.bind(tokens(col(textCol))) { toks =>
@@ -1055,7 +1067,72 @@ object Dedup {
       }.as("_pe"))
       .select(col(idCol), explode(col("_pe")).as("_x"))
       .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
-    (docs, exact.join(Plans.maybeBroadcast(refExactSet, broadcastRef), Seq("_h"), "left_semi"))
+    exact.join(Plans.maybeBroadcast(refExactSet.select(col("_h")), broadcastRef),
+      Seq("_h"), "left_semi")
+  }
+
+  /** Persist the substring-screen reference (a benchmark's k-token
+    * windows) as a reusable artifact —
+    * [[Decontaminate.writeDecontamArtifact]]'s discipline at substring
+    * granularity, built once per benchmark release: `dir/roll` =
+    * distinct rolling nomination digests, `dir/exact` = distinct exact
+    * window md5s (hashes only — the benchmark text never ships to
+    * consumers), `dir/meta` = one row (k + a serialized bloom over the
+    * rolling digests for the stateless ingest pre-screen). */
+  def writeSubstringScreenArtifact(spark: SparkSession, ref: DataFrame,
+      textCol: String, k: Int, dir: String, fpp: Double = 0.001): Unit = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val refDocs = ref.filter(col(textCol).isNotNull)
+    val roll = refDocs
+      .select(explode(rollingWindowDigests(textCol, k)).as("_d")).distinct()
+      .localCheckpoint() // feeds the parquet write, the count, AND the bloom
+    roll.write.mode("overwrite").parquet(s"$dir/roll")
+    refDocs.select(explode(exactWindowHashes(textCol, k)).as("_h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    val bloom = roll
+      .agg(BloomBridge.bloomAgg(col("_d"), math.max(1L, roll.count()), fpp))
+      .head().getAs[Array[Byte]](0)
+    spark.range(1).select(lit(bloom).as("bloom"), lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[dupSpansRollingAgainst]] against the STORED artifact: the same
+    * screen with the reference sets read from `dir` instead of
+    * recomputed — bit-identical to the inline pair for the artifact's
+    * benchmark by construction (both sets are deterministic
+    * projections of it; spec-pinned). The probe reads only the two
+    * hash-set frames — benchmark text is not in the artifact. */
+  def dupSpansRollingAgainstStored(spark: SparkSession, dir: String,
+      df: DataFrame, idCol: String, textCol: String,
+      broadcastRef: Boolean = true): DataFrame = {
+    val k = spark.read.parquet(s"$dir/meta").head().getAs[Number]("k").intValue()
+    val docs = df.filter(col(textCol).isNotNull)
+    val verified = crossVerifiedFromSets(docs, idCol, textCol, k,
+      spark.read.parquet(s"$dir/roll"), spark.read.parquet(s"$dir/exact"),
+      broadcastRef)
+    spanStats(docs, idCol, textCol, verified, k)
+  }
+
+  /** STREAMING substring pre-screen —
+    * [[Decontaminate.streamCleanBloom]]'s discipline at window
+    * granularity: drop stream documents with ANY k-token window
+    * hitting the artifact's rolling-digest bloom. Entirely row-local
+    * (the digest array and the `exists` probe are one narrow codegen'd
+    * projection: no state, no join, no watermark). Zero false
+    * negatives — every truly contaminated document drops; false
+    * positives at the bloom fpp + the 62-bit rolling collision rate
+    * over-drop clean docs — the ingest-side trade; batch exactness,
+    * when needed, reruns [[dupSpansRollingAgainstStored]]'s exact
+    * verify over the retained corpus. Null-text rows drop (they carry
+    * nothing to train on; matches streamCleanBloom). */
+  def streamSubstringScreenBloom(stream: DataFrame, textCol: String,
+      filterBytes: Array[Byte], k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    stream.filter(
+      !exists(rollingWindowDigests(textCol, k),
+        d => BloomBridge.mightContain(filterBytes, d)))
   }
 
   /** Cross-corpus exact-substring CONTAMINATION spans —

@@ -770,6 +770,27 @@ object CurationQueries {
     },
     Some(crossCutOracleSql(50)))
 
+  /** q157's screen through a PERSISTED artifact (q124's discipline at
+    * substring granularity): the holdout's window-hash sets are written
+    * once per benchmark release, then the train side probes the frozen
+    * copy — identical span stats by construction, so q157's oracle
+    * serves both. */
+  private val q159 = Q(
+    "q159_substring_decontam_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q159_ss_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Artifacts.prepare(s, aDir) {
+        Dedup.writeSubstringScreenArtifact(
+          s, docs.filter(col("doc_id") % 53 === 0), "text", 50, aDir)
+      }
+      Dedup.dupSpansRollingAgainstStored(
+          s, aDir, docs.filter(col("doc_id") % 53 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(crossSpansOracleSql(50)))
+
   /** Content-defined chunking: rolling-hash boundaries (token hash ≡ 0
     * mod 8, expected chunk ≈ 8 tokens), digests per chunk — the
     * insertion-robust sub-document dedup unit. */
@@ -1607,5 +1628,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158)
+    q141, q155, q156, q157, q158, q159)
 }

@@ -509,6 +509,35 @@ class CurationSpec extends SparkSpec {
     got(2) shouldBe ((3L, 6L, 0L, md5hex("m n o z1 z2 z3")))
   }
 
+  test("stored substring-screen artifact probes bit-equal to the inline screen") {
+    import graft.operators.Dedup
+    val k = 4
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val planted = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (10L until 40L).map { i =>
+      val body = Seq.fill(15 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i % 4 == 0) (body.take(3) :+ planted) ++ body.drop(3) mkString " "
+        else body.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val ref = Seq(
+      (100L, s"r1 r2 $planted r3"),
+      (101L, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_art").toString
+    Dedup.writeSubstringScreenArtifact(spark, ref, "text", k, dir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val stored = rows(Dedup.dupSpansRollingAgainstStored(spark, dir, train, "doc_id", "text"))
+    stored shouldBe rows(Dedup.dupSpansRollingAgainst(train, ref, "doc_id", "text", k))
+    stored.count(_._2 > 0) should be >= 2 // planted contamination detected
+    // the artifact ships hashes only — no benchmark text anywhere in it
+    spark.read.parquet(s"$dir/exact").columns shouldBe Array("_h")
+    spark.read.parquet(s"$dir/roll").columns shouldBe Array("_d")
+  }
+
   test("cdcChunks reassembles losslessly and localizes edits to one boundary region") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(7)

@@ -556,6 +556,37 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L) // 2 and 4 share a 5-gram with the test set
   }
 
+  test("streaming substring pre-screen drops window-contaminated docs statelessly") {
+    // q159's ingest face: the artifact's rolling-digest bloom probes
+    // row-locally (no state/join), dropping any arrival sharing a
+    // k-token window with the stored benchmark — including one buried
+    // mid-document, which whole-doc gram screens at larger n would
+    // need the exact join to localize.
+    import graft.operators.Dedup
+    val k = 4
+    val ref = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val dir = tmpDir("t_substr_screen")
+    Dedup.writeSubstringScreenArtifact(spark, ref, "text", k, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val bloom = meta.getAs[Array[Byte]]("bloom")
+    meta.getAs[Number]("k").intValue() shouldBe k
+    val in = MemoryStream[(Long, String)]
+    val out = Dedup.streamSubstringScreenBloom(
+      in.toDF().toDF("doc_id", "text"), "text", bloom, k)
+    val q = out.writeStream.format("memory").queryName("t_substr")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (1L, "clean document with entirely fresh tokens here"),
+      (2L, "x1 x2 beta gamma delta epsilon x3"), // 4-window match mid-doc
+      (3L, "alpha beta gamma"))                  // < k tokens: never flagged
+    q.processAllAvailable()
+    in.addData((4L, "alpha beta gamma delta trailing words"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t_substr").select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L) // 2 and 4 share a 4-token window with the benchmark
+  }
+
   test("streaming near-dup suppression detects collisions across micro-batches") {
     val in = MemoryStream[(Long, String)]
     val out = StreamNearDup.collisions(
