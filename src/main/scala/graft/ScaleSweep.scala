@@ -95,19 +95,6 @@ object ScaleSweep {
     require(names.nonEmpty,
       s"SPARK_GRAFT_ONLY matched no queries: ${only.map(_.mkString(","))}")
 
-    def time(name: String, dir: String): (Double, Double) = {
-      def once(reuse: Boolean): Double = {
-        System.setProperty("graft.bench.reuseArtifacts", reuse.toString)
-        val t0 = System.nanoTime()
-        qs(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val cold = once(reuse = false)
-      val warms = (2 to passes).map(_ => once(reuse = true))
-      System.clearProperty("graft.bench.reuseArtifacts")
-      (cold, (cold +: warms).min)
-    }
-
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // Per-artifact box-speed CONTROL (SURVEY §15.7 item 3): 3 members
@@ -162,30 +149,59 @@ object ScaleSweep {
     // min-of-3) — so each row also reports ratio_vs_committed, the
     // curvature against the baseline's min-of-3 base number.
 
-    // ONE ordered loop over sweepPlan: measured rows first, controls
+    // Ordered execution over sweepPlan — measured rows first, controls
     // after them in the fully-warmed session (see sweepPlan's scaladoc
-    // for why the order is load-bearing; ScaleSweepSpec pins it).
-    val rowsBuf = Seq.newBuilder[(String, Double, Double, String)]
-    var controlTotal = 0.0
-    sweepPlan(names, controls).foreach {
-      case (n, true) =>
-        controlTotal += time(n, baseDir)._2
-      case (n, false) =>
-        val (cb, wb) = time(n, baseDir)
-        val (cB, wB) = time(n, bigDir)
-        val committedPart = committedWarm.get(n)
-          .map(c => s""","committed_base":${fmt(c)},"ratio_vs_committed":${fmt(wB / c)}""")
-          .getOrElse("")
-        val line =
-          s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
-          s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
-          s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}$committedPart}"""
-        System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
-          s"ratio=${fmt(wB / wb)}" +
-          committedWarm.get(n).map(c => s"  vs_committed=${fmt(wB / c)}").getOrElse(""))
-        rowsBuf += ((n, wb, wB, line))
+    // for why the order is load-bearing; ScaleSweepSpec pins it) — and
+    // SWEEP-MAJOR within each group (Bench's round-11 discipline): pass
+    // 1 runs every (row, dir) cold in plan order, passes 2..N re-time
+    // the whole cohort with artifact reuse, min per (row, dir) across
+    // sweeps. The per-row adjacent min-of-3 this replaces let one
+    // co-tenant burst triple-hit a single query: the round-11 ×10
+    // artifact briefly recorded q126 at 43.3 s big_warm where an
+    // isolated re-run measured 5.6 s — the Bench_r10 92 s failure mode,
+    // reproduced in miniature. Sweeps minutes apart bound a burst's
+    // damage to one pass of any row.
+    val rowPlan = sweepPlan(names, controls).filter(!_._2).map(_._1)
+    val coldT = scala.collection.mutable.Map.empty[(String, String), Double]
+    val warmT = scala.collection.mutable.Map.empty[(String, String), Double]
+    def runOnce(name: String, dir: String, reuse: Boolean): Double = {
+      System.setProperty("graft.bench.reuseArtifacts", reuse.toString)
+      try {
+        val t0 = System.nanoTime()
+        qs(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      } finally System.clearProperty("graft.bench.reuseArtifacts")
     }
-    val rows = rowsBuf.result()
+    for (p <- 1 to passes; dir <- Seq(baseDir, bigDir); n <- rowPlan) {
+      val s = runOnce(n, dir, reuse = p > 1)
+      if (p == 1) coldT((n, dir)) = s
+      val k = (n, dir)
+      warmT(k) = math.min(warmT.getOrElse(k, Double.MaxValue), s)
+    }
+    // controls strictly after every measured row (the pinned placement),
+    // themselves sweep-major for the same burst bound
+    val controlMin = scala.collection.mutable.Map.empty[String, Double]
+    val controlPlan = sweepPlan(names, controls).filter(_._2).map(_._1)
+    for (p <- 1 to passes; n <- controlPlan) {
+      val s = runOnce(n, baseDir, reuse = p > 1)
+      controlMin(n) = math.min(controlMin.getOrElse(n, Double.MaxValue), s)
+    }
+    val controlTotal = controlPlan.map(controlMin).sum
+    val rows = rowPlan.map { n =>
+      val (cb, wb) = (coldT((n, baseDir)), warmT((n, baseDir)))
+      val (cB, wB) = (coldT((n, bigDir)), warmT((n, bigDir)))
+      val committedPart = committedWarm.get(n)
+        .map(c => s""","committed_base":${fmt(c)},"ratio_vs_committed":${fmt(wB / c)}""")
+        .getOrElse("")
+      val line =
+        s""""$n":{"base_warm":${fmt(wb)},"big_warm":${fmt(wB)},""" +
+        s""""base_cold":${fmt(cb)},"big_cold":${fmt(cB)},""" +
+        s""""ratio_warm":${fmt(wB / wb)},"ratio_cold":${fmt(cB / cb)}$committedPart}"""
+      System.err.println(s"$n  base=${fmt(wb)}s  big=${fmt(wB)}s  " +
+        s"ratio=${fmt(wB / wb)}" +
+        committedWarm.get(n).map(c => s"  vs_committed=${fmt(wB / c)}").getOrElse(""))
+      (n, wb, wB, line)
+    }
     val controlPart =
       s""""control_total":${fmt(controlTotal)},"control_n":${controls.size},""" +
         controlRef.map(r => s""""control_ratio":${fmt(controlTotal / r)},""")
