@@ -741,6 +741,38 @@ object Similarity {
       .drop("_r")
   }
 
+  /** HYBRID retrieval rerank — the lexical-then-semantic stack RAG and
+    * training-retrieval pipelines run: a QUERY-INDEPENDENT scored
+    * shortlist (e.g. BM25 top-N over keyword terms, carrying its
+    * lexical score) is reranked per query VECTOR by exact cosine; the
+    * lexical score rides along so consumers can fuse or audit both
+    * signals. [[rerankExact]]'s broadcast discipline with the shortlist
+    * crossed against the query batch: shortlist (top-N-sized) and
+    * queries (batch-sized) both broadcast, the corpus embedding table
+    * joins id-keyed — at 100 TB the vector fetch is a broadcast-pruned
+    * scan of N rows, never a corpus shuffle; the cross of two
+    * broadcast-bounded sides is |queries|·N rows. Returns
+    * `(query_id, idCol, scoreCol, cos_sim)`, `k` rows per query by
+    * cosine descending, ties → lowest id. */
+  def hybridRerank(shortlist: DataFrame, idCol: String, scoreCol: String,
+      corpus: DataFrame, cIdCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    corpus.select(col(cIdCol).as(idCol), asDouble(col(vecCol)).as("_cv"))
+      .join(broadcast(shortlist.select(col(idCol), col(scoreCol))), Seq(idCol))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
+        asDouble(col(qVecCol)).as("_qv"))))
+      .select(col("query_id"), col(idCol), col(scoreCol),
+        PortableRound.round4(cosine(col("_cv"), col("_qv"))).as("cos_sim"))
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   // ----------------------------------------------------------------
   // IVFADC: the COMPOSED stored index — IVF prunes which partitions a
   // probe reads, PQ shrinks what each row stores. Data files hold

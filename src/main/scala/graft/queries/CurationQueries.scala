@@ -756,6 +756,48 @@ object CurationQueries {
         ORDER BY b.doc_id""".replaceAll("\\s+", " ")
   }
 
+  /** HYBRID retrieval (lexical shortlist → semantic rerank): q112's
+    * BM25 top-N shortlists on keyword terms, then each query VECTOR
+    * reranks the shortlist by exact cosine — the retrieval stack RAG
+    * and training-retrieval pipelines compose from the two stages this
+    * surface already ships separately (q112 lexical, q90 semantic).
+    * Lexical score rides along for fusion/audit. The oracle nests
+    * q112's BM25 statement as a CTE and mirrors the cosine. (lazy:
+    * declared before `bmTerms`/`bm25OracleSql` in file order, forced
+    * by `all` after both initialize.) */
+  private lazy val q160 = {
+    val topN = 100
+    val kTop = 10
+    def cosSql(v: String, q: String): String =
+      PortableRound.sql4(
+        s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+    Q(
+      "q160_hybrid_retrieval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val short = Retrieval
+          .bm25TopK(t(s, dir, "documents"), "doc_id", "text", bmTerms, topN)
+          .select(col("doc_id"), col("score_micro"))
+        graft.operators.Similarity.hybridRerank(
+          short, "doc_id", "score_micro", emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", kTop)
+          .orderBy(col("query_id"), col("cos_sim").desc, col("doc_id"))
+      },
+      Some(s"""WITH bm AS (${bm25OracleSql(bmTerms, topN)}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 3),
+        rr AS (SELECT q.query_id, bm.doc_id, bm.score_micro,
+            ${cosSql("e.v", "q.qv")} AS cos_sim
+          FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q)
+        SELECT query_id, doc_id, score_micro, cos_sim FROM (
+          SELECT query_id, doc_id, score_micro, cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, doc_id) AS r
+          FROM rr) WHERE r <= $kTop
+        ORDER BY query_id, cos_sim DESC, doc_id""".replaceAll("\\s+", " ")))
+  }
+
   /** q157's CUT action: surgically remove every 50-token window of
     * train text that appears in the held-out split — the substring-
     * granular alternative to q44's whole-document drop. */
@@ -1628,5 +1670,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159)
+    q141, q155, q156, q157, q158, q159, q160)
 }

@@ -509,6 +509,28 @@ class CurationSpec extends SparkSpec {
     got(2) shouldBe ((3L, 6L, 0L, md5hex("m n o z1 z2 z3")))
   }
 
+  test("hybridRerank: cosine reorders the lexical shortlist, shortlist bounds membership") {
+    import graft.operators.Similarity
+    // doc 1 outranks doc 2 lexically but is orthogonal to the query;
+    // doc 3 is perfectly aligned yet OUTSIDE the shortlist — semantic
+    // score must never resurrect a lexically-filtered doc
+    val short = Seq((1L, 900L), (2L, 800L)).toDF("doc_id", "score_micro")
+    val corpus = Seq(
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.hybridRerank(short, "doc_id", "score_micro",
+      corpus, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect()
+    got.map(_._2) shouldBe Array(2L, 1L)          // semantic order, not lexical
+    got.map(_._3) shouldBe Array(800L, 900L)      // lexical score rides along
+    got.map(_._4) shouldBe Array(1.0, 0.0)
+    got.map(_._1).distinct shouldBe Array(100L)
+  }
+
   test("stored substring-screen artifact probes bit-equal to the inline screen") {
     import graft.operators.Dedup
     val k = 4
