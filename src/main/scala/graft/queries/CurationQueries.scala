@@ -765,38 +765,71 @@ object CurationQueries {
     * q112's BM25 statement as a CTE and mirrors the cosine. (lazy:
     * declared before `bmTerms`/`bm25OracleSql` in file order, forced
     * by `all` after both initialize.) */
-  private lazy val q160 = {
-    val topN = 100
-    val kTop = 10
+  private val hybridTopN = 100
+  private val hybridKTop = 10
+
+  /** The q160/q161 oracle: q112's BM25 statement nested as a CTE, the
+    * exact rounded cosine of each shortlist doc against each query
+    * vector, top-k per query by cosine (ties → lowest doc). Shared by
+    * the inline (q160) and stored-index (q161) faces, which compute the
+    * same ranking by construction. */
+  private lazy val hybridOracleSql: String = {
     def cosSql(v: String, q: String): String =
       PortableRound.sql4(
         s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
-    Q(
-      "q160_hybrid_retrieval",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val short = Retrieval
-          .bm25TopK(t(s, dir, "documents"), "doc_id", "text", bmTerms, topN)
-          .select(col("doc_id"), col("score_micro"))
-        graft.operators.Similarity.hybridRerank(
-          short, "doc_id", "score_micro", emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 3), "vec_id", "embedding", kTop)
-          .orderBy(col("query_id"), col("cos_sim").desc, col("doc_id"))
-      },
-      Some(s"""WITH bm AS (${bm25OracleSql(bmTerms, topN)}),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id < 3),
-        rr AS (SELECT q.query_id, bm.doc_id, bm.score_micro,
-            ${cosSql("e.v", "q.qv")} AS cos_sim
-          FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q)
-        SELECT query_id, doc_id, score_micro, cos_sim FROM (
-          SELECT query_id, doc_id, score_micro, cos_sim,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos_sim DESC, doc_id) AS r
-          FROM rr) WHERE r <= $kTop
-        ORDER BY query_id, cos_sim DESC, doc_id""".replaceAll("\\s+", " ")))
+    s"""WITH bm AS (${bm25OracleSql(bmTerms, hybridTopN)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      rr AS (SELECT q.query_id, bm.doc_id, bm.score_micro,
+          ${cosSql("e.v", "q.qv")} AS cos_sim
+        FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q)
+      SELECT query_id, doc_id, score_micro, cos_sim FROM (
+        SELECT query_id, doc_id, score_micro, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, doc_id) AS r
+        FROM rr) WHERE r <= $hybridKTop
+      ORDER BY query_id, cos_sim DESC, doc_id""".replaceAll("\\s+", " ")
   }
+
+  /** Shared rerank tail of the hybrid pair: given the (doc_id,
+    * score_micro) lexical shortlist, rerank per query vector. */
+  private def hybridTail(s: org.apache.spark.sql.SparkSession, dir: String,
+      short: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.hybridRerank(
+      short, "doc_id", "score_micro", emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", hybridKTop)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("doc_id"))
+  }
+
+  private lazy val q160 = Q(
+    "q160_hybrid_retrieval",
+    (s, dir) => hybridTail(s, dir,
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text", bmTerms, hybridTopN)
+        .select(col("doc_id"), col("score_micro"))),
+    Some(hybridOracleSql))
+
+  /** q160 with the lexical stage served by q113's PERSISTED retrieval
+    * index: the shortlist comes from the stored postings (token
+    * pushdown — a query reads Σdf(term) posting entries, not the
+    * corpus), then the same exact-cosine rerank. Identical ranking by
+    * construction, so q160's oracle serves both. */
+  private lazy val q161 = Q(
+    "q161_hybrid_retrieval_stored",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q161_bm25_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Artifacts.prepare(s, iDir) {
+        Retrieval.writeRetrievalIndex(s, docs, "doc_id", "text", iDir)
+      }
+      hybridTail(s, dir,
+        Retrieval.bm25TopKStored(s, iDir, bmTerms, hybridTopN)
+          .withColumnRenamed("id", "doc_id")
+          .select(col("doc_id"), col("score_micro")))
+    },
+    Some(hybridOracleSql))
 
   /** q157's CUT action: surgically remove every 50-token window of
     * train text that appears in the held-out split — the substring-
@@ -1670,5 +1703,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159, q160)
+    q141, q155, q156, q157, q158, q159, q160, q161)
 }
