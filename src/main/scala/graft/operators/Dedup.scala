@@ -1087,11 +1087,18 @@ object Dedup {
     val roll = refDocs
       .select(explode(rollingWindowDigests(textCol, k)).as("_d")).distinct()
       .localCheckpoint() // feeds the parquet write, the count, AND the bloom
+    // fail fast on a degenerate reference: bloom_filter_agg over zero
+    // rows is null, which would land a NullType `bloom` literal in meta
+    // (an unrelated-looking write-time analysis error) and NPE every
+    // stream pre-screen consumer
+    val nRoll = roll.count()
+    require(nRoll > 0, s"reference has no $k-token windows " +
+      "(empty/all-null ref, or every doc shorter than k tokens)")
     roll.write.mode("overwrite").parquet(s"$dir/roll")
     refDocs.select(explode(exactWindowHashes(textCol, k)).as("_h")).distinct()
       .write.mode("overwrite").parquet(s"$dir/exact")
     val bloom = roll
-      .agg(BloomBridge.bloomAgg(col("_d"), math.max(1L, roll.count()), fpp))
+      .agg(BloomBridge.bloomAgg(col("_d"), nRoll, fpp))
       .head().getAs[Array[Byte]](0)
     spark.range(1).select(lit(bloom).as("bloom"), lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -1124,8 +1131,10 @@ object Dedup {
     * positives at the bloom fpp + the 62-bit rolling collision rate
     * over-drop clean docs — the ingest-side trade; batch exactness,
     * when needed, reruns [[dupSpansRollingAgainstStored]]'s exact
-    * verify over the retained corpus. Null-text rows drop (they carry
-    * nothing to train on; matches streamCleanBloom). */
+    * verify over the retained corpus. Null-text rows PASS THROUGH (no
+    * windows → no bloom hit → the not-exists filter keeps them; same
+    * keep behavior as streamCleanBloom — nullity screening is a
+    * separate upstream quality gate, not this screen's job). */
   def streamSubstringScreenBloom(stream: DataFrame, textCol: String,
       filterBytes: Array[Byte], k: Int): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")

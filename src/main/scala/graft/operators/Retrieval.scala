@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.Plans
+
 /** BM25 full-text retrieval — inline over a corpus frame, and against a
   * persisted retrieval index (postings with term frequencies + document
   * lengths + corpus stats) so repeated queries read only the query
@@ -280,12 +282,11 @@ object Retrieval {
     * postings (token-predicate pushdown on the postings parquet — at
     * 100 TB a query reads Σdf(term) posting entries, not the corpus),
     * rebuilds absolute ids with a per-token running sum over the
-    * posting-sized exploded stream, and joins document lengths by
-    * BROADCASTING the posting side into the doclens scan. Identical
+    * posting-sized exploded stream, and joins document lengths against
+    * the doclens table — broadcasting the posting side when it fits,
+    * shuffling when it does not (see the gate below). Identical
     * score definition to [[bm25TopK]] by construction — one oracle
-    * serves both. Head-token (stopword) postings are the classic skew
-    * ceiling; bound them upstream with a stopword cut if a workload
-    * queries them. */
+    * serves both. */
   def bm25TopKStored(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
@@ -307,7 +308,21 @@ object Retrieval {
         when(col("token") === t, lit(idfMicro(n, dfByTerm(t)))).otherwise(acc)
       }
     val doclens = spark.read.parquet(s"$dir/doclens")
-    broadcast(decoded.withColumn("_idf", idfExpr))
+    // Size-gate the posting-side broadcast. The decoded side has exactly
+    // Σdf(term) rows — already on the driver in dfByTerm, so the gate is
+    // free. Selective terms → a tiny side → broadcasting it removes the
+    // doclens shuffle entirely. A head token (stopword) makes Σdf
+    // corpus-sized, and broadcasting that is an executor/driver OOM at
+    // 100 TB — above the session's autoBroadcastJoinThreshold (at ~64 B
+    // per decoded entry: token text + id/tf/_idf int64s, hashed-relation
+    // overhead included) the hint is dropped and the join shuffles on id
+    // instead. Correctness is gate-independent (RetrievalSpec pins both
+    // sides to identical rows); PlanContractsSpec pins the plan shapes.
+    val bcastLimit =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val postingRows = dfByTerm.values.sum
+    val scored = decoded.withColumn("_idf", idfExpr)
+    Plans.maybeBroadcast(scored, bcastLimit > 0 && postingRows * 64L <= bcastLimit)
       .join(doclens, Seq("id"))
       .select(col("id"), col("dl").as("n_tokens"),
         when(col("tf") > 0L,

@@ -773,6 +773,53 @@ object Similarity {
       .drop("_r")
   }
 
+  /** Reciprocal-rank FUSION of the hybrid pair — the ranking production
+    * hybrid stacks actually ship: instead of discarding the lexical
+    * order after the rerank ([[hybridRerank]] ranks purely by cosine),
+    * each (query, doc) gets an integer rank under BOTH signals —
+    * lexical = BM25 score over the shortlist, semantic = exact rounded
+    * cosine — and the fused score is the classic RRF sum
+    * 1/(c + r_lex) + 1/(c + r_sem) (c = 60 per the published
+    * formulation), quantized to micro-units by flooring each addend so
+    * the whole ranking is integer-exact and oracle-mirrorable.
+    * Same broadcast discipline as [[hybridRerank]]: both windows
+    * partition by query over |queries|·N broadcast-bounded rows — the
+    * fusion stage never sees corpus-sized data. Returns per query the
+    * top-`k` docs by `rrf_micro` descending (ties → lowest id) with
+    * both ranks and both raw signals for audit. */
+  def hybridRrfTopK(shortlist: DataFrame, idCol: String, scoreCol: String,
+      corpus: DataFrame, cIdCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 1, s"RRF constant must be >= 1, got $c")
+    val scored = corpus.select(col(cIdCol).as(idCol), asDouble(col(vecCol)).as("_cv"))
+      .join(broadcast(shortlist.select(col(idCol), col(scoreCol))), Seq(idCol))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
+        asDouble(col(qVecCol)).as("_qv"))))
+      .select(col("query_id"), col(idCol), col(scoreCol),
+        PortableRound.round4(cosine(col("_cv"), col("_qv"))).as("cos_sim"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wSem = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    // each addend is floor(1e6/(c+rank)): double division of small
+    // exact integers is correctly rounded identically in Spark and the
+    // oracle engine, and the floor snaps both to the same int64
+    val fused = scored
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .withColumn("rrf_micro",
+        (floor(lit(1000000.0) / (lit(c) + col("r_lex"))) +
+          floor(lit(1000000.0) / (lit(c) + col("r_sem")))).cast("long"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col(idCol).asc)
+    fused.withColumn("_r", row_number().over(wF))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   // ----------------------------------------------------------------
   // IVFADC: the COMPOSED stored index — IVF prunes which partitions a
   // probe reads, PQ shrinks what each row stores. Data files hold

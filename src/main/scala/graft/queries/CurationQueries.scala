@@ -773,10 +773,11 @@ object CurationQueries {
     * vector, top-k per query by cosine (ties → lowest doc). Shared by
     * the inline (q160) and stored-index (q161) faces, which compute the
     * same ranking by construction. */
+  private def cosSql(v: String, q: String): String =
+    PortableRound.sql4(
+      s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
+
   private lazy val hybridOracleSql: String = {
-    def cosSql(v: String, q: String): String =
-      PortableRound.sql4(
-        s"list_dot_product($v, $q) / NULLIF(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q)), 0)")
     s"""WITH bm AS (${bm25OracleSql(bmTerms, hybridTopN)}),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -830,6 +831,50 @@ object CurationQueries {
           .select(col("doc_id"), col("score_micro")))
     },
     Some(hybridOracleSql))
+
+  /** The q162 oracle: q160's ranked (query, doc) grid, integer ranks
+    * under each signal, the floored RRF addends summed, top-k by the
+    * fused score. row_number ties break on doc_id in both engines. */
+  private lazy val hybridRrfOracleSql: String = {
+    s"""WITH bm AS (${bm25OracleSql(bmTerms, hybridTopN)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3),
+      rr AS (SELECT q.query_id, bm.doc_id, bm.score_micro,
+          ${cosSql("e.v", "q.qv")} AS cos_sim
+        FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q),
+      rk AS (SELECT query_id, doc_id, score_micro, cos_sim,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r_lex,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS r_sem
+        FROM rr),
+      f AS (SELECT *, CAST(floor(1000000.0 / (60 + r_lex)) +
+          floor(1000000.0 / (60 + r_sem)) AS BIGINT) AS rrf_micro FROM rk)
+      SELECT query_id, doc_id, score_micro, cos_sim, r_lex, r_sem, rrf_micro
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_micro DESC, doc_id) AS r FROM f)
+      WHERE r <= $hybridKTop
+      ORDER BY query_id, rrf_micro DESC, doc_id""".replaceAll("\\s+", " ")
+  }
+
+  /** RECIPROCAL-RANK FUSION of the hybrid pair — q160 keeps only the
+    * semantic order after the rerank; q162 ranks by the fused
+    * 1/(60+r_lex) + 1/(60+r_sem) signal (floored micro-unit addends →
+    * integer-exact), the form production hybrid retrieval actually
+    * ships. Same broadcast-bounded |queries|·N fusion grid. */
+  private lazy val q162 = Q(
+    "q162_hybrid_rrf_fusion",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.hybridRrfTopK(
+        Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          bmTerms, hybridTopN).select(col("doc_id"), col("score_micro")),
+        "doc_id", "score_micro", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", hybridKTop)
+        .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
+    },
+    Some(hybridRrfOracleSql))
 
   /** q157's CUT action: surgically remove every 50-token window of
     * train text that appears in the held-out split — the substring-
@@ -1703,5 +1748,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159, q160, q161)
+    q141, q155, q156, q157, q158, q159, q160, q161, q162)
 }

@@ -1304,13 +1304,18 @@ object RelationalQueries {
   private val q80 = Q(
     "q80_retention",
     (s, dir) => {
+      // both sides derive from `uw` — explicit aliases make the join
+      // keys unambiguous instead of leaning on Spark's trivially-true-
+      // predicate self-join rescue heuristic (which logs a resolver
+      // warning and is exactly the rewrite that breaks under plan
+      // changes)
       val uw = t(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
         .distinct()
-      val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
-      uw.join(nxt, nxt("user_id") === uw("user_id") &&
-          col("wk_next") === date_add(col("wk"), 7), "left")
-        .groupBy(col("wk"))
+      val nxt = uw.select(col("user_id"), col("wk").as("wk_next")).alias("b")
+      uw.alias("a").join(nxt, col("b.user_id") === col("a.user_id") &&
+          col("b.wk_next") === date_add(col("a.wk"), 7), "left")
+        .groupBy(col("a.wk").as("wk"))
         .agg(
           count(lit(1)).as("n_active"),
           count(col("wk_next")).as("n_retained"))

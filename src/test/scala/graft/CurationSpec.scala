@@ -531,6 +531,38 @@ class CurationSpec extends SparkSpec {
     got.map(_._1).distinct shouldBe Array(100L)
   }
 
+  test("hybridRrfTopK: fusion reorders against BOTH single-signal rankings") {
+    import graft.operators.Similarity
+    // lexical order: 1,2,3,4 — semantic order: 3,4,2,1. RRF(c=60) sums
+    // floor(1e6/(60+r)) addends (16393/16129/15873/15625 for r=1..4):
+    //   d1: 16393+15625=32018  d2: 16129+15873=32002
+    //   d3: 15873+16393=32266  d4: 15625+16129=31754
+    // fused order 3,1,2,4 differs from lexical AND semantic.
+    val short = Seq((1L, 900L), (2L, 800L), (3L, 700L), (4L, 600L))
+      .toDF("doc_id", "score_micro")
+    val corpus = Seq(
+      (1L, Array(0f, 1f)), (2L, Array(1f, 1f)),
+      (3L, Array(1f, 0f)), (4L, Array(2f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.hybridRrfTopK(short, "doc_id", "score_micro",
+      corpus, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .select("doc_id", "r_lex", "r_sem", "rrf_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    got.map(_._1) shouldBe Array(3L, 1L, 2L, 4L) // neither input order
+    got.map(_._1) should not be Array(1L, 2L, 3L, 4L) // lexical
+    got.map(_._1) should not be Array(3L, 4L, 2L, 1L) // semantic
+    got.map(_._4) shouldBe Array(32266L, 32018L, 32002L, 31754L)
+    // ranks are dense 1..N under each signal
+    got.map(_._2).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    got.map(_._3).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    // k bounds the fused output per query
+    Similarity.hybridRrfTopK(short, "doc_id", "score_micro",
+      corpus, "vec_id", "embedding", qs, "vec_id", "embedding", 2)
+      .count() shouldBe 2L
+  }
+
   test("stored substring-screen artifact probes bit-equal to the inline screen") {
     import graft.operators.Dedup
     val k = 4

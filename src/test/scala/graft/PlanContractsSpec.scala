@@ -260,4 +260,36 @@ class PlanContractsSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("stored-BM25 posting broadcast is size-gated: head tokens shuffle") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // every doc carries the head token "the"; "vector" is selective
+    val corpus = (1L to 40L)
+      .map(i => (i, "the doc" + i + (if (i % 7 == 0) " vector" else "")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25gate").toString
+    Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", idx)
+    // selective term, default threshold: posting side fits → broadcast
+    Retrieval.bm25TopKStored(spark, idx, Seq("vector"), 10)
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    // head-token-at-scale stand-in: shrink the session threshold below
+    // Σdf("the")·64 B. The gate must drop the hint (no OOM-sized
+    // broadcast) and Catalyst must plan a shuffle join instead.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "256")
+    try {
+      val probe = Retrieval.bm25TopKStored(spark, idx, Seq("the"), 50)
+      val plan = probe.queryExecution.executedPlan.toString
+      plan should not include "BroadcastHashJoin"
+      plan should include regex "(ShuffledHashJoin|SortMergeJoin)"
+      // and the fallback returns exactly the inline scores — the gate
+      // changes the plan, never the rows
+      val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("the"), 50)
+        .filter(col("score_micro") > 0L)
+        .select(col("doc_id"), col("n_tokens"), col("score_micro"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      probe.select(col("id"), col("n_tokens"), col("score_micro"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe inline
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

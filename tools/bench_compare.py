@@ -8,11 +8,28 @@ import json
 import sys
 
 
+def norm_key(k):
+    """Strip the legacy 'q' prefix and zero-pad so pre- and post-rename
+    artifacts stay comparable ('q112' == '112' == '112'), and sorting is
+    numeric, not lexicographic."""
+    k = k.lstrip("q")
+    return k.zfill(3) if k.isdigit() else k
+
+
 def load(path):
+    """Accept either raw Bench stdout (the one-line metric JSON) or a
+    driver BENCH_r*.json artifact (which nests it under "parsed")."""
     with open(path) as f:
         text = f.read()
-    i = text.find('{"metric"')
-    return json.loads(text[i:].split("\n")[0])
+    try:
+        whole = json.loads(text)
+        d = whole["parsed"] if isinstance(whole, dict) and "parsed" in whole \
+            else whole
+    except json.JSONDecodeError:
+        i = text.find('{"metric"')
+        d = json.loads(text[i:].split("\n")[0])
+    d["queries"] = {norm_key(k): v for k, v in d["queries"].items()}
+    return d
 
 
 def main(old_path, new_path, min_delta=0.2):
