@@ -1425,6 +1425,31 @@ object Similarity {
     }
   }
 
+  /** EXACT-trained twin of [[appendToIvfIndex]]: a new batch routes
+    * through the STORED micro-unit centroids with the same all-integer
+    * d2 argmin the probe and [[kmAssign]] use (ties → lowest cell) —
+    * frozen routing, no retraining, rows appended only into their
+    * `cell=` directories. Under the append-only id discipline the
+    * result is bit-identical to an index whose data is the union but
+    * whose centroids were trained on the ORIGINAL corpus — which is
+    * exactly what the frozen-model ingest contract means, and what
+    * makes the appended index hash-checkable end to end (q163): the
+    * oracle unrolls training over the base split, then assigns base and
+    * batch under the final centroids. Closes the float path's (q137)
+    * rows-only gap from the exact side. */
+  def appendToIvfIndexMicroExact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    guardedAppendPrepared(spark, dir, batch, idCol) {
+      // bounded driver read (k centroid rows), outside the pending
+      // window: a missing/corrupt centers artifact fails fast here
+      readIvfCentersMicro(spark, dir)
+    } { centers =>
+      kmAssign(kmQuant(batch, idCol, vecCol), centers)
+        .select(col("_id").as(idCol), col("_v").as("v"), col("_cell").as("cell"))
+        .repartition(col("cell")) // one writer task per cell (fanout guard)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+    }
+
   /** Probe a [[writeIvfIndexMicroExact]] index: queries quantize to
     * micro-units, probe cells come from the STORED centroids (exact
     * integer d2, ties → lowest cell), and the data scan prunes to the

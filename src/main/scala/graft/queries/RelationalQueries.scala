@@ -420,11 +420,12 @@ object RelationalQueries {
     * (identical k/iters); CREATE OR REPLACE keeps reruns idempotent.
     * dims is pinned to the testdata's 64 (the `range(0, 64)` oracle
     * precedent in CurationQueries). */
-  private def kmPreludeSql(tag: String, k: Int, iters: Int): Seq[String] = {
+  private def kmPreludeSql(tag: String, k: Int, iters: Int,
+      where: String = "embedding IS NOT NULL"): Seq[String] = {
     val quant = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_v AS
       SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL"""
+      FROM embeddings WHERE $where"""
     val init = s"""CREATE OR REPLACE TEMP TABLE graft_${tag}_c0 AS
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
       FROM (SELECT vec_id, v FROM graft_${tag}_v ORDER BY vec_id LIMIT $k)"""
@@ -563,6 +564,72 @@ object RelationalQueries {
               row_number() OVER (PARTITION BY pr.query_id
                 ORDER BY ${kmD2Sql("a.v", "pr.qv")} ASC, a.vec_id ASC) AS r
             FROM graft_km150_af a JOIN pr USING (cell)) WHERE r <= $kTop
+          ORDER BY query_id, d2, vec_id""")
+        .mkString("; ").replaceAll("\\s+", " ")))
+  }
+
+  /** q152's INGEST face, fully hash-checked (round-11 verdict item 3):
+    * train the exact micro-unit IVF index on the first 2/3 of the
+    * corpus (q133's cut), append the rest through the FROZEN stored
+    * centroids (`appendToIvfIndexMicroExact` — exact integer argmin
+    * routing, no retraining), probe the combined index. The oracle
+    * unrolls training over the base split only, then assigns base AND
+    * batch under the final centroids — exactly the frozen-model ingest
+    * contract — so the append semantics q137 could only rows-only
+    * declare on the float path hash-check here end to end. */
+  private val q163 = {
+    val (kTop, nP) = (4, 2)
+    val d2ba = kmD2Sql("b.v", "c.c")
+    val appendSql = Seq(
+      s"""CREATE OR REPLACE TEMP TABLE graft_km163_b AS
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+          AND vec_id > (SELECT (max(vec_id) * 2) // 3 FROM embeddings)""",
+      s"""CREATE OR REPLACE TEMP TABLE graft_km163_af2 AS
+        SELECT vec_id, v, cell, d2 FROM graft_km163_af
+        UNION ALL
+        SELECT vec_id, v, cell, d2 FROM (
+          SELECT b.vec_id, b.v, c.cell, $d2ba AS d2,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY $d2ba ASC, c.cell ASC) AS rn
+          FROM graft_km163_b b CROSS JOIN graft_km163_c$kmIters c)
+        WHERE rn = 1""")
+    Q(
+      "q163_ivf_trained_append_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q163_kmapp_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, idxDir) {
+          val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+          graft.operators.Similarity.writeIvfIndexMicroExact(
+            emb.filter(col("vec_id") <= cut), "vec_id", "embedding", idxDir,
+            nCentroids = kmK, iters = kmIters)
+          graft.operators.Similarity.appendToIvfIndexMicroExact(
+            s, idxDir, emb.filter(col("vec_id") > cut), "vec_id", "embedding")
+        }
+        graft.operators.Similarity.probeIvfIndexMicroExact(
+          s, idxDir, "vec_id",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = kTop, nProbe = nP)
+          .orderBy(col("query_id").asc, col("d2").asc, col("vec_id").asc)
+      },
+      Some((kmPreludeSql("km163", kmK, kmIters,
+        where = "embedding IS NOT NULL AND vec_id <= " +
+          "(SELECT (max(vec_id) * 2) // 3 FROM embeddings)") ++ appendSql :+
+        s"""WITH q AS (SELECT vec_id AS query_id, v AS qv
+            FROM graft_km163_v WHERE vec_id < 3),
+          pr AS (SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${kmD2Sql("q.qv", "c.c")} ASC, c.cell ASC) AS pr
+            FROM q CROSS JOIN graft_km163_c$kmIters c) WHERE pr <= $nP)
+          SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+            SELECT pr.query_id, a.vec_id, ${kmD2Sql("a.v", "pr.qv")} AS d2,
+              row_number() OVER (PARTITION BY pr.query_id
+                ORDER BY ${kmD2Sql("a.v", "pr.qv")} ASC, a.vec_id ASC) AS r
+            FROM graft_km163_af2 a JOIN pr USING (cell)) WHERE r <= $kTop
           ORDER BY query_id, d2, vec_id""")
         .mkString("; ").replaceAll("\\s+", " ")))
   }
@@ -1682,5 +1749,5 @@ object RelationalQueries {
     Seq(q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q54, q55, q56, q57,
       q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
       q73, q74, q75, q76, q79, q80, q81, q82, q84, q87, q88, q90, q91, q97,
-      q106, q133, q137, q150, q151, q152, q153, q154)
+      q106, q133, q137, q150, q151, q152, q153, q154, q163)
 }

@@ -893,6 +893,41 @@ class SimilaritySpec extends SparkSpec {
     inc.map(_._2).exists(_ >= 50L) shouldBe true
   }
 
+  test("exact-trained IVF append: frozen routing equals the union under base-trained centers") {
+    val rnd = new scala.util.Random(29)
+    def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val batch = (50 until 80).map(i => (i.toLong, vec()))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val unionDf = (base ++ batch).toDF("vec_id", "embedding")
+    val queries = baseDf.filter(col("vec_id") < 3)
+    val dir = tmpDir("ivf_km_app")
+    Similarity.writeIvfIndexMicroExact(baseDf, "vec_id", "embedding", dir,
+      nCentroids = 4, iters = 3)
+    Similarity.appendToIvfIndexMicroExact(spark, dir, batchDf,
+      "vec_id", "embedding")
+    // the frozen-model ingest contract: probe(write(base) + append(batch))
+    // is BIT-IDENTICAL to probing the union through centroids trained on
+    // base only — the routing function never moved
+    val centers = Similarity.kmeansMicroExact(baseDf, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val expect = Similarity.ivfTopKMicroExactTrained(unionDf, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 8, nProbe = 2, centers)
+      .select("query_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val got = Similarity.probeIvfIndexMicroExact(spark, dir, "vec_id",
+        queries, "vec_id", "embedding", k = 8, nProbe = 2)
+      .select("query_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    got shouldBe expect
+    got.map(_._2).exists(_ >= 50L) shouldBe true // appended rows reachable
+    // same id discipline as the other append families: overlap fails fast
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIvfIndexMicroExact(spark, dir,
+        Seq((10L, vec())).toDF("vec_id", "embedding"), "vec_id", "embedding")
+  }
+
   test("IVF compaction is probe-identical, cell-selective, and reduces files") {
     val rnd = new scala.util.Random(23)
     def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
