@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -80,6 +80,78 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ stubDecode(bytes, dim).toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Exact-INTEGER twin of [[stubDecode]] for the dedup path: the
+    * payload's decoded character stream is cut into `dim` fixed windows
+    * (window = max(1, ⌊len/dim⌋), tail beyond dim·window ignored —
+    * [[stubDecode]]'s window rule without its float mean) and each
+    * window's character-code SUM is emitted as int64. On the
+    * text-fixture payloads (ASCII, [[attachPayload]]) chars == bytes,
+    * so this is a byte-window content signature; a real codec replaces
+    * the character stream with decoded samples, and the banding /
+    * verify machinery downstream is unchanged. All-integer → the whole
+    * near-dup face mirrors exactly into SQL (q164). */
+  def stubFeaturesMicro(payload: Column, dim: Int): Column = {
+    val codes = transform(split(payload.cast("string"), ""),
+      c => ascii(c).cast("long"))
+    val n = length(payload.cast("string"))
+    val w = greatest(lit(1), floor(n / lit(dim)).cast("int"))
+    transform(sequence(lit(0), lit(dim - 1)), j => {
+      val from = j * w
+      val len = greatest(least(from + w, n) - from, lit(0))
+      when(len > 0,
+        aggregate(slice(codes, from + lit(1), len), lit(0L), (acc, x) => acc + x))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** Banded NEAR-DUP pairs over media payloads — the media column
+    * family's answer to the text near-dup suite: candidates are pairs
+    * sharing at least one of `dim/bandSize` exact feature BANDS
+    * (equi-join on (band_id, band slice) — the SimHash-band discipline,
+    * never all-pairs), then verified by exact integer L1 distance over
+    * the full [[stubFeaturesMicro]] vector. Output
+    * `(id_a, id_b, l1, same_content)` for verified pairs with
+    * `l1 <= maxL1`; `same_content` (content-hash equality) splits exact
+    * dups (l1 = 0, hash-equal) from aligned near-edits. Scale shape:
+    * one banding shuffle + candidate-sized verify joins; the build side
+    * broadcasts while it fits ([[graft.functions.Plans.maybeBroadcast]]
+    * — pass `broadcastBuild = false` at corpus scale). */
+  def mediaNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      dim: Int, bandSize: Int, maxL1: Long,
+      broadcastBuild: Boolean = true): DataFrame = {
+    require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
+    val nb = dim / bandSize
+    val feats = df.filter(col(binCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        md5(col(binCol)).as("_h"),
+        stubFeaturesMicro(col(binCol), dim).as("_f"))
+      .localCheckpoint() // feeds banding AND both verify joins once
+    val bands = feats.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(nb - 1)),
+        b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
+      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+    val cand = bands.select(col("_id").as("id_a"), col("_band"), col("_key"))
+      .join(graft.functions.Plans.maybeBroadcast(
+        bands.select(col("_id").as("id_b"), col("_band"), col("_key")),
+        broadcastBuild),
+        Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val l1 = aggregate(
+      zip_with(col("_fa"), col("_fb"), (x, y) => abs(x - y)),
+      lit(0L), (acc, x) => acc + x)
+    cand
+      .join(graft.functions.Plans.maybeBroadcast(feats.select(
+        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
+        broadcastBuild), Seq("id_a"))
+      .join(graft.functions.Plans.maybeBroadcast(feats.select(
+        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")),
+        broadcastBuild), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), l1.as("l1"),
+        (col("_ha") === col("_hb")).as("same_content"))
+      .filter(col("l1") <= maxL1)
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

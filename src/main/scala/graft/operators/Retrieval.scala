@@ -158,6 +158,58 @@ object Retrieval {
       .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
   }
 
+  /** INGEST-TIME hybrid routing — the stream face of the q160/q161
+    * stack: each arriving document scores LEXICALLY against the frozen
+    * query terms using the STORED index's corpus statistics (df/N/Σdl
+    * read once at stream start — [[bm25ScoreStream]]'s discipline) and
+    * SEMANTICALLY against a FROZEN query-vector set by the same exact
+    * rounded cosine the batch rerank uses, emitting one
+    * `(query_id, id, n_tokens, score_micro, cos_sim)` row per
+    * (lexically-matching doc × query): "which stored query does this
+    * document serve", decided at ingest. Entirely STATELESS and narrow
+    * — stats and the query batch are driver-collected bounded literals,
+    * the per-query fan-out is an explode of a model-sized array — so
+    * the same call runs unchanged on a readStream (no state store, no
+    * watermark) and is row-for-row equal to the batch form
+    * (StreamingSpec pins it). Membership matches the batch shortlist
+    * rule: only docs with a positive lexical score route. */
+  def hybridRouteStream(df: DataFrame, idCol: String, textCol: String,
+      vecCol: String, dir: String, terms: Seq[String],
+      queries: Seq[(Long, Array[Double])]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "1..32 query terms")
+    require(terms.distinct.size == terms.size, "duplicate query terms")
+    require(queries.nonEmpty, "at least one frozen query vector")
+    val spark = df.sparkSession
+    val stats = spark.read.parquet(s"$dir/stats").head
+    val n = stats.getAs[Long]("n_docs")
+    val sumdl = stats.getAs[Long]("sum_dl")
+    val dfByTerm = spark.read.parquet(s"$dir/postings")
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df_t")).as("df_t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Dedup.tokens(col(textCol))
+    val dl = size(toks).cast("long")
+    val partials = terms.filter(dfByTerm.contains).map { t =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("long")
+      scoreMicro(idfMicro(n, dfByTerm(t)), tf, dl, n, sumdl)
+    }
+    val total =
+      if (partials.isEmpty) lit(0L) else partials.reduce(_ + _).cast("long")
+    val qlit = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"), typedLit(qv.toSeq).as("qv"))
+    }: _*)
+    df.filter(col(textCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), dl.as("n_tokens"), total.as("score_micro"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("score_micro") > 0L)
+      .select(col(idCol), col("n_tokens"), col("score_micro"),
+        explode(qlit).as("_q"), col("_v"))
+      .select(col("_q.query_id").as("query_id"), col(idCol),
+        col("n_tokens"), col("score_micro"),
+        graft.functions.PortableRound.round4(
+          Similarity.cosine(col("_v"), col("_q.qv"))).as("cos_sim"))
+  }
+
   /** Persist the retrieval index for [[bm25TopKStored]]:
     *  - `dir/postings/seg=0`: (token, df_t, postings array<struct<gap,tf>>)
     *    — the first LOG-STRUCTURED SEGMENT (the Lucene layout:

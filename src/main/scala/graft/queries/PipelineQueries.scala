@@ -1248,8 +1248,54 @@ object PipelineQueries {
         ORDER BY 1, 2""".replaceAll("\\s+", " ")))
   }
 
+  /** MEDIA content dedup (round-11 verdict item 6): the multimodal
+    * column family (q28) gets the dedup discipline the text/embedding
+    * modalities already have — banded near-dup candidates over the
+    * exact-INTEGER stub features of each payload (pairs must share one
+    * of 4 four-feature bands; never all-pairs), verified by exact
+    * integer L1, with content-hash equality splitting exact dups
+    * (l1 = 0, same_content) from aligned near-edits. The stub decoder
+    * is deterministic character-window sums, so — unlike a real codec —
+    * the whole modality hash-checks; a real decoder swaps in under the
+    * same banding/verify machinery. */
+  private val q164 = {
+    val (dim, bs, nb, maxL1) = (16, 4, 4, 2000L)
+    Q(
+      "q164_media_near_dup",
+      (s, dir) => Multimodal.mediaNearDupPairs(
+        Multimodal.attachPayload(t(s, dir, "documents"), "text", "text"),
+        "doc_id", "media", dim = dim, bandSize = bs, maxL1 = maxL1)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes,
+            md5(text) AS h
+          FROM d),
+        f AS (SELECT doc_id, h,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        bands AS (SELECT doc_id, b AS band,
+            list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
+          FROM f, range(0, $nb) r(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        v AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(fa.feats, fb.feats),
+              p -> abs(p[1] - p[2]))) AS l1,
+            (fa.h = fb.h) AS same_content
+          FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+          JOIN f fb ON fb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(l1 AS BIGINT) AS l1, same_content FROM v
+        WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149)
+      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164)
 }

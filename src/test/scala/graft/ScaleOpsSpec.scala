@@ -70,6 +70,37 @@ class MultimodalSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("mediaNearDupPairs: planted near-dup collides in a band, verify gates on L1") {
+    // 16-char payloads, dim=4 → window 4: doc1 windows sum to
+    // (388,392,396,400); doc2 edits ONE tail char (d→e: 400→401, l1=1);
+    // doc3 is an exact copy; doc6 shares only the first two windows
+    // (l1=180 — a band collision the L1 verify must reject); doc5 null.
+    val df = Seq(
+      (1L, "aaaabbbbccccdddd"),
+      (2L, "aaaabbbbccccddde"),
+      (3L, "aaaabbbbccccdddd"),
+      (6L, "aaaabbbbzzzzzzzz"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val withBin = Multimodal.attachPayload(
+      df.filter(col("text").isNotNull), "text", "text")
+    // exact-integer features mirror the documented window-sum contract
+    withBin.filter(col("doc_id") === 1L)
+      .select(Multimodal.stubFeaturesMicro(col("media"), 4))
+      .as[Seq[Long]].head() shouldBe Seq(388L, 392L, 396L, 400L)
+    val pairs = Multimodal.mediaNearDupPairs(withBin, "doc_id", "media",
+      dim = 4, bandSize = 2, maxL1 = 50L)
+    val got = pairs.orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 1L, false), // planted near-edit: band 0 collides, l1=1
+      (1L, 3L, 0L, true),  // exact dup: l1=0, content hashes equal
+      (2L, 3L, 1L, false))
+    // candidates come from the band equi-join, never all-pairs
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("sampleChunks keeps every stride-th fixed-size chunk (frame sampling shape)") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "text") // 10 bytes
     val withBin = df.withColumn("media", encode(col("text"), "UTF-8"))

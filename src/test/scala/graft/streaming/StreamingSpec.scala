@@ -988,6 +988,55 @@ class StreamingSpec extends SparkSpec {
     streamOut.map(_._1).distinct shouldBe (0L until 8L) // 99 dropped
   }
 
+  test("hybrid routing at ingest: stream ≡ batch against the stored index pair") {
+    // The q160/q161 stack's stream face (round-11 verdict item 5):
+    // arriving documents score lexically against the STORED BM25
+    // index's frozen corpus stats and semantically against a FROZEN
+    // query-vector set — stateless (stats + query batch are bounded
+    // literals), so the same hybridRouteStream call runs unchanged on
+    // a readStream and emits exactly the batch rows. Membership
+    // follows the batch shortlist rule: zero-lexical-score docs and
+    // null-text/null-vector arrivals never route.
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "spark shuffle notes"), (2L, "vector search with spark"),
+      (3L, "cooking pasta"), (4L, "customer spark vector")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyb_stream").toString
+    Retrieval.writeRetrievalIndex(spark, corpus, "doc_id", "text", dir)
+    val frozenQ = Seq(100L -> Array(1.0, 0.0), 101L -> Array(0.0, 1.0))
+    val arriving = Seq(
+      (10L, "fresh spark doc", Array(0.6f, 0.8f)),
+      (11L, "vector ingest", Array(1.0f, 0.0f)),
+      (12L, "nothing relevant", Array(0.5f, 0.5f)), // lexical 0 → no route
+      (13L, null.asInstanceOf[String], Array(1.0f, 1.0f)), // null text drops
+      (14L, "spark", null.asInstanceOf[Array[Float]]))     // null vec drops
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val routed = Retrieval.hybridRouteStream(
+      in.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", dir,
+      Seq("spark", "vector", "customer"), frozenQ)
+    val q = routed.writeStream.format("memory").queryName("t_hyb_route")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamOut = norm(spark.table("t_hyb_route"))
+    streamOut shouldBe norm(Retrieval.hybridRouteStream(
+      arriving.toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", dir,
+      Seq("spark", "vector", "customer"), frozenQ))
+    // both lexically-matching docs route to BOTH frozen queries
+    streamOut.map(t => (t._1, t._2)).distinct.sorted shouldBe
+      Seq((100L, 10L), (100L, 11L), (101L, 10L), (101L, 11L))
+    // exact rounded cosine rode along (10 → q100: cos((.6,.8),(1,0))=.6)
+    streamOut.find(t => t._1 == 100L && t._2 == 10L).get._5 shouldBe 0.6
+  }
+
   test("trained-cell routing at ingest: stream assignment ≡ batch assignment") {
     // The q152 index's ingest-time face: route arriving vectors to
     // their trained cells through the STORED centroids. The assignment
