@@ -209,11 +209,22 @@ object ScaleSweep {
     System.err.println(s"controls  total=${fmt(controlTotal)}s" +
       controlRef.map(r => s"  ratio_vs_baseline=${fmt(controlTotal / r)}").getOrElse(""))
     val maxRatio = rows.map(r => r._3 / r._2).max
+    // HEADLINE curvature = big_warm vs the COMMITTED baseline's
+    // min-of-3 base, not the same-run base re-measure: sub-second
+    // same-run bases swing max_ratio_warm wildly (q22 14.8× vs 55.3×
+    // across two same-day runs from a 0.38 s vs 1.64 s base), while
+    // the committed denominators are burst-screened. max_ratio_warm
+    // stays in the artifact as the same-run diagnostic.
+    val vsCommitted = rows.flatMap(r => committedWarm.get(r._1).map(r._3 / _))
+    val committedHeadline =
+      if (vsCommitted.isEmpty) ""
+      else s""""max_ratio_vs_committed":${fmt(vsCommitted.max)},"""
     val json =
       s"""{"factor":$factor,"base":"$baseDir","big":"$bigDir",""" +
       s""""passes":$passes,"cpus":$cpus,$controlPart""" +
       s""""total_base_warm":${fmt(rows.map(_._2).sum)},""" +
       s""""total_big_warm":${fmt(rows.map(_._3).sum)},""" +
+      committedHeadline +
       s""""max_ratio_warm":${fmt(maxRatio)},""" +
       s""""queries":{${rows.map(_._4).mkString(",")}}}"""
     // factor-stamped artifact names (SCALE_SWEEP.json stays the ×10
