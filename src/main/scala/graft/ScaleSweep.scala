@@ -51,7 +51,14 @@ object ScaleSweep {
     // the cross-corpus face of the rolling construction: train side is
     // shuffle-free (broadcast-nominated), so its curvature should stay
     // flat where q155's within-corpus digest count shuffles
-    "q157_substring_decontam_50")
+    "q157_substring_decontam_50",
+    // round-12: hybrid retrieval's fused ranking (corpus pass + a
+    // broadcast-bounded fusion grid — expected near-linear in the
+    // lexical scan), the exact-trained ingest round trip (write 2/3 +
+    // frozen-routing append 1/3 + pruned probe), and the media
+    // near-dup face (per-char decode pass + banded join)
+    "q162_hybrid_rrf_fusion", "q163_ivf_trained_append_exact",
+    "q164_media_near_dup")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

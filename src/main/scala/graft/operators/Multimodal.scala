@@ -92,19 +92,25 @@ object Multimodal {
     * the character stream with decoded samples, and the banding /
     * verify machinery downstream is unchanged. All-integer → the whole
     * near-dup face mirrors exactly into SQL (q164). */
-  def stubFeaturesMicro(payload: Column, dim: Int): Column = {
-    val codes = transform(split(payload.cast("string"), ""),
-      c => ascii(c).cast("long"))
-    val n = length(payload.cast("string"))
-    val w = greatest(lit(1), floor(n / lit(dim)).cast("int"))
-    transform(sequence(lit(0), lit(dim - 1)), j => {
-      val from = j * w
-      val len = greatest(least(from + w, n) - from, lit(0))
-      when(len > 0,
-        aggregate(slice(codes, from + lit(1), len), lit(0L), (acc, x) => acc + x))
-        .otherwise(lit(0L))
-    })
-  }
+  def stubFeaturesMicro(payload: Column, dim: Int): Column =
+    // let-bind the decoded code array: without the bind, the per-char
+    // split+ascii subtree sits inside the outer transform's lambda and
+    // re-evaluates once PER WINDOW (dim× the decode cost — measured
+    // 4.1 s for q164 at sf0.1 vs ~1 s bound)
+    graft.functions.ArrayOps.bind(
+      transform(split(payload.cast("string"), ""),
+        c => ascii(c).cast("long"))) { codes =>
+      val n = length(payload.cast("string"))
+      val w = greatest(lit(1), floor(n / lit(dim)).cast("int"))
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val from = j * w
+        val len = greatest(least(from + w, n) - from, lit(0))
+        when(len > 0,
+          aggregate(slice(codes, from + lit(1), len), lit(0L),
+            (acc, x) => acc + x))
+          .otherwise(lit(0L))
+      })
+    }
 
   /** Banded NEAR-DUP pairs over media payloads — the media column
     * family's answer to the text near-dup suite: candidates are pairs

@@ -9,11 +9,12 @@ import sys
 
 
 def norm_key(k):
-    """Strip the legacy 'q' prefix and zero-pad so pre- and post-rename
-    artifacts stay comparable ('q112' == '112' == '112'), and sorting is
-    numeric, not lexicographic."""
+    """Reduce any key form to a zero-padded query number so artifacts
+    stay comparable across renames: 'q112' == '112' ==
+    'q112_bm25_inline'. Non-numeric keys pass through unchanged."""
     k = k.lstrip("q")
-    return k.zfill(3) if k.isdigit() else k
+    head = k.split("_", 1)[0]
+    return head.zfill(3) if head.isdigit() else k
 
 
 def load(path):
