@@ -92,11 +92,23 @@ object Multimodal {
     * the character stream with decoded samples, and the banding /
     * verify machinery downstream is unchanged. All-integer → the whole
     * near-dup face mirrors exactly into SQL (q164). */
-  def stubFeaturesMicro(payload: Column, dim: Int): Column =
-    // let-bind the decoded code array: without the bind, the per-char
-    // split+ascii subtree sits inside the outer transform's lambda and
-    // re-evaluates once PER WINDOW (dim× the decode cost — measured
-    // 4.1 s for q164 at sf0.1 vs ~1 s bound)
+  def stubFeaturesMicro(payload: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CharWindowSums(
+      ColumnBridge.expression(payload.cast("string")), dim))
+  }
+
+  /** Composed-functions reference implementation of
+    * [[stubFeaturesMicro]] — kept ONLY as the parity pin for the
+    * native [[graft.functions.CharWindowSums]] (MultimodalSpec asserts
+    * element-wise equality, multi-byte inputs included). The decoded
+    * code array is let-bound (ArrayOps.bind); un-bound, the per-char
+    * split+ascii subtree re-evaluates once per window (dim× the decode
+    * cost — 4.1 s vs 2.2 s for q164 at sf0.1). The native expression
+    * replaces even the bound form because the per-character string
+    * array and the interpreted window folds still dominated the
+    * media-dedup corpus pass. */
+  private[graft] def stubFeaturesMicroComposed(payload: Column, dim: Int): Column =
     graft.functions.ArrayOps.bind(
       transform(split(payload.cast("string"), ""),
         c => ascii(c).cast("long"))) { codes =>
@@ -128,16 +140,9 @@ object Multimodal {
       dim: Int, bandSize: Int, maxL1: Long,
       broadcastBuild: Boolean = true): DataFrame = {
     require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
-    val nb = dim / bandSize
-    val feats = df.filter(col(binCol).isNotNull)
-      .select(col(idCol).as("_id"),
-        md5(col(binCol)).as("_h"),
-        stubFeaturesMicro(col(binCol), dim).as("_f"))
+    val feats = featsFrame(df, idCol, binCol, dim)
       .localCheckpoint() // feeds banding AND both verify joins once
-    val bands = feats.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(nb - 1)),
-        b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
-      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+    val bands = bandsFrame(feats, dim, bandSize)
     val cand = bands.select(col("_id").as("id_a"), col("_band"), col("_key"))
       .join(graft.functions.Plans.maybeBroadcast(
         bands.select(col("_id").as("id_b"), col("_band"), col("_key")),
@@ -145,19 +150,132 @@ object Multimodal {
         Seq("_band", "_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    verifyL1(cand, maxL1,
+      graft.functions.Plans.maybeBroadcast(feats.select(
+        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
+        broadcastBuild),
+      graft.functions.Plans.maybeBroadcast(feats.select(
+        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")),
+        broadcastBuild))
+  }
+
+  /** (id, content hash, integer feature vector) for every non-null
+    * payload — the shared front end of all media-dedup faces. */
+  private def featsFrame(df: DataFrame, idCol: String, binCol: String,
+      dim: Int): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        md5(col(binCol)).as("_h"),
+        stubFeaturesMicro(col(binCol), dim).as("_f"))
+
+  /** Exploded (id, band index, band slice) rows — the LSH-band key
+    * space the candidate equi-joins run on. */
+  private def bandsFrame(feats: DataFrame, dim: Int, bandSize: Int): DataFrame =
+    feats.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(dim / bandSize - 1)),
+        b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
+      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+
+  /** Exact integer L1 verify over banded candidates; shared tail of the
+    * inline and stored faces. */
+  private def verifyL1(cand: DataFrame, maxL1: Long,
+      featsA: DataFrame, featsB: DataFrame): DataFrame = {
     val l1 = aggregate(
       zip_with(col("_fa"), col("_fb"), (x, y) => abs(x - y)),
       lit(0L), (acc, x) => acc + x)
-    cand
-      .join(graft.functions.Plans.maybeBroadcast(feats.select(
-        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
-        broadcastBuild), Seq("id_a"))
-      .join(graft.functions.Plans.maybeBroadcast(feats.select(
-        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")),
-        broadcastBuild), Seq("id_b"))
+    cand.join(featsA, Seq("id_a"))
+      .join(featsB, Seq("id_b"))
       .select(col("id_a"), col("id_b"), l1.as("l1"),
         (col("_ha") === col("_hb")).as("same_content"))
       .filter(col("l1") <= maxL1)
+  }
+
+  /** Persist the media-dup index for [[mediaNearDupAgainstStored]] and
+    * the stream pre-screen — [[graft.operators.Dedup.writeSubstringScreenArtifact]]'s
+    * discipline for the media modality, built once per frozen corpus:
+    * `dir/feats` = (id, content hash, integer feature vector),
+    * `dir/bands` = the exploded band-key rows, `dir/meta` = one row
+    * (dim, band_size + a serialized bloom over xxhash64(band, key) for
+    * the stateless ingest pre-screen). */
+  def writeMediaDupIndex(spark: org.apache.spark.sql.SparkSession,
+      ref: DataFrame, idCol: String, binCol: String,
+      dim: Int, bandSize: Int, dir: String, fpp: Double = 0.001): Unit = {
+    require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val feats = featsFrame(ref, idCol, binCol, dim)
+      .localCheckpoint() // feeds the feats write, the bands write AND the bloom
+    // fail fast on an empty reference: bloom_filter_agg over zero rows
+    // is null — the substring-screen artifact's NullType-literal trap
+    val bands = bandsFrame(feats, dim, bandSize).localCheckpoint()
+    val nBands = bands.count()
+    require(nBands > 0, "reference has no media payloads to index")
+    feats.write.mode("overwrite").parquet(s"$dir/feats")
+    bands.write.mode("overwrite").parquet(s"$dir/bands")
+    val bloom = bands
+      .agg(BloomBridge.bloomAgg(xxhash64(col("_band"), col("_key")), nBands, fpp))
+      .head().getAs[Array[Byte]](0)
+    spark.range(1).select(lit(bloom).as("bloom"), lit(dim).as("dim"),
+        lit(bandSize).as("band_size"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Banded near-dup of a PROBE batch against the STORED media index —
+    * "is this incoming payload a near-dup of anything in the frozen
+    * corpus": candidates from the probe's band keys equi-joined into
+    * the stored band table, exact integer L1 verify against the stored
+    * feature vectors. Output `(id_a = probe id, id_b = indexed id, l1,
+    * same_content)`. Scale shape: the STORED side is the big one —
+    * the probe batch broadcasts into the stored bands/feats scans
+    * (pass `broadcastProbe = false` only for corpus-sized probes),
+    * so per ingest batch the index is scanned, never shuffled. */
+  def mediaNearDupAgainstStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, binCol: String,
+      maxL1: Long, broadcastProbe: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Number]("dim").intValue()
+    val bandSize = meta.getAs[Number]("band_size").intValue()
+    val probeF = featsFrame(df, idCol, binCol, dim).localCheckpoint()
+    val cand = spark.read.parquet(s"$dir/bands")
+      .select(col("_id").as("id_b"), col("_band"), col("_key"))
+      .join(graft.functions.Plans.maybeBroadcast(
+        bandsFrame(probeF, dim, bandSize)
+          .select(col("_id").as("id_a"), col("_band"), col("_key")),
+        broadcastProbe),
+        Seq("_band", "_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyL1(cand, maxL1,
+      graft.functions.Plans.maybeBroadcast(probeF.select(
+        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
+        broadcastProbe),
+      spark.read.parquet(s"$dir/feats").select(
+        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")))
+  }
+
+  /** STREAMING media pre-screen — [[graft.operators.Dedup.streamSubstringScreenBloom]]'s
+    * discipline for the media modality: drop stream payloads with ANY
+    * feature band hitting the stored index's band bloom. Entirely
+    * row-local (the feature decode, the band keys, and the bloom probe
+    * are one narrow codegen'd projection: no state, no join, no
+    * watermark). Zero false negatives — every payload that would band-
+    * collide with the frozen corpus drops; bloom false positives
+    * over-drop at the fpp — the ingest-side trade; batch exactness,
+    * when needed, reruns [[mediaNearDupAgainstStored]]'s L1 verify over
+    * the retained batch. Null payloads PASS THROUGH (no bands → no
+    * hit; nullity screening is a separate upstream gate — the
+    * substring screen's convention). */
+  def streamMediaScreenBloom(stream: DataFrame, binCol: String,
+      filterBytes: Array[Byte], dim: Int, bandSize: Int): DataFrame = {
+    require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val bandKeys = transform(sequence(lit(0), lit(dim / bandSize - 1)),
+      b => slice(stubFeaturesMicro(col(binCol), dim), b * bandSize + lit(1),
+        lit(bandSize)))
+    // (band index, key) hashes must match the writer's
+    // xxhash64(_band, _key): posexplode's pos and the lambda index are
+    // both 0-based ints
+    stream.filter(col(binCol).isNull ||
+      !exists(transform(bandKeys, (k, i) => BloomBridge.mightContain(
+        filterBytes, xxhash64(i, k))), hit => hit))
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

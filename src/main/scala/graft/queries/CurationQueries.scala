@@ -816,20 +816,26 @@ object CurationQueries {
     * pushdown — a query reads Σdf(term) posting entries, not the
     * corpus), then the same exact-cosine rerank. Identical ranking by
     * construction, so q160's oracle serves both. */
+  /** The q161/q165 stored lexical stage: one persisted retrieval index
+    * per data dir (both stored faces share the Artifacts.prepare slot),
+    * shortlist read through the size-gated [[Retrieval.bm25TopKStored]]
+    * probe. */
+  private def storedShortlist(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q161_bm25_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Artifacts.prepare(s, iDir) {
+      Retrieval.writeRetrievalIndex(
+        s, t(s, dir, "documents"), "doc_id", "text", iDir)
+    }
+    Retrieval.bm25TopKStored(s, iDir, bmTerms, hybridTopN)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("score_micro"))
+  }
+
   private lazy val q161 = Q(
     "q161_hybrid_retrieval_stored",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val iDir = s"${System.getProperty("java.io.tmpdir")}/graft_q161_bm25_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      Artifacts.prepare(s, iDir) {
-        Retrieval.writeRetrievalIndex(s, docs, "doc_id", "text", iDir)
-      }
-      hybridTail(s, dir,
-        Retrieval.bm25TopKStored(s, iDir, bmTerms, hybridTopN)
-          .withColumnRenamed("id", "doc_id")
-          .select(col("doc_id"), col("score_micro")))
-    },
+    (s, dir) => hybridTail(s, dir, storedShortlist(s, dir)),
     Some(hybridOracleSql))
 
   /** The q162 oracle: q160's ranked (query, doc) grid, integer ranks
@@ -870,6 +876,23 @@ object CurationQueries {
       graft.operators.Similarity.hybridRrfTopK(
         Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           bmTerms, hybridTopN).select(col("doc_id"), col("score_micro")),
+        "doc_id", "score_micro", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", hybridKTop)
+        .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
+    },
+    Some(hybridRrfOracleSql))
+
+  /** q162 with the lexical stage served by the PERSISTED index — the
+    * stored face of the fused ranking, completing the inline/stored
+    * matrix the hybrid family keeps (q160/q161 ↔ q162/q165). Identical
+    * ranking by construction (the stored probe is rank-equal to the
+    * inline scorer), so q162's oracle serves both. */
+  private lazy val q165 = Q(
+    "q165_hybrid_rrf_stored",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.hybridRrfTopK(
+        storedShortlist(s, dir),
         "doc_id", "score_micro", emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", hybridKTop)
         .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
@@ -1748,5 +1771,5 @@ object CurationQueries {
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159, q160, q161, q162)
+    q141, q155, q156, q157, q158, q159, q160, q161, q162, q165)
 }

@@ -1294,8 +1294,61 @@ object PipelineQueries {
         WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
   }
 
+  /** q164's STORED face — media ingest screening against a FROZEN
+    * corpus (q159's discipline for the media modality): the even-id
+    * half of the corpus is indexed once (features + band keys + the
+    * stream bloom), then the odd-id half probes it — "is this incoming
+    * payload a near-dup of anything in the training set". The probe
+    * batch broadcasts into the stored band/feature scans, so per
+    * ingest batch the index is read, never shuffled. */
+  private val q166 = {
+    val (dim, bs, nb, maxL1) = (16, 4, 4, 2000L)
+    Q(
+      "q166_media_dup_stored",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+        val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q166_media_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, aDir) {
+          Multimodal.writeMediaDupIndex(s,
+            media.filter(col("doc_id") % 2 === 0), "doc_id", "media",
+            dim, bs, aDir)
+        }
+        Multimodal.mediaNearDupAgainstStored(s, aDir,
+          media.filter(col("doc_id") % 2 === 1), "doc_id", "media", maxL1)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes,
+            md5(text) AS h
+          FROM d),
+        f AS (SELECT doc_id, h,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        bands AS (SELECT doc_id, b AS band,
+            list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
+          FROM f, range(0, $nb) r(b)),
+        cand AS (SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands p JOIN bands r
+          ON p.band = r.band AND p.key = r.key
+          AND p.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+        v AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(fa.feats, fb.feats),
+              p -> abs(p[1] - p[2]))) AS l1,
+            (fa.h = fb.h) AS same_content
+          FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+          JOIN f fb ON fb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(l1 AS BIGINT) AS l1, same_content FROM v
+        WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164)
+      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166)
 }

@@ -87,6 +87,17 @@ class MultimodalSpec extends SparkSpec {
     withBin.filter(col("doc_id") === 1L)
       .select(Multimodal.stubFeaturesMicro(col("media"), 4))
       .as[Seq[Long]].head() shouldBe Seq(388L, 392L, 396L, 400L)
+    // the native CharWindowSums expression equals the composed
+    // split+ascii+fold reference element-wise — including multi-byte
+    // code points (é = 233, 𝄞 = 0x1D11E counts ONE position), empty
+    // strings, and lengths below/above dim
+    val probe = Seq("", "a", "aaaabbbbccccdddd", "héllo wörld",
+      "abé𝄞cd", "x" * 37).toDF("s")
+    val both = probe.select(
+      Multimodal.stubFeaturesMicro(col("s"), 4).as("native"),
+      Multimodal.stubFeaturesMicroComposed(col("s"), 4).as("composed"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (n, c) => n shouldBe c }
     val pairs = Multimodal.mediaNearDupPairs(withBin, "doc_id", "media",
       dim = 4, bandSize = 2, maxL1 = 50L)
     val got = pairs.orderBy("id_a", "id_b")
@@ -99,6 +110,42 @@ class MultimodalSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("stored media-dup index: probe matches the frozen corpus, ships no payloads") {
+    // ref corpus: doc 1 (and its exact copy 3); probes: 10 = near-edit
+    // of 1 (band 0 collides, l1=1), 11 = clean (no band match), 12 =
+    // exact copy of 1 (l1=0, hash-equal), 13 = band collision the L1
+    // gate rejects
+    val ref = Seq(
+      (1L, "aaaabbbbccccdddd"), (3L, "aaaabbbbccccdddd"),
+      (5L, "mmmmnnnnoooopppp")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "aaaabbbbccccddde"), (11L, "zzzzyyyyxxxxwwww"),
+      (12L, "aaaabbbbccccdddd"), (13L, "aaaabbbbzzzzzzzz"))
+      .toDF("doc_id", "text")
+    def media(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.attachPayload(df, "text", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_idx").toString
+    Multimodal.writeMediaDupIndex(spark, media(ref), "doc_id", "media",
+      dim = 4, bandSize = 2, dir)
+    val got = Multimodal.mediaNearDupAgainstStored(spark, dir,
+        media(probes), "doc_id", "media", maxL1 = 50L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (10L, 1L, 1L, false), (10L, 3L, 1L, false),
+      (12L, 1L, 0L, true), (12L, 3L, 0L, true))
+    // the artifact ships hashes/features/bands only — no payload bytes
+    spark.read.parquet(s"$dir/feats").columns.toSet shouldBe
+      Set("_id", "_h", "_f")
+    spark.read.parquet(s"$dir/bands").columns.toSet shouldBe
+      Set("_id", "_band", "_key")
+    // an empty reference fails fast instead of landing a null bloom
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.writeMediaDupIndex(spark,
+        media(ref.filter(col("doc_id") < 0)), "doc_id", "media", 4, 2,
+        java.nio.file.Files.createTempDirectory("graft_media_idx2").toString)
   }
 
   test("sampleChunks keeps every stride-th fixed-size chunk (frame sampling shape)") {

@@ -587,6 +587,50 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L) // 2 and 4 share a 4-token window with the benchmark
   }
 
+  test("streaming media pre-screen drops band-colliding payloads statelessly") {
+    // q166's ingest face: the media index's band bloom probes
+    // row-locally (feature decode + band keys + bloom check in one
+    // narrow projection — no state, no join). Any arrival sharing a
+    // feature band with the frozen corpus drops; null payloads pass
+    // (the substring screen's convention — nullity gating is
+    // upstream's job).
+    import graft.operators.Multimodal
+    val ref = Seq((1L, "aaaabbbbccccdddd"), (5L, "mmmmnnnnoooopppp"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("t_media_screen")
+    Multimodal.writeMediaDupIndex(spark,
+      Multimodal.attachPayload(ref, "text", "text"), "doc_id", "media",
+      dim = 4, bandSize = 2, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val bloom = meta.getAs[Array[Byte]]("bloom")
+    meta.getAs[Number]("dim").intValue() shouldBe 4
+    val in = MemoryStream[(Long, String)]
+    val media = Multimodal.attachPayload(
+      in.toDF().toDF("doc_id", "text"), "text", "text")
+      // attachPayload(null) yields a null media payload — keep the row
+      .drop("media_meta")
+    val out = Multimodal.streamMediaScreenBloom(media, "media", bloom,
+      dim = 4, bandSize = 2)
+    val q = out.writeStream.format("memory").queryName("t_media_bloom")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      (10L, "aaaabbbbccccddde"),              // near-edit: band 0 collides → drop
+      (11L, "zzzzyyyyxxxxwwww"),              // clean → pass
+      (12L, "aaaabbbbccccdddd"),              // exact copy → drop
+      (13L, null.asInstanceOf[String]))       // null payload → pass
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t_media_bloom").select("doc_id").as[Long].collect().sorted shouldBe
+      Array(11L, 13L)
+    // stream ≡ batch: the same call on a batch frame keeps the same rows
+    val batchMedia = Multimodal.attachPayload(
+      Seq((10L, "aaaabbbbccccddde"), (11L, "zzzzyyyyxxxxwwww"),
+        (12L, "aaaabbbbccccdddd"), (13L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "text", "text")
+    Multimodal.streamMediaScreenBloom(batchMedia, "media", bloom, 4, 2)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+  }
+
   test("streaming near-dup suppression detects collisions across micro-batches") {
     val in = MemoryStream[(Long, String)]
     val out = StreamNearDup.collisions(
