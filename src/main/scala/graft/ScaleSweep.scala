@@ -58,7 +58,14 @@ object ScaleSweep {
     // frozen-routing append 1/3 + pruned probe), and the media
     // near-dup face (per-char decode pass + banded join)
     "q162_hybrid_rrf_fusion", "q163_ivf_trained_append_exact",
-    "q164_media_near_dup")
+    "q164_media_near_dup",
+    // round-13: the remaining hybrid faces (inline and stored lexical
+    // stages of the shortlist→rerank and RRF pipelines — verdict item
+    // 3's cohort gap), the stored media index round trip, and the
+    // end-to-end media screen→verify→cut decision
+    "q160_hybrid_retrieval", "q161_hybrid_retrieval_stored",
+    "q165_hybrid_rrf_stored", "q166_media_dup_stored",
+    "q167_media_screen_cut")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

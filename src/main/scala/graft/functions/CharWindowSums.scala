@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ExpectsStringInput
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,13 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * multi-byte inputs too).
   */
 case class CharWindowSums(child: Expression, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsStringInput {
 
   require(dim >= 1, s"dim must be >= 1, got $dim")
 
-  // both entry points (Multimodal.stubFeaturesMicro and the spec) wrap
-  // the child in Cast(_, StringType), so the input is a UTF8String by
-  // construction — same convention as Md5Hash32
+  // the entry points (Multimodal.stubFeaturesMicro and the spec) wrap
+  // the child in Cast(_, StringType); the declared expectation makes a
+  // mistyped child an ANALYSIS-time error instead of a runtime
+  // ClassCastException for any caller that skips the cast
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_window_sums"
 

@@ -128,35 +128,39 @@ object Multimodal {
     * family's answer to the text near-dup suite: candidates are pairs
     * sharing at least one of `dim/bandSize` exact feature BANDS
     * (equi-join on (band_id, band slice) — the SimHash-band discipline,
-    * never all-pairs), then verified by exact integer L1 distance over
-    * the full [[stubFeaturesMicro]] vector. Output
+    * never all-pairs), verified by exact integer L1 distance over the
+    * full [[stubFeaturesMicro]] vector. Output
     * `(id_a, id_b, l1, same_content)` for verified pairs with
     * `l1 <= maxL1`; `same_content` (content-hash equality) splits exact
-    * dups (l1 = 0, hash-equal) from aligned near-edits. Scale shape:
-    * one banding shuffle + candidate-sized verify joins; the build side
-    * broadcasts while it fits ([[graft.functions.Plans.maybeBroadcast]]
-    * — pass `broadcastBuild = false` at corpus scale). */
+    * dups (l1 = 0, hash-equal) from aligned near-edits.
+    *
+    * Scale shape: the band rows CARRY the full feature vector and
+    * content hash, so the verify is computed INLINE on the band-join
+    * output — no pair-keyed `distinct()` (the exchange+hash-aggregate
+    * that melts first when dup clusters grow quadratically) and no
+    * re-join against a feature table. A pair agreeing on several bands
+    * is emitted from its FIRST agreeing band only: earlier band keys
+    * are recomputable by slicing the carried vectors (the
+    * [[Dedup.simhashNearDupPairs]] discipline), so the filter needs no
+    * shuffled state at all. The build side broadcasts only while the
+    * estimated band-frame size fits `autoBroadcastJoinThreshold`
+    * (the [[Retrieval.bm25TopKStored]] size-gate discipline); pass
+    * `broadcastBuild = false` to force the shuffle path. */
   def mediaNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       dim: Int, bandSize: Int, maxL1: Long,
       broadcastBuild: Boolean = true): DataFrame = {
     require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
-    val feats = featsFrame(df, idCol, binCol, dim)
-      .localCheckpoint() // feeds banding AND both verify joins once
+    // checkpointed: the self-join's two sides would otherwise decode
+    // every payload twice; the count for the broadcast gate is then a
+    // free metadata pass over the materialized partitions
+    val feats = featsFrame(df, idCol, binCol, dim).localCheckpoint()
     val bands = bandsFrame(feats, dim, bandSize)
-    val cand = bands.select(col("_id").as("id_a"), col("_band"), col("_key"))
-      .join(graft.functions.Plans.maybeBroadcast(
-        bands.select(col("_id").as("id_b"), col("_band"), col("_key")),
-        broadcastBuild),
-        Seq("_band", "_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    verifyL1(cand, maxL1,
-      graft.functions.Plans.maybeBroadcast(feats.select(
-        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
-        broadcastBuild),
-      graft.functions.Plans.maybeBroadcast(feats.select(
-        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")),
-        broadcastBuild))
+    val gated = broadcastBuild &&
+      underBroadcastGate(feats.count(), dim, bandSize)
+    bandJoinVerify(
+      sideA(bands),
+      graft.functions.Plans.maybeBroadcast(sideB(bands), gated),
+      dim, bandSize, maxL1, col("id_a") < col("id_b"))
   }
 
   /** (id, content hash, integer feature vector) for every non-null
@@ -168,23 +172,56 @@ object Multimodal {
         md5(col(binCol)).as("_h"),
         stubFeaturesMicro(col(binCol), dim).as("_f"))
 
-  /** Exploded (id, band index, band slice) rows — the LSH-band key
-    * space the candidate equi-joins run on. */
+  /** Exploded (id, full vector, content hash, band index, band slice)
+    * rows — the LSH-band key space the candidate equi-joins run on.
+    * `_f`/`_h` ride along (dim int64s + one hash per row) so the L1
+    * verify and the first-agreeing-band filter are row-local on the
+    * join output: the denormalization is what buys the dedup-free,
+    * re-join-free plan. */
   private def bandsFrame(feats: DataFrame, dim: Int, bandSize: Int): DataFrame =
-    feats.select(col("_id"),
+    feats.select(col("_id"), col("_f"), col("_h"),
       posexplode(transform(sequence(lit(0), lit(dim / bandSize - 1)),
         b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
-      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+      .select(col("_id"), col("_f"), col("_h"),
+        col("pos").as("_band"), col("col").as("_key"))
 
-  /** Exact integer L1 verify over banded candidates; shared tail of the
-    * inline and stored faces. */
-  private def verifyL1(cand: DataFrame, maxL1: Long,
-      featsA: DataFrame, featsB: DataFrame): DataFrame = {
+  private def sideA(bands: DataFrame): DataFrame =
+    bands.select(col("_id").as("id_a"), col("_f").as("_fa"),
+      col("_h").as("_ha"), col("_band"), col("_key"))
+
+  private def sideB(bands: DataFrame): DataFrame =
+    bands.select(col("_id").as("id_b"), col("_f").as("_fb"),
+      col("_h").as("_hb"), col("_band"), col("_key"))
+
+  /** Band-frame broadcast size gate ([[Retrieval.bm25TopKStored]]'s
+    * discipline): ~8 B per carried vector/key element plus id + hash +
+    * hashed-relation overhead per band row, against the session's
+    * `autoBroadcastJoinThreshold`. Forced broadcasts above the limit
+    * are the driver-OOM class the gate exists to prevent. */
+  private def underBroadcastGate(nDocs: Long, dim: Int, bandSize: Int): Boolean = {
+    val limit =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bandRowBytes = 64L + (dim + bandSize) * 8L
+    limit > 0 && nDocs * (dim / bandSize) * bandRowBytes <= limit
+  }
+
+  /** Shared tail of every media near-dup face: equi-join two band
+    * frames on (band index, band key), keep each pair at its FIRST
+    * agreeing band (earlier keys re-sliced from the carried vectors —
+    * no pair-keyed distinct), verify by row-local exact integer L1. */
+  private def bandJoinVerify(aBands: DataFrame, bBands: DataFrame,
+      dim: Int, bandSize: Int, maxL1: Long, pairPred: Column): DataFrame = {
+    val nBands = dim / bandSize
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(j => lit(j) >= col("_band") ||
+        slice(col("_fa"), j * bandSize + 1, bandSize) =!=
+          slice(col("_fb"), j * bandSize + 1, bandSize))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val l1 = aggregate(
       zip_with(col("_fa"), col("_fb"), (x, y) => abs(x - y)),
       lit(0L), (acc, x) => acc + x)
-    cand.join(featsA, Seq("id_a"))
-      .join(featsB, Seq("id_b"))
+    aBands.join(bBands, Seq("_band", "_key"))
+      .filter(pairPred && noEarlierAgreement)
       .select(col("id_a"), col("id_b"), l1.as("l1"),
         (col("_ha") === col("_hb")).as("same_content"))
       .filter(col("l1") <= maxL1)
@@ -193,8 +230,11 @@ object Multimodal {
   /** Persist the media-dup index for [[mediaNearDupAgainstStored]] and
     * the stream pre-screen — [[graft.operators.Dedup.writeSubstringScreenArtifact]]'s
     * discipline for the media modality, built once per frozen corpus:
-    * `dir/feats` = (id, content hash, integer feature vector),
-    * `dir/bands` = the exploded band-key rows, `dir/meta` = one row
+    * `dir/feats` = (id, content hash, integer feature vector) — the
+    * compact per-document table; `dir/bands` = the exploded band rows
+    * CARRYING the vector and hash ([[bandsFrame]]'s denormalization),
+    * so a probe's verify is row-local on the band join — the stored
+    * side is scanned once and never re-joined; `dir/meta` = one row
     * (dim, band_size + a serialized bloom over xxhash64(band, key) for
     * the stateless ingest pre-screen). */
   def writeMediaDupIndex(spark: org.apache.spark.sql.SparkSession,
@@ -221,34 +261,94 @@ object Multimodal {
 
   /** Banded near-dup of a PROBE batch against the STORED media index —
     * "is this incoming payload a near-dup of anything in the frozen
-    * corpus": candidates from the probe's band keys equi-joined into
-    * the stored band table, exact integer L1 verify against the stored
-    * feature vectors. Output `(id_a = probe id, id_b = indexed id, l1,
-    * same_content)`. Scale shape: the STORED side is the big one —
-    * the probe batch broadcasts into the stored bands/feats scans
-    * (pass `broadcastProbe = false` only for corpus-sized probes),
-    * so per ingest batch the index is scanned, never shuffled. */
+    * corpus": the probe's band rows equi-join the stored band table,
+    * each pair is kept at its FIRST agreeing band (no pair-keyed
+    * distinct) and verified by exact integer L1 row-locally — the
+    * stored band rows carry their vector/hash, so the index is scanned
+    * ONCE and never re-joined. Output `(id_a = probe id, id_b =
+    * indexed id, l1, same_content)`. Scale shape: the STORED side is
+    * the big one — the probe batch broadcasts into the stored band
+    * scan while it fits the size gate (`broadcastProbe = false`
+    * forces the shuffle path for corpus-sized probes), so per ingest
+    * batch the index is scanned, never shuffled. */
   def mediaNearDupAgainstStored(spark: org.apache.spark.sql.SparkSession,
       dir: String, df: DataFrame, idCol: String, binCol: String,
       maxL1: Long, broadcastProbe: Boolean = true): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val dim = meta.getAs[Number]("dim").intValue()
-    val bandSize = meta.getAs[Number]("band_size").intValue()
+    val (dim, bandSize) = readGeometry(spark, dir)
     val probeF = featsFrame(df, idCol, binCol, dim).localCheckpoint()
-    val cand = spark.read.parquet(s"$dir/bands")
-      .select(col("_id").as("id_b"), col("_band"), col("_key"))
-      .join(graft.functions.Plans.maybeBroadcast(
-        bandsFrame(probeF, dim, bandSize)
-          .select(col("_id").as("id_a"), col("_band"), col("_key")),
-        broadcastProbe),
-        Seq("_band", "_key"))
-      .select(col("id_a"), col("id_b")).distinct()
-    verifyL1(cand, maxL1,
-      graft.functions.Plans.maybeBroadcast(probeF.select(
-        col("_id").as("id_a"), col("_f").as("_fa"), col("_h").as("_ha")),
-        broadcastProbe),
-      spark.read.parquet(s"$dir/feats").select(
-        col("_id").as("id_b"), col("_f").as("_fb"), col("_h").as("_hb")))
+    val gated = broadcastProbe &&
+      underBroadcastGate(probeF.count(), dim, bandSize)
+    bandJoinVerify(
+      graft.functions.Plans.maybeBroadcast(
+        sideA(bandsFrame(probeF, dim, bandSize)), gated),
+      sideB(spark.read.parquet(s"$dir/bands")),
+      dim, bandSize, maxL1, lit(true))
+  }
+
+  /** STREAMING face of [[mediaNearDupAgainstStored]] — media ingest
+    * routing against the frozen index: the same band-join + first-
+    * agreeing-band + row-local L1 plan with the probe side a STREAM.
+    * A stream-static inner equi-join is STATELESS in Structured
+    * Streaming (no watermark, no state store — the static side is
+    * re-planned per micro-batch), so this runs in append mode and is
+    * row-for-row equal to the batch form on the same arrivals
+    * (StreamingSpec pins it). Per micro-batch the work is
+    * batch-sized: band keys decode row-locally on the stream side and
+    * probe the stored band scan. */
+  def mediaNearDupStoredStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, idCol: String, binCol: String,
+      maxL1: Long): DataFrame = {
+    val (dim, bandSize) = readGeometry(spark, dir)
+    bandJoinVerify(
+      sideA(bandsFrame(featsFrame(stream, idCol, binCol, dim), dim, bandSize)),
+      sideB(spark.read.parquet(s"$dir/bands")),
+      dim, bandSize, maxL1, lit(true))
+  }
+
+  /** END-TO-END media ingest decision — the media twin of the
+    * substring screen→verify→cut stack (q156/q158/q159): one row per
+    * arriving document, `(id, action, dup_of, l1)`.
+    *
+    *  1. SCREEN: the stored index's band bloom probes row-locally
+    *     ([[streamMediaScreenBloom]]'s predicate). No band hit ⇒ the
+    *     payload provably shares no band with the corpus (blooms have
+    *     zero false negatives) ⇒ `keep` with no verify work — at a
+    *     healthy dup rate this short-circuits almost every arrival.
+    *  2. VERIFY: bloom survivors (true collisions + fpp-rate false
+    *     positives) run [[mediaNearDupAgainstStored]]'s exact banded
+    *     L1 verify; bloom false positives die here, so the OUTPUT is
+    *     bloom-independent — the declared query hash-checks against a
+    *     bloom-free oracle.
+    *  3. CUT: each verified doc reports its best corpus match
+    *     (lowest L1, ties to the lowest indexed id — a keyed
+    *     min-struct, no window) and is marked `cut`; everything else
+    *     (no band hit, verify miss, null payload) is `keep`. */
+  def mediaScreenCut(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, binCol: String,
+      maxL1: Long, broadcastProbe: Boolean = true): DataFrame = {
+    val bloom = spark.read.parquet(s"$dir/meta").head()
+      .getAs[Array[Byte]]("bloom")
+    val (dim, bandSize) = readGeometry(spark, dir)
+    val suspects = df.filter(col(binCol).isNotNull &&
+      bloomHit(col(binCol), bloom, dim, bandSize))
+    val best = mediaNearDupAgainstStored(spark, dir, suspects, idCol, binCol,
+        maxL1, broadcastProbe)
+      .groupBy(col("id_a"))
+      .agg(min(struct(col("l1"), col("id_b"))).as("_b"))
+      .select(col("id_a").as(idCol),
+        col("_b.id_b").as("dup_of"), col("_b.l1").as("l1"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("dup_of").isNotNull, lit("cut")).otherwise(lit("keep"))
+          .as("action"),
+        col("dup_of"), col("l1"))
+  }
+
+  private def readGeometry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (meta.getAs[Number]("dim").intValue(),
+      meta.getAs[Number]("band_size").intValue())
   }
 
   /** STREAMING media pre-screen — [[graft.operators.Dedup.streamSubstringScreenBloom]]'s
@@ -264,18 +364,32 @@ object Multimodal {
     * hit; nullity screening is a separate upstream gate — the
     * substring screen's convention). */
   def streamMediaScreenBloom(stream: DataFrame, binCol: String,
-      filterBytes: Array[Byte], dim: Int, bandSize: Int): DataFrame = {
+      filterBytes: Array[Byte], dim: Int, bandSize: Int): DataFrame =
+    stream.filter(col(binCol).isNull ||
+      !bloomHit(col(binCol), filterBytes, dim, bandSize))
+
+  /** Row-local "any feature band hits the stored index's bloom"
+    * predicate — the screen stage shared by [[streamMediaScreenBloom]]
+    * and [[mediaScreenCut]]. The feature decode is LET-BOUND
+    * ([[graft.functions.ArrayOps.bind]]): codegen's subexpression
+    * elimination does not reach inside higher-order-function lambdas,
+    * so an unbound form re-runs the whole payload decode once per band
+    * — dim/bandSize× the dominant cost, in the ingest hot path. Bound,
+    * the vector is computed ONCE per row and each band slices it
+    * (StreamingSpec counts exactly one `char_window_sums` in the plan). */
+  private[graft] def bloomHit(payload: Column, filterBytes: Array[Byte],
+      dim: Int, bandSize: Int): Column = {
     require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
     import org.apache.spark.sql.graftbridge.BloomBridge
-    val bandKeys = transform(sequence(lit(0), lit(dim / bandSize - 1)),
-      b => slice(stubFeaturesMicro(col(binCol), dim), b * bandSize + lit(1),
-        lit(bandSize)))
     // (band index, key) hashes must match the writer's
-    // xxhash64(_band, _key): posexplode's pos and the lambda index are
-    // both 0-based ints
-    stream.filter(col(binCol).isNull ||
-      !exists(transform(bandKeys, (k, i) => BloomBridge.mightContain(
-        filterBytes, xxhash64(i, k))), hit => hit))
+    // xxhash64(_band, _key): posexplode's pos and the sequence values
+    // are both 0-based ints
+    graft.functions.ArrayOps.bind(stubFeaturesMicro(payload, dim)) { f =>
+      exists(transform(sequence(lit(0), lit(dim / bandSize - 1)),
+        b => BloomBridge.mightContain(filterBytes,
+          xxhash64(b, slice(f, b * bandSize + lit(1), lit(bandSize))))),
+        hit => hit)
+    }
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

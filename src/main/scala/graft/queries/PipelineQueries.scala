@@ -1347,8 +1347,71 @@ object PipelineQueries {
         WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
   }
 
+  /** END-TO-END media ingest decision (round-12 verdict item 5) — the
+    * media twin of the substring screen→verify→cut stack (q156/q158):
+    * the stored index's band BLOOM pre-screens each arrival row-locally
+    * (no band hit ⇒ provably clean, zero verify work), bloom survivors
+    * run the exact banded L1 verify, and each arrival gets a keep/cut
+    * decision with its best corpus match. Bloom false positives die in
+    * the exact verify, so the output is bloom-INDEPENDENT and
+    * hash-checks against a bloom-free oracle — the property that makes
+    * the screen safe to run at any fpp. */
+  private val q167 = {
+    val (dim, bs, nb, maxL1) = (16, 4, 4, 2000L)
+    Q(
+      "q167_media_screen_cut",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+        val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q167_media_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, aDir) {
+          Multimodal.writeMediaDupIndex(s,
+            media.filter(col("doc_id") % 2 === 0), "doc_id", "media",
+            dim, bs, aDir)
+        }
+        Multimodal.mediaScreenCut(s, aDir,
+          media.filter(col("doc_id") % 2 === 1), "doc_id", "media", maxL1)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+          FROM d),
+        f AS (SELECT doc_id,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        bands AS (SELECT doc_id, b AS band,
+            list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
+          FROM f, range(0, $nb) r(b)),
+        cand AS (SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands p JOIN bands r
+          ON p.band = r.band AND p.key = r.key
+          AND p.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+        v AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(fa.feats, fb.feats),
+              p -> abs(p[1] - p[2]))) AS l1
+          FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+          JOIN f fb ON fb.doc_id = c.id_b),
+        m AS (SELECT id_a, id_b, l1,
+            row_number() OVER (PARTITION BY id_a ORDER BY l1, id_b) AS rn
+          FROM v WHERE l1 <= $maxL1),
+        best AS (SELECT id_a, id_b AS dup_of, CAST(l1 AS BIGINT) AS l1
+          FROM m WHERE rn = 1)
+        SELECT p.doc_id,
+          CASE WHEN b.dup_of IS NOT NULL THEN 'cut' ELSE 'keep' END AS action,
+          b.dup_of, b.l1
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) p
+        LEFT JOIN best b ON b.id_a = p.doc_id
+        ORDER BY p.doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
-      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166)
+      q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166,
+      q167)
 }

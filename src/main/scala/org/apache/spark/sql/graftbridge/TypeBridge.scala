@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+import org.apache.spark.sql.types.{AbstractDataType, StringType}
+
+/** Input-type contract bridge. Spark 4 marks [[AbstractDataType]]
+  * `private[sql]`, so a library expression outside the sql package
+  * tree cannot even SPELL the `inputTypes` override it needs for
+  * analysis-time type checking. This trait pins the one contract the
+  * engine's string-input expressions (e.g.
+  * [[graft.functions.CharWindowSums]]) require — a mistyped child
+  * fails analysis with a proper DATATYPE_MISMATCH instead of a runtime
+  * ClassCastException inside codegen. */
+trait ExpectsStringInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+}

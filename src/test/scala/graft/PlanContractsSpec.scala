@@ -292,4 +292,32 @@ class PlanContractsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe inline
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("media near-dup emits pairs at their first agreeing band — no pair-keyed distinct") {
+    // q164/q166's contract: band rows carry the vector/hash, the L1
+    // verify is computed inline on the band join, and multi-band
+    // agreements are deduped by re-slicing earlier band keys — so the
+    // whole pair path has NO aggregate at all (the pair-keyed
+    // Exchange+HashAggregate of a distinct() is the stage that melts
+    // first when dup clusters grow quadratically), no re-join against
+    // a feature table, and nothing quadratic.
+    for (q <- Seq("q164_media_near_dup", "q166_media_dup_stored")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      withClue(s"$q: ") {
+        plan should not include "HashAggregate"
+        plan should not include "ObjectHashAggregate"
+        plan should not include "SortAggregate"
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // the media screen→cut face keeps exactly ONE aggregate: the
+    // doc-keyed (never pair-keyed) best-match min-struct
+    val cutPlan = SparkEntry.queries("q167_media_screen_cut")(spark, dir)
+      .queryExecution.executedPlan.toString
+    "HashAggregate".r.findAllIn(cutPlan).size should be <= 2 // partial+final
+    cutPlan should not include "CartesianProduct"
+    cutPlan should not include "BroadcastNestedLoopJoin"
+  }
 }

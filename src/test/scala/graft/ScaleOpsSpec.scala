@@ -106,10 +106,13 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 1L, false), // planted near-edit: band 0 collides, l1=1
       (1L, 3L, 0L, true),  // exact dup: l1=0, content hashes equal
       (2L, 3L, 1L, false))
-    // candidates come from the band equi-join, never all-pairs
+    // candidates come from the band equi-join, never all-pairs; each
+    // pair is emitted from its FIRST agreeing band with the verify
+    // inline — no pair-keyed Exchange+HashAggregate (distinct) anywhere
     val plan = pairs.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "HashAggregate"
   }
 
   test("stored media-dup index: probe matches the frozen corpus, ships no payloads") {
@@ -129,18 +132,40 @@ class MultimodalSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_idx").toString
     Multimodal.writeMediaDupIndex(spark, media(ref), "doc_id", "media",
       dim = 4, bandSize = 2, dir)
-    val got = Multimodal.mediaNearDupAgainstStored(spark, dir,
-        media(probes), "doc_id", "media", maxL1 = 50L)
-      .orderBy("id_a", "id_b")
+    val probeDf = Multimodal.mediaNearDupAgainstStored(spark, dir,
+      media(probes), "doc_id", "media", maxL1 = 50L)
+    val got = probeDf.orderBy("id_a", "id_b")
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     got shouldBe Seq(
       (10L, 1L, 1L, false), (10L, 3L, 1L, false),
       (12L, 1L, 0L, true), (12L, 3L, 0L, true))
-    // the artifact ships hashes/features/bands only — no payload bytes
+    // probe verify is inline on the band join: one stored-bands scan,
+    // no pair-keyed distinct, no re-join against dir/feats
+    val probePlan = probeDf.queryExecution.executedPlan.toString
+    probePlan should not include "HashAggregate"
+    "feats".r.findAllIn(probePlan).size shouldBe 0
+    // the artifact ships hashes/features/bands only — no payload bytes;
+    // band rows carry the vector/hash so a probe's verify is row-local
     spark.read.parquet(s"$dir/feats").columns.toSet shouldBe
       Set("_id", "_h", "_f")
     spark.read.parquet(s"$dir/bands").columns.toSet shouldBe
-      Set("_id", "_band", "_key")
+      Set("_id", "_f", "_h", "_band", "_key")
+    // the end-to-end screen→verify→cut decision: one row per arrival;
+    // bloom false positives (13's band collision) die in the exact L1
+    // verify, null payloads keep (nullity gating is upstream's job)
+    val arrivals = Seq(
+      (10L, "aaaabbbbccccddde"), (11L, "zzzzyyyyxxxxwwww"),
+      (12L, "aaaabbbbccccdddd"), (13L, "aaaabbbbzzzzzzzz"),
+      (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Multimodal.mediaScreenCut(spark, dir, media(arrivals), "doc_id",
+        "media", maxL1 = 50L)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq shouldBe Seq(
+        (10L, "cut", Some(1L), Some(1L)),  // best match: lowest l1, ties → lowest id
+        (11L, "keep", None, None),
+        (12L, "cut", Some(1L), Some(0L)),
+        (13L, "keep", None, None),         // band collision, L1-rejected
+        (14L, "keep", None, None))         // null payload passes through
     // an empty reference fails fast instead of landing a null bloom
     an[IllegalArgumentException] should be thrownBy
       Multimodal.writeMediaDupIndex(spark,

@@ -623,12 +623,64 @@ class StreamingSpec extends SparkSpec {
     spark.table("t_media_bloom").select("doc_id").as[Long].collect().sorted shouldBe
       Array(11L, 13L)
     // stream ≡ batch: the same call on a batch frame keeps the same rows
+    // parquet round-trip keeps the screen a PHYSICAL filter: over a
+    // LocalRelation the optimizer constant-folds the whole predicate
+    // away (even under a repartition) and the plan assertion below
+    // would count an empty LocalTableScan
+    val inDir = tmpDir("t_media_bloom_in")
+    Seq((10L, "aaaabbbbccccddde"), (11L, "zzzzyyyyxxxxwwww"),
+      (12L, "aaaabbbbccccdddd"), (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
     val batchMedia = Multimodal.attachPayload(
-      Seq((10L, "aaaabbbbccccddde"), (11L, "zzzzyyyyxxxxwwww"),
-        (12L, "aaaabbbbccccdddd"), (13L, null.asInstanceOf[String]))
-        .toDF("doc_id", "text"), "text", "text")
-    Multimodal.streamMediaScreenBloom(batchMedia, "media", bloom, 4, 2)
-      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+      spark.read.parquet(inDir), "text", "text")
+    val screened =
+      Multimodal.streamMediaScreenBloom(batchMedia, "media", bloom, 4, 2)
+    screened.select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+    // the feature decode is LET-BOUND: exactly ONE char_window_sums per
+    // row feeds every band's bloom probe — unbound, the decode re-runs
+    // once per band (dim/bandSize× the hot-path cost)
+    "char_window_sums".r
+      .findAllIn(screened.queryExecution.executedPlan.toString)
+      .size shouldBe 1
+  }
+
+  test("media near-dup routing at ingest: stream ≡ batch against the stored index") {
+    // the media analog of hybrid routing: arrivals band-join the FROZEN
+    // media index (stream-static inner equi-join — stateless, no
+    // watermark) and verify by row-local exact L1; emitted rows equal
+    // the batch probe on the same arrivals.
+    import graft.operators.Multimodal
+    val ref = Seq((1L, "aaaabbbbccccdddd"), (3L, "aaaabbbbccccdddd"),
+      (5L, "mmmmnnnnoooopppp")).toDF("doc_id", "text")
+    val dir = tmpDir("t_media_route")
+    Multimodal.writeMediaDupIndex(spark,
+      Multimodal.attachPayload(ref, "text", "text"), "doc_id", "media",
+      dim = 4, bandSize = 2, dir)
+    val in = MemoryStream[(Long, String)]
+    val media = Multimodal.attachPayload(
+      in.toDF().toDF("doc_id", "text"), "text", "text").drop("media_meta")
+    val out = Multimodal.mediaNearDupStoredStream(
+      spark, dir, media, "doc_id", "media", maxL1 = 50L)
+    val q = out.writeStream.format("memory").queryName("t_media_route")
+      .outputMode(OutputMode.Append()).start()
+    val arrivals = Seq(
+      (10L, "aaaabbbbccccddde"), // near-edit of 1/3: l1 = 1 to each
+      (11L, "zzzzyyyyxxxxwwww"), // clean
+      (13L, "aaaabbbbzzzzzzzz")) // band collision, L1-rejected
+    in.addData(arrivals.take(2))
+    q.processAllAvailable()
+    in.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_media_route")
+      .select("id_a", "id_b", "l1", "same_content")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    val batch = Multimodal.mediaNearDupAgainstStored(spark, dir,
+        Multimodal.attachPayload(arrivals.toDF("doc_id", "text"),
+          "text", "text"), "doc_id", "media", maxL1 = 50L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    streamed shouldBe batch
+    streamed.map(r => (r._1, r._2)) shouldBe Seq((10L, 1L), (10L, 3L))
   }
 
   test("streaming near-dup suppression detects collisions across micro-batches") {

@@ -162,6 +162,22 @@ object PlanAudit {
         "shuffle). Bit-identical output, same oracle — the hash match " +
         "proves the salting is semantics-free."))
 
+  /** The EXACT set of queries allowed to plan a
+    * BroadcastNestedLoopJoin — every site is a bounded-queries-side
+    * probe (an ANN/rerank query batch or a |sources|²-over-signatures
+    * governance report) where the NLJ's build side is model-sized by
+    * construction; each is justified in [[notes]] or SURVEY §17.3.
+    * The audit FAILS on any BNLJ outside this list (and on any
+    * CartesianProduct anywhere), so a regression that silently turns a
+    * keyed join into a nested loop cannot land without editing this
+    * allowlist in the same diff. */
+  private val bnljAllowlist: Set[String] = Set(
+    "q25_ann_bruteforce", "q29_embedding_neardup", "q43_ann_ivf",
+    "q87_pq_adc", "q90_ann_rerank", "q106_global_rank",
+    "q131_source_overlap", "q154_srp_shortlist_rerank",
+    "q160_hybrid_retrieval", "q161_hybrid_retrieval_stored",
+    "q162_hybrid_rrf_fusion", "q165_hybrid_rrf_stored")
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -176,10 +192,14 @@ object PlanAudit {
     sb.append("# Physical plans (sf0.01, local[4]) — dev audit artifact\n\n")
     sb.append("Regenerate: `sbt \"Test/runMain graft.PlanAudit\"`\n")
 
+    val bnljHits = scala.collection.mutable.SortedSet.empty[String]
+    val cartesianHits = scala.collection.mutable.SortedSet.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      if (plan.contains("BroadcastNestedLoopJoin")) bnljHits += name
+      if (plan.contains("CartesianProduct")) cartesianHits += name
       // global windows never announce themselves in explain text — the
       // "No Partition Defined" warning is runtime-only — so inspect the
       // optimized logical plan for Window nodes with an empty
@@ -200,6 +220,21 @@ object PlanAudit {
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
     println(s"[audit] wrote docs/PLANS.md (${SparkEntry.queries.size} plans)")
+    // Gate AFTER the dump so a failing run still leaves the plans on
+    // disk for inspection.
+    val rogue = bnljHits.toSet -- bnljAllowlist
+    val retired = bnljAllowlist -- bnljHits
+    if (retired.nonEmpty)
+      println(s"[audit] NOTE: allowlisted queries no longer plan a " +
+        s"BNLJ — prune the list: ${retired.toSeq.sorted.mkString(", ")}")
+    println(s"[audit] BNLJ queries: ${bnljHits.mkString(", ")}")
     spark.stop()
+    require(cartesianHits.isEmpty,
+      s"CartesianProduct planned in: ${cartesianHits.mkString(", ")}")
+    require(rogue.isEmpty,
+      s"BroadcastNestedLoopJoin outside the allowlist in: " +
+        s"${rogue.toSeq.sorted.mkString(", ")} — a keyed join regressed " +
+        s"to a nested loop, or a new bounded-probe query needs an " +
+        s"allowlist entry + a notes justification")
   }
 }

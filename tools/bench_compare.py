@@ -29,7 +29,19 @@ def load(path):
     except json.JSONDecodeError:
         i = text.find('{"metric"')
         d = json.loads(text[i:].split("\n")[0])
-    d["queries"] = {norm_key(k): v for k, v in d["queries"].items()}
+    # Collisions (e.g. a rename landing both old and new rows in one
+    # artifact) must not silently last-wins-drop a row from the diff:
+    # keep every colliding row visible under a disambiguating suffix.
+    queries = {}
+    for k, v in d["queries"].items():
+        nk = norm_key(k)
+        if nk in queries:
+            print(f"WARNING: keys collide on '{nk}' "
+                  f"(raw '{k}' vs an earlier row) in {path}; keeping both",
+                  file=sys.stderr)
+            nk = f"{nk}!{k}"
+        queries[nk] = v
+    d["queries"] = queries
     return d
 
 
