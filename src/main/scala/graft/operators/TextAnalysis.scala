@@ -378,21 +378,25 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val nPart = graft.functions.Plans.shufflePartitions(df)
-    // PERSISTED: both passes must see the IDENTICAL partition
+    // CHECKPOINTED: both passes must see the IDENTICAL partition
     // assignment, but pass 1 (the collect) and pass 2 (the returned
     // plan) would otherwise re-execute the range exchange
     // independently — and nothing pins two executions to the same
     // sampled range bounds, so `_pid` could differ between them and
     // attach offsets to the wrong task (observed at sf0.1: ~1/5 of
-    // rows off by one shard). The cache materializes the assignment
-    // once; the ContextCleaner frees it when the frame is GC'd.
+    // rows off by one shard). A localCheckpoint (not persist())
+    // materializes the assignment once AND stores `_pid` as data in
+    // the truncated lineage; executor blocks free when the frame is
+    // GC'd. persist() did the same job but left a live cache entry
+    // keyed by this logical plan, so a caller re-running the operator
+    // over the same input (Bench's warm sweeps) re-registered the
+    // identical plan — the CacheManager "already cached" warning.
     val ranged = df
       .select(col(orderCol), col(partCol), tokenCount(col(textCol)).as("n_tokens"))
       .repartitionByRange(nPart, col(partCol), col(orderCol))
       .withColumn("_pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     // pass 1: per-(task, group) sums; tiny — tasks × groups rows
-    // (also materializes the cache)
     val partials = ranged.groupBy(col("_pid"), col(partCol))
       .agg(sum(col("n_tokens")).as("_psum"))
       .collect()

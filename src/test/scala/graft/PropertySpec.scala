@@ -57,6 +57,43 @@ class PropertySpec extends SparkSpec {
       .collect().head.isNullAt(0) shouldBe true
   }
 
+  test("property: native CharWindowSums == composed split+ascii+fold on adversarial inputs") {
+    // the real-codec seam contract: whatever payload a swapped-in
+    // decoder produces, the native window-sum expression must equal
+    // the composed reference — including supplementary-plane code
+    // points (𝄞/🙂 count ONE position each), combining marks, payloads
+    // shorter than dim (window clamps to 1), exactly dim, dim±1, and
+    // empty/whitespace-only strings
+    import graft.operators.Multimodal
+    val atoms = Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOfN(9, Gen.oneOf("𝄞", "🙂", "é", "中", "ß", "a", " "))
+        .map(_.mkString),
+      Gen.choose(0, 40).map("x" * _))
+    for (dim <- Seq(1, 4, 16)) {
+      val strs = samples(atoms, 8) ++
+        Seq("", " ", "a" * (dim - 1 max 1), "a" * dim, "a" * (dim + 1), "𝄞" * dim)
+      val df = strs.toDF("s")
+      val both = df.select(
+        Multimodal.stubFeaturesMicro(col("s"), dim).as("native"),
+        Multimodal.stubFeaturesMicroComposed(col("s"), dim).as("composed"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.zip(strs).foreach { case ((n, c), s) =>
+        withClue(s"dim=$dim input=${s.take(30)}: ") { n shouldBe c }
+      }
+    }
+    // null in → null out, and a non-string child fails at ANALYSIS time
+    // (ExpectsStringInput), not as a codegen ClassCastException
+    Seq[Option[String]](None).toDF("s")
+      .select(Multimodal.stubFeaturesMicro(col("s"), 4))
+      .collect().head.isNullAt(0) shouldBe true
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val mistyped = ColumnBridge.column(graft.functions.CharWindowSums(
+      ColumnBridge.expression(col("s")), 4)) // no string cast
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      Seq(1L).toDF("s").select(mistyped).collect()
+  }
+
   test("property: rolling forward range sum == per-row filtered sums") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0L, 500L))
     samples(gen, 8).foreach { ts =>

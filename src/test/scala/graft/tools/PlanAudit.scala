@@ -160,7 +160,27 @@ object PlanAudit {
         "so a stopword's postings split across 16 reducers; stage 2 " +
         "merges 16 partial arrays per token (row-count-uniform " +
         "shuffle). Bit-identical output, same oracle — the hash match " +
-        "proves the salting is semantics-free."))
+        "proves the salting is semantics-free."),
+    "q164_media_near_dup" ->
+      ("Banded media near-dup with INLINE verify: band rows carry the " +
+        "feature vector/hash, pairs dedup at their first agreeing band " +
+        "(earlier keys re-sliced from the carried vectors), L1 is " +
+        "row-local on the band join — no pair-keyed distinct, no " +
+        "feats re-join. Broadcast size-gated; above the threshold the " +
+        "band join shuffles on (band, key)."),
+    "q166_media_dup_stored" ->
+      ("q164's stored face: the probe's band rows broadcast (size-" +
+        "gated) into ONE scan of the self-contained stored bands " +
+        "table; first-agreeing-band dedup + row-local L1, so per " +
+        "ingest batch the index is scanned, never shuffled, and " +
+        "dir/feats is never read on the probe path."),
+    "q167_media_screen_cut" ->
+      ("End-to-end media ingest decision: the stored band bloom " +
+        "screens row-locally (zero false negatives -> most arrivals " +
+        "keep with no verify work), survivors run q166's exact banded " +
+        "L1 verify, best match via ONE doc-keyed min-struct aggregate " +
+        "(never pair-keyed). Output is bloom-independent — the query " +
+        "hash-checks against a bloom-free oracle."))
 
   /** The EXACT set of queries allowed to plan a
     * BroadcastNestedLoopJoin — every site is a bounded-queries-side
