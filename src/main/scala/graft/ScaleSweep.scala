@@ -65,7 +65,10 @@ object ScaleSweep {
     // end-to-end media screen→verify→cut decision
     "q160_hybrid_retrieval", "q161_hybrid_retrieval_stored",
     "q165_hybrid_rrf_stored", "q166_media_dup_stored",
-    "q167_media_screen_cut")
+    "q167_media_screen_cut",
+    // the ingest-time media routing face (frozen probe batch × corpus
+    // pass — expected linear in arrivals, probe fan-out is model-sized)
+    "q168_media_route")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

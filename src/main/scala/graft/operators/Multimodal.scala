@@ -392,6 +392,59 @@ object Multimodal {
     }
   }
 
+  /** INGEST-TIME media routing — [[graft.operators.Retrieval.hybridRouteStream]]'s
+    * discipline for the media modality: each arriving payload decodes
+    * ONCE and scores against a FROZEN probe batch (exemplar feature
+    * vectors chosen by the operator — e.g. canonical assets whose
+    * variants should be tagged at ingest), emitting one
+    * `(probe_id, <id>, bands_hit, l1)` row per (arrival × matching
+    * probe): "which stored exemplar does this payload serve", decided
+    * at ingest. Membership follows the banded candidate rule the batch
+    * faces use — a payload routes to a probe only if at least one of
+    * the `dim/bandSize` exact feature bands agrees — and survivors
+    * verify by exact integer L1 (`l1 <= maxL1`), so the output is a
+    * row-for-row subset of what [[mediaNearDupPairs]] would emit for
+    * the same (arrival, probe) pairs. Entirely STATELESS and narrow:
+    * the decode geometry comes from the stored index's meta (read once
+    * at stream start — [[Retrieval.bm25ScoreStream]]'s discipline), the
+    * probe batch is a driver-collected bounded literal, and the
+    * per-probe fan-out is an explode of a model-sized array — no state
+    * store, no watermark, no join — so the same call runs unchanged on
+    * a readStream and is row-for-row equal to the batch form
+    * (StreamingSpec pins it). The decode sits in its OWN projection
+    * BELOW the explode (the Generate fence CollapseProject cannot
+    * cross), so the vector is computed once per arrival, not once per
+    * (arrival × probe) — StreamingSpec counts exactly one
+    * `char_window_sums` in the plan. */
+  def mediaRouteStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, idCol: String, binCol: String,
+      probes: Seq[(Long, Array[Long])], maxL1: Long): DataFrame = {
+    val (dim, bandSize) = readGeometry(spark, dir)
+    require(probes.nonEmpty && probes.size <= 1024,
+      s"1..1024 frozen probes, got ${probes.size}")
+    require(probes.map(_._1).distinct.size == probes.size,
+      "duplicate probe ids")
+    probes.foreach { case (pid, v) =>
+      require(v.length == dim,
+        s"probe $pid has ${v.length} features, index dim is $dim")
+    }
+    val nBands = dim / bandSize
+    val plit = array(probes.map { case (pid, pv) =>
+      struct(lit(pid).as("probe_id"), typedLit(pv.toSeq).as("pv"))
+    }: _*)
+    stream.filter(col(binCol).isNotNull)
+      .select(col(idCol), stubFeaturesMicro(col(binCol), dim).as("_f"))
+      .select(col(idCol), col("_f"), explode(plit).as("_p"))
+      .select(col("_p.probe_id").as("probe_id"), col(idCol),
+        size(filter(sequence(lit(0), lit(nBands - 1)),
+          b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)) ===
+            slice(col("_p.pv"), b * bandSize + lit(1), lit(bandSize))))
+          .cast("long").as("bands_hit"),
+        aggregate(zip_with(col("_f"), col("_p.pv"), (x, y) => abs(x - y)),
+          lit(0L), (acc, x) => acc + x).as("l1"))
+      .filter(col("bands_hit") >= 1 && col("l1") <= maxL1)
+  }
+
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and
     * keep every `stride`-th one (the video-frame-sampling shape), as a
     * codegen-friendly generator — explode over a computed chunk index. */

@@ -1409,9 +1409,71 @@ object PipelineQueries {
         ORDER BY p.doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** INGEST-TIME media routing (round-12 verdict item 7) — the media
+    * twin of the q160/q161 hybrid-routing stack: a FROZEN probe batch
+    * of exemplar feature vectors (every 5th indexed doc's STORED
+    * features, read from the index's feats table — never re-decoded)
+    * routes arriving payloads at ingest. Membership is the banded
+    * candidate rule (≥1 exact feature band agrees), verification the
+    * exact integer L1 — all stateless and row-local, so the identical
+    * call runs on a readStream (StreamingSpec pins stream ≡ batch). */
+  private val q168 = {
+    val (dim, bs, nb, maxL1) = (16, 4, 4, 2000L)
+    Q(
+      "q168_media_route",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+        val aDir = s"${System.getProperty("java.io.tmpdir")}/graft_q168_media_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, aDir) {
+          Multimodal.writeMediaDupIndex(s,
+            media.filter(col("doc_id") % 2 === 0), "doc_id", "media",
+            dim, bs, aDir)
+        }
+        // frozen probe batch: bounded driver collect (50 exemplars at
+        // the test corpus; the operator gates at 1024) of STORED
+        // feature vectors — the ingest-time analog of q160's frozen
+        // query-vector set
+        val probes = s.read.parquet(s"$aDir/feats")
+          .filter(col("_id") % 10 === 0)
+          .select(col("_id"), col("_f")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+          .sortBy(_._1).toSeq
+        Multimodal.mediaRouteStream(s, aDir,
+          media.filter(col("doc_id") % 2 === 1), "doc_id", "media",
+          probes, maxL1)
+          .orderBy("probe_id", "doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+          FROM d),
+        f AS (SELECT doc_id,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        p AS (SELECT doc_id AS probe_id, feats AS pv FROM f
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        a AS (SELECT doc_id, feats FROM f WHERE doc_id % 2 = 1),
+        r AS (SELECT p.probe_id, a.doc_id,
+            len(list_filter(range(0, $nb), b ->
+              list_slice(a.feats, b*$bs+1, b*$bs+$bs) =
+                list_slice(p.pv, b*$bs+1, b*$bs+$bs))) AS bands_hit,
+            list_sum(list_transform(list_zip(a.feats, p.pv),
+              z -> abs(z[1] - z[2]))) AS l1
+          FROM a CROSS JOIN p)
+        SELECT probe_id, doc_id, CAST(bands_hit AS BIGINT) AS bands_hit,
+          CAST(l1 AS BIGINT) AS l1
+        FROM r WHERE bands_hit >= 1 AND l1 <= $maxL1
+        ORDER BY probe_id, doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
       q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166,
-      q167)
+      q167, q168)
 }

@@ -683,6 +683,67 @@ class StreamingSpec extends SparkSpec {
     streamed.map(r => (r._1, r._2)) shouldBe Seq((10L, 1L), (10L, 3L))
   }
 
+  test("media probe routing at ingest: stream ≡ batch against the frozen probe batch") {
+    // q168's stream face — hybridRouteStream's discipline for the
+    // media modality: a FROZEN probe batch of exemplar feature vectors
+    // (bounded driver literals) routes each arriving payload with a
+    // band-agreement membership rule + exact-L1 verify. Stateless: the
+    // stored index contributes only its decode geometry (read once at
+    // stream start), so no state store, no watermark, no join.
+    import graft.operators.Multimodal
+    val ref = Seq((2L, "aaaabbbbccccdddd"), (4L, "mmmmnnnnoooopppp"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("t_media_probe_route")
+    Multimodal.writeMediaDupIndex(spark,
+      Multimodal.attachPayload(ref, "text", "text"), "doc_id", "media",
+      dim = 4, bandSize = 2, dir)
+    // frozen probes = the STORED feature vectors of both exemplars
+    val probes = spark.read.parquet(s"$dir/feats")
+      .collect()
+      .map(r => r.getAs[Long]("_id") -> r.getAs[Seq[Long]]("_f").toArray)
+      .sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, String)]
+    val media = Multimodal.attachPayload(
+      in.toDF().toDF("doc_id", "text"), "text", "text").drop("media_meta")
+    val out = Multimodal.mediaRouteStream(
+      spark, dir, media, "doc_id", "media", probes, maxL1 = 50L)
+    val q = out.writeStream.format("memory").queryName("t_media_probe_route")
+      .outputMode(OutputMode.Append()).start()
+    val arrivals = Seq(
+      (10L, "aaaabbbbccccdddd"),            // exact dup of probe 2
+      (11L, "aaaabbbbccccddde"),            // near-edit: band 0 agrees, l1 = 1
+      (12L, "zzzzyyyyxxxxwwww"),            // no band agrees → no route
+      (13L, "aaaabbbbzzzzzzzz"),            // band 0 agrees, L1-rejected
+      (14L, null.asInstanceOf[String]))     // null payload drops
+    in.addData(arrivals.take(3))
+    q.processAllAvailable()
+    in.addData(arrivals.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_media_probe_route")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val batchIn = Multimodal.attachPayload(
+      arrivals.toDF("doc_id", "text"), "text", "text")
+    val batch = Multimodal.mediaRouteStream(
+        spark, dir, batchIn, "doc_id", "media", probes, maxL1 = 50L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    streamed shouldBe batch
+    // (probe_id, doc_id, bands_hit, l1): exactly the exact dup (both
+    // bands) and the near-edit (band 0 only) routed, both to probe 2
+    streamed shouldBe Seq((2L, 10L, 2L, 0L), (2L, 11L, 1L, 1L))
+    // the decode sits BELOW the probe explode (the Generate fence):
+    // exactly ONE char_window_sums per arriving row, not one per
+    // (row × probe)
+    val inDir = tmpDir("t_media_probe_route_in")
+    arrivals.toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val physical = Multimodal.mediaRouteStream(spark, dir,
+      Multimodal.attachPayload(spark.read.parquet(inDir), "text", "text"),
+      "doc_id", "media", probes, maxL1 = 50L)
+    "char_window_sums".r
+      .findAllIn(physical.queryExecution.executedPlan.toString)
+      .size shouldBe 1
+  }
+
   test("streaming near-dup suppression detects collisions across micro-batches") {
     val in = MemoryStream[(Long, String)]
     val out = StreamNearDup.collisions(
