@@ -68,7 +68,9 @@ object ScaleSweep {
     "q167_media_screen_cut",
     // the ingest-time media routing face (frozen probe batch × corpus
     // pass — expected linear in arrivals, probe fan-out is model-sized)
-    "q168_media_route")
+    // and the composed per-arrival ingest gate (three stored screens,
+    // one decision row — the flagship ingest composition)
+    "q168_media_route", "q169_ingest_gate")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

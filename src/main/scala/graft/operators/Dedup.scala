@@ -1136,12 +1136,26 @@ object Dedup {
     * keep behavior as streamCleanBloom — nullity screening is a
     * separate upstream quality gate, not this screen's job). */
   def streamSubstringScreenBloom(stream: DataFrame, textCol: String,
-      filterBytes: Array[Byte], k: Int): DataFrame = {
+      filterBytes: Array[Byte], k: Int): DataFrame =
+    stream.filter(!substringBloomHit(textCol, filterBytes, k))
+
+  /** Row-local "any k-token window hits the artifact's rolling bloom"
+    * predicate — [[streamSubstringScreenBloom]]'s screen in its
+    * positive form, for consumers that route HITS (suspects) rather
+    * than drop them: zero false negatives, so restricting
+    * [[dupSpansRollingAgainstStored]] to hitting docs is
+    * output-identical for any `n_spans >= 1` consumer. Per-ARRIVAL
+    * stream discipline only: the filter bytes ride the closure into
+    * every task and a doc probes once per window (per-window fpp
+    * compounds per doc), so batch-wide gating with a corpus-sized
+    * bloom measured slower than the exact digest join it was meant to
+    * save (q169 records the measurement). */
+  def substringBloomHit(textCol: String, filterBytes: Array[Byte],
+      k: Int): Column = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     import org.apache.spark.sql.graftbridge.BloomBridge
-    stream.filter(
-      !exists(rollingWindowDigests(textCol, k),
-        d => BloomBridge.mightContain(filterBytes, d)))
+    exists(rollingWindowDigests(textCol, k),
+      d => BloomBridge.mightContain(filterBytes, d))
   }
 
   /** Cross-corpus exact-substring CONTAMINATION spans —

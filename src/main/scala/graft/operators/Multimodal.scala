@@ -411,11 +411,23 @@ object Multimodal {
     * per-probe fan-out is an explode of a model-sized array — no state
     * store, no watermark, no join — so the same call runs unchanged on
     * a readStream and is row-for-row equal to the batch form
-    * (StreamingSpec pins it). The decode sits in its OWN projection
-    * BELOW the explode (the Generate fence CollapseProject cannot
-    * cross), so the vector is computed once per arrival, not once per
-    * (arrival × probe) — StreamingSpec counts exactly one
-    * `char_window_sums` in the plan. */
+    * (StreamingSpec pins it — a stream-static equi-join against a
+    * local relation is stateless in append mode, the
+    * [[mediaNearDupStoredStream]] discipline).
+    *
+    * Plan shape: arrivals decode ONCE (the decode projection sits
+    * below the band Generate — StreamingSpec counts exactly one
+    * `char_window_sums`), explode to `nBands` band rows, and
+    * equi-join the probe batch's banded rows (a broadcast hash
+    * relation — probes × nBands rows, bounded by the 1024-probe gate),
+    * so each arrival costs nBands hash lookups REGARDLESS of probe
+    * count — never an arrivals × probes cross (the first cut of this
+    * operator exploded the whole probe batch per arrival and melted
+    * 10× at sf0.1 when the probe rule scaled with the corpus). Pairs
+    * keep their FIRST agreeing band only (earlier keys re-sliced from
+    * the carried vectors — [[bandJoinVerify]]'s dedup-free discipline),
+    * then `bands_hit` and the exact L1 verify are row-local on the
+    * joined pair. */
   def mediaRouteStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, stream: DataFrame, idCol: String, binCol: String,
       probes: Seq[(Long, Array[Long])], maxL1: Long): DataFrame = {
@@ -429,20 +441,34 @@ object Multimodal {
         s"probe $pid has ${v.length} features, index dim is $dim")
     }
     val nBands = dim / bandSize
-    val plit = array(probes.map { case (pid, pv) =>
-      struct(lit(pid).as("probe_id"), typedLit(pv.toSeq).as("pv"))
-    }: _*)
-    stream.filter(col(binCol).isNotNull)
+    import spark.implicits._
+    val probeBands = broadcast(
+      probes.flatMap { case (pid, pv) =>
+        (0 until nBands).map(b =>
+          (pid, pv.toSeq, b, pv.slice(b * bandSize, (b + 1) * bandSize).toSeq))
+      }.toDF("probe_id", "_pv", "_band", "_key"))
+    val aBands = stream.filter(col(binCol).isNotNull)
       .select(col(idCol), stubFeaturesMicro(col(binCol), dim).as("_f"))
-      .select(col(idCol), col("_f"), explode(plit).as("_p"))
-      .select(col("_p.probe_id").as("probe_id"), col(idCol),
+      .select(col(idCol), col("_f"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
+      .select(col(idCol), col("_f"), col("pos").as("_band"),
+        col("col").as("_key"))
+    val noEarlierAgreement = (0 until nBands - 1)
+      .map(j => lit(j) >= col("_band") ||
+        slice(col("_f"), j * bandSize + 1, bandSize) =!=
+          slice(col("_pv"), j * bandSize + 1, bandSize))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    aBands.join(probeBands, Seq("_band", "_key"))
+      .filter(noEarlierAgreement)
+      .select(col("probe_id"), col(idCol),
         size(filter(sequence(lit(0), lit(nBands - 1)),
           b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)) ===
-            slice(col("_p.pv"), b * bandSize + lit(1), lit(bandSize))))
+            slice(col("_pv"), b * bandSize + lit(1), lit(bandSize))))
           .cast("long").as("bands_hit"),
-        aggregate(zip_with(col("_f"), col("_p.pv"), (x, y) => abs(x - y)),
+        aggregate(zip_with(col("_f"), col("_pv"), (x, y) => abs(x - y)),
           lit(0L), (acc, x) => acc + x).as("l1"))
-      .filter(col("bands_hit") >= 1 && col("l1") <= maxL1)
+      .filter(col("l1") <= maxL1)
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ExactAgg, PortableHash, PortableRound}
-import graft.operators.{Bpe, Classifier, Decontaminate, Dedup, Importance, Redact, Retrieval, Sampling, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Decontaminate, Dedup, Importance, Multimodal, Redact, Retrieval, Sampling, Sketches, TextAnalysis}
 import graft.queries.Tables.t
 
 /** Round-3 coverage widening, part 2 — the corpus-curation stages a
@@ -1767,9 +1767,147 @@ object CurationQueries {
       Some(kmvOracleSql(n, k)))
   }
 
+  /** THE COMPOSED INGEST GATE — the per-arrival decision a training-data
+    * pipeline actually makes, fusing the engine's three stored screens
+    * into ONE row per arriving document against a FROZEN corpus (the
+    * already-ingested even half): exact 50-token substring overlap
+    * (`dup_text` — the q159 artifact), banded media near-dup with best
+    * corpus match (`dup_of`/`l1` — the q167 machinery), and the
+    * row-local heuristic quality score. The decision is a priority
+    * chain — empty > dup_text (substring-exact, the strongest signal) >
+    * dup_media > low_quality > keep — with every signal kept in the
+    * row so downstream can re-gate under a different policy without
+    * re-screening.
+    *
+    * Scale shape: both reference sets are STORED artifacts (window-
+    * digest sets ~0.01% of corpus bytes; band rows carrying their
+    * vectors) — arrivals are screened per batch while the corpus is
+    * read, never shuffled; the media pre-screen is the row-local band
+    * bloom, the substring probe joins broadcast digest sets, quality is
+    * one narrow projection, and the two signal joins are
+    * arrival-subset-sized. Nothing in the plan grows faster than the
+    * ingest batch. */
+  private val q169 = {
+    val (dim, bs, maxL1, k) = (16, 4, 2000L, 50)
+    val qThresh = 0.42
+    Q(
+      "q169_ingest_gate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = Multimodal.attachPayload(docs, "text", "text")
+        val corpus = media.filter(col("doc_id") % 2 === 0)
+        val arrivals = media.filter(col("doc_id") % 2 === 1)
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q169_media_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val sDir = s"${System.getProperty("java.io.tmpdir")}/graft_q169_ss_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, mDir) {
+          Multimodal.writeMediaDupIndex(s, corpus, "doc_id", "media",
+            dim, bs, mDir)
+        }
+        Artifacts.prepare(s, sDir) {
+          Dedup.writeSubstringScreenArtifact(s, corpus, "text", k, sDir)
+        }
+        val mediaBest = Multimodal.mediaScreenCut(
+            s, mDir, arrivals, "doc_id", "media", maxL1)
+          .filter(col("action") === "cut")
+          .select(col("doc_id"), col("dup_of"), col("l1"))
+        // the exact digest join runs over the WHOLE batch: a bloom
+        // pre-screen was measured SLOWER here (the corpus-sized filter
+        // literal ships with every task, and at ~700 windows/doc the
+        // per-window fpp compounds to a ~50% per-doc false-positive
+        // rate at the artifact's default sizing) — the row-local bloom
+        // is the per-arrival STREAM discipline, not the batch one.
+        // Unlike q159's benchmark-sized holdout, THIS reference is half
+        // the corpus, so its digest sets broadcast only under the size
+        // gate (bm25TopKStored's discipline — parquet-metadata counts,
+        // ~48 B per hashed digest row): above the limit the probe
+        // falls back to Catalyst's shuffle join instead of forcing a
+        // corpus-sized build into every executor
+        val nRef = s.read.parquet(s"$sDir/roll").count() +
+          s.read.parquet(s"$sDir/exact").count()
+        val bLimit =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        val dupText = Dedup.dupSpansRollingAgainstStored(
+            s, sDir, arrivals, "doc_id", "text",
+            broadcastRef = bLimit > 0 && nRef * 48L <= bLimit)
+          .filter(col("n_spans") >= 1)
+          .select(col("doc_id"), lit(true).as("_dup_text"))
+        arrivals
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(mediaBest, Seq("doc_id"), "left")
+          .join(dupText, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_dup_text"), lit(false)).as("dup_text"),
+            col("dup_of"), col("l1"), col("quality"),
+            when(col("text").isNull, "empty")
+              .when(col("_dup_text").isNotNull, "dup_text")
+              .when(col("dup_of").isNotNull, "dup_media")
+              .when(col("quality") < qThresh, "low_quality")
+              .otherwise("keep").as("reason"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
+        val winList = s"list_transform(range(1, len(toks) - ${k - 2}), " +
+          s"i -> md5(concat_ws(' ', $gramSql)))"
+        s"""WITH arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+          d AS (SELECT doc_id, text, len(text) AS n
+            FROM documents WHERE text IS NOT NULL),
+          co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+              list_transform(range(1, n + 1),
+                i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+            FROM d),
+          f AS (SELECT doc_id,
+              list_transform(range(0, $dim), j -> COALESCE(list_sum(
+                list_slice(codes, CAST(j*w+1 AS BIGINT),
+                  CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+            FROM co),
+          bands AS (SELECT doc_id, b AS band,
+              list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
+            FROM f, range(0, ${dim / bs}) r(b)),
+          cand AS (SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands p JOIN bands r
+            ON p.band = r.band AND p.key = r.key
+            AND p.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+          v AS (SELECT c.id_a, c.id_b,
+              list_sum(list_transform(list_zip(fa.feats, fb.feats),
+                z -> abs(z[1] - z[2]))) AS l1
+            FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+            JOIN f fb ON fb.doc_id = c.id_b),
+          best AS (SELECT id_a, id_b AS dup_of, CAST(l1 AS BIGINT) AS l1
+            FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY l1, id_b) AS rn FROM v WHERE l1 <= $maxL1)
+            WHERE rn = 1),
+          tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM arr WHERE text IS NOT NULL),
+          hw AS (SELECT DISTINCT unnest($winList) AS h FROM
+            (SELECT string_split(text, ' ') AS toks FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 0)
+            WHERE len(toks) >= $k),
+          dupt AS (SELECT DISTINCT doc_id FROM
+            (SELECT doc_id, unnest($winList) AS h FROM tr
+              WHERE len(toks) >= $k) w JOIN hw USING (h)),
+          qual AS (SELECT doc_id, $qualityScoreSql AS quality
+            FROM arr WHERE text IS NOT NULL)
+          SELECT a.doc_id, (t.doc_id IS NOT NULL) AS dup_text,
+            b.dup_of, b.l1, q.quality,
+            CASE WHEN a.text IS NULL THEN 'empty'
+                 WHEN t.doc_id IS NOT NULL THEN 'dup_text'
+                 WHEN b.dup_of IS NOT NULL THEN 'dup_media'
+                 WHEN q.quality < $qThresh THEN 'low_quality'
+                 ELSE 'keep' END AS reason
+          FROM arr a LEFT JOIN best b ON b.id_a = a.doc_id
+          LEFT JOIN dupt t ON t.doc_id = a.doc_id
+          LEFT JOIN qual q ON q.doc_id = a.doc_id
+          ORDER BY a.doc_id""".replaceAll("\\s+", " ")
+      })
+  }
+
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159, q160, q161, q162, q165)
+    q141, q155, q156, q157, q158, q159, q160, q161, q162, q165, q169)
 }

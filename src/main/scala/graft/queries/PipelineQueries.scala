@@ -1430,12 +1430,13 @@ object PipelineQueries {
             media.filter(col("doc_id") % 2 === 0), "doc_id", "media",
             dim, bs, aDir)
         }
-        // frozen probe batch: bounded driver collect (50 exemplars at
-        // the test corpus; the operator gates at 1024) of STORED
-        // feature vectors — the ingest-time analog of q160's frozen
-        // query-vector set
+        // frozen probe batch: bounded driver collect (exactly 50
+        // exemplars at EVERY sf — the id cap keeps the batch frozen as
+        // the corpus grows, the semantics of an exemplar set; the
+        // operator gates at 1024) of STORED feature vectors — the
+        // ingest-time analog of q160's frozen query-vector set
         val probes = s.read.parquet(s"$aDir/feats")
-          .filter(col("_id") % 10 === 0)
+          .filter(col("_id") % 10 === 0 && col("_id") < 500)
           .select(col("_id"), col("_f")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
           .sortBy(_._1).toSeq
@@ -1456,7 +1457,7 @@ object PipelineQueries {
                 CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
           FROM co),
         p AS (SELECT doc_id AS probe_id, feats AS pv FROM f
-          WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+          WHERE doc_id % 2 = 0 AND doc_id % 10 = 0 AND doc_id < 500),
         a AS (SELECT doc_id, feats FROM f WHERE doc_id % 2 = 1),
         r AS (SELECT p.probe_id, a.doc_id,
             len(list_filter(range(0, $nb), b ->
