@@ -320,4 +320,20 @@ class PlanContractsSpec extends SparkSpec {
     cutPlan should not include "CartesianProduct"
     cutPlan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("media probe routing hash-joins the banded probe relation — never a probe cross") {
+    // q168's contract: each arrival costs nBands hash lookups into the
+    // probe batch's banded BROADCAST relation regardless of probe
+    // count. The melted first cut exploded the probe batch per arrival
+    // (an arrivals × probes cross inside a Generate) — this pin keeps
+    // that shape out: the only Generate is the arrival's own nBands
+    // band explode, the probe side joins as a BroadcastHashJoin, and
+    // the decode stays a single expression below the Generate.
+    val plan = SparkEntry.queries("q168_media_route")(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    "char_window_sums".r.findAllIn(plan).size shouldBe 1
+  }
 }

@@ -744,6 +744,46 @@ class StreamingSpec extends SparkSpec {
       .size shouldBe 1
   }
 
+  test("ingest pre-screens never pass a doc the batch gate cuts as a dup") {
+    // The property that makes q169's stream face safe: the stateless
+    // bloom pre-screens (substring + media) OVER-drop at the fpp but
+    // can never UNDER-drop — every arrival the exact batch gate marks
+    // dup_text / dup_media band- or window-collides with the frozen
+    // corpus, and blooms have zero false negatives, so it must be
+    // screened out at ingest. Containment, not equality, is the
+    // contract (fpp false positives are the declared ingest trade).
+    import graft.operators.{Dedup, Multimodal}
+    import graft.queries.Tables.{t => tbl}
+    val dir = "/root/testdata/sf0.001"
+    val docs = tbl(spark, dir, "documents")
+    val media = Multimodal.attachPayload(docs, "text", "text")
+    val corpus = media.filter(col("doc_id") % 2 === 0)
+    val arrivals = media.filter(col("doc_id") % 2 === 1)
+    // same geometry/params as q169's artifacts, rebuilt deterministically
+    val mDir = tmpDir("t_gate_media"); val sDir = tmpDir("t_gate_ss")
+    Multimodal.writeMediaDupIndex(spark, corpus, "doc_id", "media", 16, 4, mDir)
+    Dedup.writeSubstringScreenArtifact(spark, corpus, "text", 50, sDir)
+    val gate = graft.SparkEntry.queries("q169_ingest_gate")(spark, dir)
+      .select(col("doc_id"), col("dup_text"), col("dup_of")).collect()
+    val dupTextIds = gate.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val dupMediaIds = gate.filter(!_.isNullAt(2)).map(_.getLong(0)).toSet
+    // the fixture genuinely exercises both signals
+    dupTextIds should not be empty
+    dupMediaIds should not be empty
+    val ssSurvivors = Dedup.streamSubstringScreenBloom(arrivals, "text",
+        spark.read.parquet(s"$sDir/meta").head.getAs[Array[Byte]]("bloom"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    (ssSurvivors intersect dupTextIds) shouldBe empty
+    val mSurvivors = Multimodal.streamMediaScreenBloom(arrivals, "media",
+        spark.read.parquet(s"$mDir/meta").head.getAs[Array[Byte]]("bloom"), 16, 4)
+      .select("doc_id").as[Long].collect().toSet
+    (mSurvivors intersect dupMediaIds) shouldBe empty
+    // and the screens do real work: most clean arrivals pass through
+    val nArrivals = arrivals.count().toInt
+    ssSurvivors.size should be >= (nArrivals / 2)
+    mSurvivors.size should be >= (nArrivals / 2)
+  }
+
   test("streaming near-dup suppression detects collisions across micro-batches") {
     val in = MemoryStream[(Long, String)]
     val out = StreamNearDup.collisions(
