@@ -70,7 +70,7 @@ object ScaleSweep {
     // pass — expected linear in arrivals, probe fan-out is model-sized)
     // and the composed per-arrival ingest gate (three stored screens,
     // one decision row — the flagship ingest composition)
-    "q168_media_route", "q169_ingest_gate")
+    "q168_media_route", "q169_ingest_gate", "q170_gate_then_pack")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

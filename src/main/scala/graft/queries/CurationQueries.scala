@@ -1787,9 +1787,70 @@ object CurationQueries {
     * one narrow projection, and the two signal joins are
     * arrival-subset-sized. Nothing in the plan grows faster than the
     * ingest batch. */
+  private val (gDim, gBs, gMaxL1, gK) = (16, 4, 2000L, 50)
+  private val gQThresh = 0.42
+
+  /** The q169 gate oracle as a reusable CTE chain ending in `gateq`
+    * (no ORDER BY) — shared verbatim by q169 (orders it) and q170
+    * (packs its keepers), so the two stay definitionally consistent. */
+  private lazy val ingestGateCtes: String = {
+    val gramSql = (1 to gK).map(j => s"toks[i+${j - 1}]").mkString(", ")
+    val winList = s"list_transform(range(1, len(toks) - ${gK - 2}), " +
+      s"i -> md5(concat_ws(' ', $gramSql)))"
+    s"""arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      d AS (SELECT doc_id, text, len(text) AS n
+        FROM documents WHERE text IS NOT NULL),
+      co AS (SELECT doc_id, n, greatest(1, n // $gDim) AS w,
+          list_transform(range(1, n + 1),
+            i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+        FROM d),
+      f AS (SELECT doc_id,
+          list_transform(range(0, $gDim), j -> COALESCE(list_sum(
+            list_slice(codes, CAST(j*w+1 AS BIGINT),
+              CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+        FROM co),
+      bands AS (SELECT doc_id, b AS band,
+          list_slice(feats, b*$gBs+1, b*$gBs+$gBs) AS key
+        FROM f, range(0, ${gDim / gBs}) r(b)),
+      cand AS (SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands p JOIN bands r
+        ON p.band = r.band AND p.key = r.key
+        AND p.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+      v AS (SELECT c.id_a, c.id_b,
+          list_sum(list_transform(list_zip(fa.feats, fb.feats),
+            z -> abs(z[1] - z[2]))) AS l1
+        FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+        JOIN f fb ON fb.doc_id = c.id_b),
+      best AS (SELECT id_a, id_b AS dup_of, CAST(l1 AS BIGINT) AS l1
+        FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+            ORDER BY l1, id_b) AS rn FROM v WHERE l1 <= $gMaxL1)
+        WHERE rn = 1),
+      tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM arr WHERE text IS NOT NULL),
+      hw AS (SELECT DISTINCT unnest($winList) AS h FROM
+        (SELECT string_split(text, ' ') AS toks FROM documents
+          WHERE text IS NOT NULL AND doc_id % 2 = 0)
+        WHERE len(toks) >= $gK),
+      dupt AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest($winList) AS h FROM tr
+          WHERE len(toks) >= $gK) w JOIN hw USING (h)),
+      qual AS (SELECT doc_id, $qualityScoreSql AS quality
+        FROM arr WHERE text IS NOT NULL),
+      gateq AS (SELECT a.doc_id, (t.doc_id IS NOT NULL) AS dup_text,
+          b.dup_of, b.l1, q.quality,
+          CASE WHEN a.text IS NULL THEN 'empty'
+               WHEN t.doc_id IS NOT NULL THEN 'dup_text'
+               WHEN b.dup_of IS NOT NULL THEN 'dup_media'
+               WHEN q.quality < $gQThresh THEN 'low_quality'
+               ELSE 'keep' END AS reason
+        FROM arr a LEFT JOIN best b ON b.id_a = a.doc_id
+        LEFT JOIN dupt t ON t.doc_id = a.doc_id
+        LEFT JOIN qual q ON q.doc_id = a.doc_id)"""
+  }
+
   private val q169 = {
-    val (dim, bs, maxL1, k) = (16, 4, 2000L, 50)
-    val qThresh = 0.42
+    val (dim, bs, maxL1, k) = (gDim, gBs, gMaxL1, gK)
+    val qThresh = gQThresh
     Q(
       "q169_ingest_gate",
       (s, dir) => {
@@ -1848,66 +1909,45 @@ object CurationQueries {
               .otherwise("keep").as("reason"))
           .orderBy("doc_id")
       },
-      Some {
-        val gramSql = (1 to k).map(j => s"toks[i+${j - 1}]").mkString(", ")
-        val winList = s"list_transform(range(1, len(toks) - ${k - 2}), " +
-          s"i -> md5(concat_ws(' ', $gramSql)))"
-        s"""WITH arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-          d AS (SELECT doc_id, text, len(text) AS n
-            FROM documents WHERE text IS NOT NULL),
-          co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
-              list_transform(range(1, n + 1),
-                i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
-            FROM d),
-          f AS (SELECT doc_id,
-              list_transform(range(0, $dim), j -> COALESCE(list_sum(
-                list_slice(codes, CAST(j*w+1 AS BIGINT),
-                  CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
-            FROM co),
-          bands AS (SELECT doc_id, b AS band,
-              list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
-            FROM f, range(0, ${dim / bs}) r(b)),
-          cand AS (SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b
-            FROM bands p JOIN bands r
-            ON p.band = r.band AND p.key = r.key
-            AND p.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
-          v AS (SELECT c.id_a, c.id_b,
-              list_sum(list_transform(list_zip(fa.feats, fb.feats),
-                z -> abs(z[1] - z[2]))) AS l1
-            FROM cand c JOIN f fa ON fa.doc_id = c.id_a
-            JOIN f fb ON fb.doc_id = c.id_b),
-          best AS (SELECT id_a, id_b AS dup_of, CAST(l1 AS BIGINT) AS l1
-            FROM (SELECT *, row_number() OVER (PARTITION BY id_a
-                ORDER BY l1, id_b) AS rn FROM v WHERE l1 <= $maxL1)
-            WHERE rn = 1),
-          tr AS (SELECT doc_id, string_split(text, ' ') AS toks
-            FROM arr WHERE text IS NOT NULL),
-          hw AS (SELECT DISTINCT unnest($winList) AS h FROM
-            (SELECT string_split(text, ' ') AS toks FROM documents
-              WHERE text IS NOT NULL AND doc_id % 2 = 0)
-            WHERE len(toks) >= $k),
-          dupt AS (SELECT DISTINCT doc_id FROM
-            (SELECT doc_id, unnest($winList) AS h FROM tr
-              WHERE len(toks) >= $k) w JOIN hw USING (h)),
-          qual AS (SELECT doc_id, $qualityScoreSql AS quality
-            FROM arr WHERE text IS NOT NULL)
-          SELECT a.doc_id, (t.doc_id IS NOT NULL) AS dup_text,
-            b.dup_of, b.l1, q.quality,
-            CASE WHEN a.text IS NULL THEN 'empty'
-                 WHEN t.doc_id IS NOT NULL THEN 'dup_text'
-                 WHEN b.dup_of IS NOT NULL THEN 'dup_media'
-                 WHEN q.quality < $qThresh THEN 'low_quality'
-                 ELSE 'keep' END AS reason
-          FROM arr a LEFT JOIN best b ON b.id_a = a.doc_id
-          LEFT JOIN dupt t ON t.doc_id = a.doc_id
-          LEFT JOIN qual q ON q.doc_id = a.doc_id
-          ORDER BY a.doc_id""".replaceAll("\\s+", " ")
-      })
+      Some(
+        s"""WITH $ingestGateCtes
+          SELECT doc_id, dup_text, dup_of, l1, quality, reason
+          FROM gateq ORDER BY doc_id""".replaceAll("\\s+", " ")))
   }
+
+  /** The gate's MATERIALIZATION tail — what a pipeline does with the
+    * q169 decisions: the kept arrivals (reason = 'keep') are laid out
+    * into ~1000-token per-language training shards by the scalable
+    * two-pass packer (q51's distributed variant). Composing the two
+    * pins the contract BETWEEN stages: the packer sees exactly the
+    * gate's keep set, so shard assignments shift when (and only when)
+    * a screen decision changes. Scale shape = q169's (the gate) plus
+    * one arrival-sized equi-join and q51's two-pass layout (parallel
+    * within-task windows + a plan-stats-sized offset collect). */
+  private val q170 = Q(
+    "q170_gate_then_pack",
+    (s, dir) => {
+      val keepers = q169.build(s, dir)
+        .filter(col("reason") === "keep").select(col("doc_id"))
+      TextAnalysis.packShardsScalable(
+        t(s, dir, "documents").join(keepers, Seq("doc_id")),
+        "lang", "doc_id", "text", 1000L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $ingestGateCtes,
+      kp AS (SELECT doc_id FROM gateq WHERE reason = 'keep'),
+      tk2 AS (SELECT d2.doc_id, d2.lang,
+          CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d2 JOIN kp USING (doc_id)),
+      c2 AS (SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tk2)
+      SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 1000 AS shard_id
+      FROM c2 ORDER BY doc_id""".replaceAll("\\s+", " ")))
 
   val all: Seq[Q] = Seq(q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q58,
     q77, q78, q85, q86, q93, q94, q98, q99, q100, q101, q102, q105, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q119, q120,
     q121, q122, q123, q124, q125, q127, q128, q129, q132, q135, q136, q139,
-    q141, q155, q156, q157, q158, q159, q160, q161, q162, q165, q169)
+    q141, q155, q156, q157, q158, q159, q160, q161, q162, q165, q169, q170)
 }
