@@ -21,4 +21,27 @@ object Plans {
     * [[graft.operators.SkewJoin]]-style salting on hot keys). */
   def maybeBroadcast(df: DataFrame, enabled: Boolean): DataFrame =
     if (enabled) broadcast(df) else df
+
+  /** THE broadcast-safety gate, in one place: true iff an estimated
+    * `nRows × bytesPerRow` relation fits the session's
+    * `autoBroadcastJoinThreshold` (and broadcasting isn't disabled,
+    * threshold -1). Every size-gated stored-reference probe
+    * (bm25TopKStored's postings, the media band frames, q169's
+    * corpus-half digest sets) reads the threshold and compares through
+    * this helper, so the gate semantics can't drift between call
+    * sites; only the PER-ROW MODEL is site-specific (each relation's
+    * schema is different — see [[hashedDigestRowBytes]] and the
+    * callers' own constants). Forced broadcasts above the limit are
+    * the driver/executor-OOM class the gate exists to prevent; above
+    * it, callers fall back to Catalyst's shuffle join. */
+  def underBroadcastGate(nRows: Long, bytesPerRow: Long): Boolean = {
+    val limit =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    limit > 0 && nRows * bytesPerRow <= limit
+  }
+
+  /** Per-row estimate for a broadcast relation of hashed digests (one
+    * int64 hash + id + hashed-relation overhead) — the model q169's
+    * substring-screen reference and the digest-set probes share. */
+  val hashedDigestRowBytes = 48L
 }

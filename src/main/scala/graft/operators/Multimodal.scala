@@ -197,32 +197,56 @@ object Multimodal {
     * discipline): ~8 B per carried vector/key element plus id + hash +
     * hashed-relation overhead per band row, against the session's
     * `autoBroadcastJoinThreshold`. Forced broadcasts above the limit
-    * are the driver-OOM class the gate exists to prevent. */
+    * are the driver-OOM class the gate exists to prevent. The
+    * threshold read and compare are [[graft.functions.Plans.underBroadcastGate]]
+    * (one gate definition engine-wide); only the per-band-row byte
+    * model is media-specific. */
   private def underBroadcastGate(nDocs: Long, dim: Int, bandSize: Int): Boolean = {
-    val limit =
-      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val bandRowBytes = 64L + (dim + bandSize) * 8L
-    limit > 0 && nDocs * (dim / bandSize) * bandRowBytes <= limit
+    graft.functions.Plans.underBroadcastGate(
+      nDocs * (dim / bandSize), bandRowBytes)
   }
+
+  /** THE first-agreeing-band rule, in one place (every banded face —
+    * pair enumeration, stored-index probe, ingest routing — keeps a
+    * candidate pair only at its FIRST agreeing band, re-slicing the
+    * earlier keys from the carried vectors instead of a pair-keyed
+    * distinct): true iff no band strictly before `_band` also agrees
+    * between the two carried vectors. */
+  private def noEarlierAgreement(fa: Column, fb: Column,
+      nBands: Int, bandSize: Int): Column =
+    (0 until nBands - 1)
+      .map(j => lit(j) >= col("_band") ||
+        slice(fa, j * bandSize + 1, bandSize) =!=
+          slice(fb, j * bandSize + 1, bandSize))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Row-local exact integer L1 between two carried feature vectors —
+    * the verify metric every banded candidate passes through. */
+  private def l1Dist(fa: Column, fb: Column): Column =
+    aggregate(zip_with(fa, fb, (x, y) => abs(x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** How many of the `nBands` exact bands agree between two carried
+    * vectors — the routing faces report it alongside the L1. */
+  private def bandsHit(fa: Column, fb: Column,
+      nBands: Int, bandSize: Int): Column =
+    size(filter(sequence(lit(0), lit(nBands - 1)),
+      b => slice(fa, b * bandSize + lit(1), lit(bandSize)) ===
+        slice(fb, b * bandSize + lit(1), lit(bandSize)))).cast("long")
 
   /** Shared tail of every media near-dup face: equi-join two band
     * frames on (band index, band key), keep each pair at its FIRST
-    * agreeing band (earlier keys re-sliced from the carried vectors —
-    * no pair-keyed distinct), verify by row-local exact integer L1. */
+    * agreeing band ([[noEarlierAgreement]]), verify by row-local exact
+    * integer L1 ([[l1Dist]]). */
   private def bandJoinVerify(aBands: DataFrame, bBands: DataFrame,
       dim: Int, bandSize: Int, maxL1: Long, pairPred: Column): DataFrame = {
     val nBands = dim / bandSize
-    val noEarlierAgreement = (0 until nBands - 1)
-      .map(j => lit(j) >= col("_band") ||
-        slice(col("_fa"), j * bandSize + 1, bandSize) =!=
-          slice(col("_fb"), j * bandSize + 1, bandSize))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val l1 = aggregate(
-      zip_with(col("_fa"), col("_fb"), (x, y) => abs(x - y)),
-      lit(0L), (acc, x) => acc + x)
     aBands.join(bBands, Seq("_band", "_key"))
-      .filter(pairPred && noEarlierAgreement)
-      .select(col("id_a"), col("id_b"), l1.as("l1"),
+      .filter(pairPred &&
+        noEarlierAgreement(col("_fa"), col("_fb"), nBands, bandSize))
+      .select(col("id_a"), col("id_b"),
+        l1Dist(col("_fa"), col("_fb")).as("l1"),
         (col("_ha") === col("_hb")).as("same_content"))
       .filter(col("l1") <= maxL1)
   }
@@ -432,6 +456,18 @@ object Multimodal {
       dir: String, stream: DataFrame, idCol: String, binCol: String,
       probes: Seq[(Long, Array[Long])], maxL1: Long): DataFrame = {
     val (dim, bandSize) = readGeometry(spark, dir)
+    routeProbes(spark, dim, bandSize, stream, idCol, binCol, probes, maxL1)
+  }
+
+  /** The geometry-explicit core of [[mediaRouteStream]] /
+    * [[routeAgainstProbeRegistry]] — both faces share one routing
+    * plan; only where the geometry and the probe batch COME FROM
+    * differs (a media-dup index's meta + a caller literal vs the
+    * registry artifact's own geometry + probe segments). */
+  private def routeProbes(spark: org.apache.spark.sql.SparkSession,
+      dim: Int, bandSize: Int, stream: DataFrame, idCol: String,
+      binCol: String, probes: Seq[(Long, Array[Long])],
+      maxL1: Long): DataFrame = {
     require(probes.nonEmpty && probes.size <= 1024,
       s"1..1024 frozen probes, got ${probes.size}")
     require(probes.map(_._1).distinct.size == probes.size,
@@ -447,6 +483,11 @@ object Multimodal {
         (0 until nBands).map(b =>
           (pid, pv.toSeq, b, pv.slice(b * bandSize, (b + 1) * bandSize).toSeq))
       }.toDF("probe_id", "_pv", "_band", "_key"))
+    // Arrival side: the bandsFrame explode minus the content hash (the
+    // routing faces never compare content, and an md5 per arrival
+    // would be wasted stream hot-path work). The pair predicates are
+    // the SHARED band-discipline expressions — the first-agreeing-band
+    // rule lives only in [[noEarlierAgreement]].
     val aBands = stream.filter(col(binCol).isNotNull)
       .select(col(idCol), stubFeaturesMicro(col(binCol), dim).as("_f"))
       .select(col(idCol), col("_f"),
@@ -454,21 +495,120 @@ object Multimodal {
           b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
       .select(col(idCol), col("_f"), col("pos").as("_band"),
         col("col").as("_key"))
-    val noEarlierAgreement = (0 until nBands - 1)
-      .map(j => lit(j) >= col("_band") ||
-        slice(col("_f"), j * bandSize + 1, bandSize) =!=
-          slice(col("_pv"), j * bandSize + 1, bandSize))
-      .reduceOption(_ && _).getOrElse(lit(true))
     aBands.join(probeBands, Seq("_band", "_key"))
-      .filter(noEarlierAgreement)
+      .filter(noEarlierAgreement(col("_f"), col("_pv"), nBands, bandSize))
       .select(col("probe_id"), col(idCol),
-        size(filter(sequence(lit(0), lit(nBands - 1)),
-          b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)) ===
-            slice(col("_pv"), b * bandSize + lit(1), lit(bandSize))))
-          .cast("long").as("bands_hit"),
-        aggregate(zip_with(col("_f"), col("_pv"), (x, y) => abs(x - y)),
-          lit(0L), (acc, x) => acc + x).as("l1"))
+        bandsHit(col("_f"), col("_pv"), nBands, bandSize).as("bands_hit"),
+        l1Dist(col("_f"), col("_pv")).as("l1"))
       .filter(col("l1") <= maxL1)
+  }
+
+  /** PROBE REGISTRY — closes the "register a query once, route every
+    * future batch" ingest loop (round-13 backlog item 4): where
+    * [[mediaRouteStream]] freezes a caller-supplied probe batch per
+    * call, the registry PERSISTS registered exemplar vectors under the
+    * [[StoredIndex]] append discipline, and every future arrival batch
+    * routes against the full registered set via
+    * [[routeAgainstProbeRegistry]]. Layout:
+    *  - `dir/probes/seg=N` — (probe_id, _pv): each registration batch
+    *    is a new log-structured segment
+    *    ([[Retrieval.appendToRetrievalIndex]]'s pattern — a
+    *    registration never rewrites an earlier one);
+    *  - `dir/geometry` — one row (dim, band_size): the decode geometry
+    *    every registered vector and every routed arrival must share;
+    *  - `dir/meta` — the [[StoredIndex]] max-id watermark + pending
+    *    flag (registrations are append-only in probe id, so the
+    *    registry contents are order-independent and a rebuild over the
+    *    union is bit-identical).
+    * The registry is a bounded EXEMPLAR set — at most 1024 probes
+    * cumulatively, enforced at write AND append — which is what makes
+    * the route side's driver collect model-sized and the routing plan
+    * a bounded-broadcast equi-join at any corpus scale. */
+  def writeProbeRegistry(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bandSize: Int, dir: String): Unit = {
+    require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
+    val seg = validatedProbeSeg(probes, idCol, vecCol, dim, maxNew = 1024)
+    StoredIndex.withAppendLock(spark, dir) {
+      StoredIndex.swapRewrite(spark, dir) { tmp =>
+        seg.write.parquet(s"$tmp/probes/seg=0")
+        spark.range(1).select(lit(dim).as("dim"),
+            lit(bandSize).as("band_size"))
+          .write.parquet(s"$tmp/geometry")
+        StoredIndex.writeMaxIdMeta(spark, tmp,
+          StoredIndex.requiredMaxId(seg, "probe_id"))
+      }
+    }
+  }
+
+  /** Register another exemplar batch: a NEW probe segment under the
+    * full [[StoredIndex.guardedAppendPrepared]] discipline (ascending
+    * ids, no duplicates, pending-meta crash fence) — existing segments
+    * are never rewritten. Geometry/bound validation runs in the
+    * fail-fast prepare phase, OUTSIDE the pending window. */
+  def appendToProbeRegistry(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    StoredIndex.guardedAppendPrepared(spark, dir,
+      batch.select(col(idCol).cast("long").as("probe_id")), "probe_id") {
+      val (dim, _) = registryGeometry(spark, dir)
+      val nExisting = spark.read.parquet(s"$dir/probes").count()
+      val seg = validatedProbeSeg(batch, idCol, vecCol, dim,
+        maxNew = 1024 - nExisting)
+      val probesPath = new org.apache.hadoop.fs.Path(s"$dir/probes")
+      val nextSeg = probesPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(probesPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("seg="))
+        .map(_.stripPrefix("seg=").toLong).max + 1
+      (seg, nextSeg)
+    } { case (seg, nextSeg) =>
+      seg.write.mode("errorifexists").parquet(s"$dir/probes/seg=$nextSeg")
+    }
+
+  /** Route an arrival batch (or readStream — the plan is stateless)
+    * against EVERYTHING registered so far: [[mediaRouteStream]]'s
+    * exact routing plan with the probe batch read from the registry's
+    * segments (bounded by the 1024-probe registration contract, so the
+    * read is a model-sized driver collect — [[Retrieval.bm25ScoreStream]]'s
+    * stored-stats discipline) and the geometry from the registry's own
+    * meta. Per arrival the cost is `dim/band_size` hash lookups
+    * against the banded broadcast relation, independent of both probe
+    * count and corpus size. */
+  def routeAgainstProbeRegistry(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, binCol: String,
+      maxL1: Long): DataFrame = {
+    val (dim, bandSize) = registryGeometry(spark, dir)
+    val probes = spark.read.parquet(s"$dir/probes")
+      .select(col("probe_id"), col("_pv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    routeProbes(spark, dim, bandSize, df, idCol, binCol, probes, maxL1)
+  }
+
+  private def registryGeometry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val g = spark.read.parquet(s"$dir/geometry").head()
+    (g.getAs[Number]("dim").intValue(),
+      g.getAs[Number]("band_size").intValue())
+  }
+
+  /** Normalize + validate a registration batch: (probe_id, _pv) with
+    * every vector non-null and exactly `dim` wide, and the batch
+    * within the remaining registry capacity. Registration batches are
+    * exemplar-sized, so the validating count is bounded by contract. */
+  private def validatedProbeSeg(probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, maxNew: Long): DataFrame = {
+    val seg = probes.select(col(idCol).cast("long").as("probe_id"),
+      col(vecCol).cast("array<long>").as("_pv"))
+    val r = seg.agg(count(lit(1)),
+      count(when(col("_pv").isNull || size(col("_pv")) =!= dim, 1))).head
+    val (n, bad) = (r.getLong(0), r.getLong(1))
+    require(bad == 0,
+      s"$bad probe vector(s) null or not dim=$dim — refusing to register")
+    require(n > 0 && n <= maxNew,
+      s"registration batch of $n exceeds remaining registry capacity " +
+        s"$maxNew (the 1024-probe exemplar bound) or is empty")
+    seg
   }
 
   /** Frame/chunk sampler: split a payload into fixed-size byte chunks and

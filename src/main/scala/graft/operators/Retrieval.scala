@@ -370,11 +370,9 @@ object Retrieval {
     // overhead included) the hint is dropped and the join shuffles on id
     // instead. Correctness is gate-independent (RetrievalSpec pins both
     // sides to identical rows); PlanContractsSpec pins the plan shapes.
-    val bcastLimit =
-      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val postingRows = dfByTerm.values.sum
     val scored = decoded.withColumn("_idf", idfExpr)
-    Plans.maybeBroadcast(scored, bcastLimit > 0 && postingRows * 64L <= bcastLimit)
+    Plans.maybeBroadcast(scored, Plans.underBroadcastGate(postingRows, 64L))
       .join(doclens, Seq("id"))
       .select(col("id"), col("dl").as("n_tokens"),
         when(col("tf") > 0L,

@@ -1440,6 +1440,14 @@ object PipelineQueries {
           .select(col("_id"), col("_f")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
           .sortBy(_._1).toSeq
+        // fail LOUDLY on fixture drift: a sparse or null-heavy fixture
+        // would silently shrink the batch (and an empty one would trip
+        // mediaRouteStream's require with a less specific message) —
+        // the declared semantics are a 50-exemplar set, so a different
+        // count means the fixture changed, not the query
+        require(probes.size == 50,
+          s"q168 expects 50 probe exemplars (ids 0,10,..,490 with " +
+            s"payloads), got ${probes.size} — testdata fixture drifted?")
         Multimodal.mediaRouteStream(s, aDir,
           media.filter(col("doc_id") % 2 === 1), "doc_id", "media",
           probes, maxL1)
@@ -1472,9 +1480,74 @@ object PipelineQueries {
         ORDER BY probe_id, doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** STORED ROUTING REGISTRY (round-13 verdict item 4) — closes
+    * q168's loop from "freeze a probe batch per call" to "register a
+    * query once, route every future batch": exemplar vectors are
+    * PERSISTED ([[Multimodal.writeProbeRegistry]] — StoredIndex append
+    * discipline, log-structured probe segments) in TWO registration
+    * batches (write + guarded append), then the arrival half routes
+    * against the full registered set read back from the artifact.
+    * Tighter verify threshold than q168 (1200 vs 2000) — the routing
+    * rule is the registry's own contract, not a re-read of q168's.
+    * Everything is integer-exact (char-window-sum features, integer
+    * L1), so the registry round trip hash-checks against a
+    * registry-free relational oracle. Scale shape = q168's: per
+    * arrival, nBands hash lookups against a bounded banded broadcast
+    * relation — probe count is capped at 1024 by the registration
+    * contract, so the route-side collect is model-sized forever. */
+  private val q171 = {
+    val (dim, bs, nb, maxL1) = (16, 4, 4, 1200L)
+    Q(
+      "q171_probe_registry",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+        val rDir = s"${System.getProperty("java.io.tmpdir")}/graft_q171_registry_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Artifacts.prepare(s, rDir) {
+          val ex = media
+            .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500 &&
+              col("media").isNotNull)
+            .select(col("doc_id"),
+              Multimodal.stubFeaturesMicro(col("media"), dim).as("_pv"))
+          Multimodal.writeProbeRegistry(s,
+            ex.filter(col("doc_id") < 250), "doc_id", "_pv", dim, bs, rDir)
+          Multimodal.appendToProbeRegistry(s, rDir,
+            ex.filter(col("doc_id") >= 250), "doc_id", "_pv")
+        }
+        Multimodal.routeAgainstProbeRegistry(s, rDir,
+          media.filter(col("doc_id") % 2 === 1), "doc_id", "media", maxL1)
+          .orderBy("probe_id", "doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+          FROM d),
+        f AS (SELECT doc_id,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        p AS (SELECT doc_id AS probe_id, feats AS pv FROM f
+          WHERE doc_id % 10 = 0 AND doc_id < 500),
+        a AS (SELECT doc_id, feats FROM f WHERE doc_id % 2 = 1),
+        r AS (SELECT p.probe_id, a.doc_id,
+            len(list_filter(range(0, $nb), b ->
+              list_slice(a.feats, b*$bs+1, b*$bs+$bs) =
+                list_slice(p.pv, b*$bs+1, b*$bs+$bs))) AS bands_hit,
+            list_sum(list_transform(list_zip(a.feats, p.pv),
+              z -> abs(z[1] - z[2]))) AS l1
+          FROM a CROSS JOIN p)
+        SELECT probe_id, doc_id, CAST(bands_hit AS BIGINT) AS bands_hit,
+          CAST(l1 AS BIGINT) AS l1
+        FROM r WHERE bands_hit >= 1 AND l1 <= $maxL1
+        ORDER BY probe_id, doc_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
       q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166,
-      q167, q168)
+      q167, q168, q171)
 }

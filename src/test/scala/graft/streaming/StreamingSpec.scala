@@ -744,6 +744,52 @@ class StreamingSpec extends SparkSpec {
       .size shouldBe 1
   }
 
+  test("probe registry: register once, append, route every future batch — stream ≡ batch") {
+    // q171's stream face (round-13 verdict item 4): the registry
+    // PERSISTS the probe batch mediaRouteStream would freeze per call,
+    // so routing reads the full registered set back from the artifact
+    // — register → append → route, and the same call routes a
+    // readStream (the plan is the stateless mediaRouteStream plan; the
+    // registry contributes only a model-sized collect at stream start).
+    import graft.operators.Multimodal
+    val dir = tmpDir("t_probe_registry")
+    val ex = Multimodal.attachPayload(
+      Seq((2L, "aaaabbbbccccdddd")).toDF("doc_id", "text"), "text", "text")
+      .select(col("doc_id"),
+        Multimodal.stubFeaturesMicro(col("media"), 4).as("_pv"))
+    Multimodal.writeProbeRegistry(spark, ex, "doc_id", "_pv",
+      dim = 4, bandSize = 2, dir)
+    val ex2 = Multimodal.attachPayload(
+      Seq((4L, "mmmmnnnnoooopppp")).toDF("doc_id", "text"), "text", "text")
+      .select(col("doc_id"),
+        Multimodal.stubFeaturesMicro(col("media"), 4).as("_pv"))
+    Multimodal.appendToProbeRegistry(spark, dir, ex2, "doc_id", "_pv")
+    val arrivals = Seq(
+      (10L, "aaaabbbbccccdddd"),            // exact dup of probe 2
+      (11L, "mmmmnnnnoooopppq"),            // near-edit of probe 4
+      (12L, "zzzzyyyyxxxxwwww"))            // no band agrees → no route
+    val in = MemoryStream[(Long, String)]
+    val media = Multimodal.attachPayload(
+      in.toDF().toDF("doc_id", "text"), "text", "text").drop("media_meta")
+    val out = Multimodal.routeAgainstProbeRegistry(
+      spark, dir, media, "doc_id", "media", maxL1 = 50L)
+    val q = out.writeStream.format("memory").queryName("t_probe_registry")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(arrivals)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_probe_registry")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = Multimodal.routeAgainstProbeRegistry(spark, dir,
+        Multimodal.attachPayload(arrivals.toDF("doc_id", "text"),
+          "text", "text"), "doc_id", "media", maxL1 = 50L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    streamed shouldBe batch
+    // BOTH registered segments route: the appended probe 4 catches the
+    // near-edit — register once, route forever
+    streamed shouldBe Seq((2L, 10L, 2L, 0L), (4L, 11L, 1L, 1L))
+  }
+
   test("ingest pre-screens never pass a doc the batch gate cuts as a dup") {
     // The property that makes q169's stream face safe: the stateless
     // bloom pre-screens (substring + media) OVER-drop at the fpp but
@@ -757,14 +803,17 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val docs = tbl(spark, dir, "documents")
     val media = Multimodal.attachPayload(docs, "text", "text")
-    val corpus = media.filter(col("doc_id") % 2 === 0)
     val arrivals = media.filter(col("doc_id") % 2 === 1)
-    // same geometry/params as q169's artifacts, rebuilt deterministically
-    val mDir = tmpDir("t_gate_media"); val sDir = tmpDir("t_gate_ss")
-    Multimodal.writeMediaDupIndex(spark, corpus, "doc_id", "media", 16, 4, mDir)
-    Dedup.writeSubstringScreenArtifact(spark, corpus, "text", 50, sDir)
+    // run the gate FIRST (it builds its own artifacts via
+    // Artifacts.prepare), then probe the blooms from q169's OWN
+    // artifact directories (same hashed-path derivation the query
+    // uses) — the corpus is indexed once per test run, and the test
+    // provably screens against the exact blooms the gate ships with
     val gate = graft.SparkEntry.queries("q169_ingest_gate")(spark, dir)
       .select(col("doc_id"), col("dup_text"), col("dup_of")).collect()
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q169_media_$hex"
+    val sDir = s"${System.getProperty("java.io.tmpdir")}/graft_q169_ss_$hex"
     val dupTextIds = gate.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
     val dupMediaIds = gate.filter(!_.isNullAt(2)).map(_.getLong(0)).toSet
     // the fixture genuinely exercises both signals
