@@ -70,7 +70,12 @@ object ScaleSweep {
     // pass — expected linear in arrivals, probe fan-out is model-sized)
     // and the composed per-arrival ingest gate (three stored screens,
     // one decision row — the flagship ingest composition)
-    "q168_media_route", "q169_ingest_gate", "q170_gate_then_pack")
+    "q168_media_route", "q169_ingest_gate", "q170_gate_then_pack",
+    // round-14: the stored routing registry (register→append→route —
+    // expected q168's curvature: arrival-linear, probe side bounded)
+    // and the materialized gate→pack boundary (q169's gate cost paid
+    // in the build, the measured pack stage reading the decision set)
+    "q171_probe_registry", "q172_gate_pack_stored")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

@@ -900,4 +900,37 @@ class CurationSpec extends SparkSpec {
       rows(Decontaminate.semanticScreen(
         train, "vec_id", "embedding", test, "vec_id", "embedding", 0.3, nb))
   }
+
+  test("q172 packs from the MATERIALIZED decision artifact — provably no gate re-screen") {
+    // the production stage boundary (round-13 verdict item 5): q170
+    // recomputes the whole q169 gate inline (the declared
+    // composition); q172 materializes the decisions once and the pack
+    // side must only READ them. The pack stage checkpoints its
+    // tokenized input (the two-pass layout), so a plan-string pin
+    // can't see the parquet scan — instead this proves the boundary
+    // BEHAVIORALLY: with the decisions materialized, the gate's screen
+    // artifacts are DELETED outright, and q172 must still produce
+    // q170's exact output without recreating them. A cosmetic boundary
+    // (any re-screen) would either fail on the missing artifacts or
+    // rebuild them.
+    val dir = "/root/testdata/sf0.001"
+    val b = graft.SparkEntry.queries("q170_gate_then_pack")(spark, dir)
+      .collect().toSeq
+    // materialize the decision artifact once (cold path)
+    graft.SparkEntry.queries("q172_gate_pack_stored")(spark, dir).count()
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val gateArtifacts = Seq(s"$tmp/graft_q169_media_$hex", s"$tmp/graft_q169_ss_$hex")
+    gateArtifacts.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+    System.setProperty("graft.bench.reuseArtifacts", "true")
+    try {
+      val a = graft.SparkEntry.queries("q172_gate_pack_stored")(spark, dir)
+        .collect().toSeq
+      a shouldBe b
+    } finally System.clearProperty("graft.bench.reuseArtifacts")
+    // the pack never touched the gate's screens
+    gateArtifacts.foreach(d => new java.io.File(d).exists() shouldBe false)
+  }
 }

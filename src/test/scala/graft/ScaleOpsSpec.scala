@@ -115,6 +115,119 @@ class MultimodalSpec extends SparkSpec {
     plan should not include "HashAggregate"
   }
 
+  test("probe registry enforces the exemplar contract: dims, id discipline, capacity") {
+    // the registry is a bounded exemplar set under the StoredIndex
+    // append discipline — every violation fails LOUDLY at
+    // registration, so the route side can trust a model-sized,
+    // geometry-consistent probe set forever
+    def probes(rows: (Long, Seq[Long])*) = rows.toDF("doc_id", "_pv")
+    val dir = tmpDir("t_registry_contract")
+    // wrong-width vector refused at write
+    intercept[IllegalArgumentException] {
+      Multimodal.writeProbeRegistry(spark,
+        probes(1L -> Seq(1L, 2L, 3L)), "doc_id", "_pv", 4, 2, dir)
+    }.getMessage should include("dim")
+    Multimodal.writeProbeRegistry(spark,
+      probes(1L -> Seq(1L, 2L, 3L, 4L), 5L -> Seq(9L, 9L, 9L, 9L)),
+      "doc_id", "_pv", 4, 2, dir)
+    // append-only id discipline: a batch at-or-below the watermark is
+    // refused (it would diverge from a rebuild over the union)
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToProbeRegistry(spark, dir,
+        probes(5L -> Seq(1L, 1L, 1L, 1L)), "doc_id", "_pv")
+    }.getMessage should include("append-only")
+    // wrong-width vector refused at append too (fail-fast prepare:
+    // the meta must NOT be left pending by a validation failure)
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToProbeRegistry(spark, dir,
+        probes(7L -> Seq(1L, 2L)), "doc_id", "_pv")
+    }
+    Multimodal.appendToProbeRegistry(spark, dir,
+      probes(7L -> Seq(2L, 2L, 3L, 4L)), "doc_id", "_pv")
+    // registry contents = write ∪ appends, read back in id order
+    spark.read.parquet(s"$dir/probes").select("probe_id")
+      .as[Long].collect().sorted shouldBe Seq(1L, 5L, 7L)
+    // cumulative 1024-probe capacity: an append that would blow the
+    // bound is refused BEFORE anything lands
+    val big = spark.range(100, 1130)
+      .select(col("id").as("doc_id"),
+        array(lit(1L), lit(1L), lit(1L), lit(1L)).as("_pv"))
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToProbeRegistry(spark, dir, big, "doc_id", "_pv")
+    }.getMessage should include("capacity")
+    spark.read.parquet(s"$dir/probes").count() shouldBe 3L
+  }
+
+  test("binary-bytes fixture: the codec seam survives genuine non-UTF-8 payloads end-to-end") {
+    // A driver-style fixture table with TRUE binary payloads — lone
+    // continuation bytes, an overlong-encoding prefix, NUL and 0xFF
+    // runs — parquet-written and read back, so the whole
+    // source→scan→decode→band→verify seam runs on bytes that are NOT a
+    // valid character stream (attachPayload is the text-fixture shim;
+    // real pipelines land binary straight from the source). A real
+    // codec swap changes stubDecode's body only; everything pinned
+    // here is the plumbing around it.
+    def bin(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    // ASCII head + invalid-UTF-8 tail: the head's byte positions map
+    // 1:1 onto decoded char positions regardless of how many
+    // replacement chars the invalid tail decodes to, so a HEAD edit
+    // shifts exactly one window sum by exactly 1 (a TAIL edit can fall
+    // in the ignored len-beyond-dim·window remainder — the window rule
+    // stubFeaturesMicro documents)
+    val p1 = bin(0x41, 0x41, 0x41, 0x41, 0x42, 0x42, 0x42, 0x42,
+      0xC3, 0x28, 0x00, 0xFF, 0x80, 0x81, 0xF0, 0x90)
+    val p2 = p1.clone(); p2(0) = 0x42.toByte // one ASCII head edit: A→B
+    val p3 = p1.clone()                      // exact binary dup
+    val p4 = Array.fill(16)(0x7A.toByte)     // unrelated ("zzzz...")
+    val dir = tmpDir("t_binary_fixture")
+    Seq((1L, p1), (2L, p2), (3L, p3), (4L, p4))
+      .toDF("doc_id", "media").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // 1. metadata is BYTE-true: size counts raw bytes (not decoded
+    //    chars — the invalid sequences would collapse under a decode),
+    //    and the content hash is the md5 of the raw bytes
+    val meta = Multimodal.extractMeta(df, "media")
+      .select("doc_id", "size_bytes", "content_hash")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    meta(1L)._1 shouldBe 16L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    meta(1L)._2 shouldBe md.digest(p1).map("%02x".format(_)).mkString
+    // identical bytes hash equal; the one-byte edit does not
+    meta(3L)._2 shouldBe meta(1L)._2
+    meta(2L)._2 should not be meta(1L)._2
+    // 2. the decode stage consumes RAW bytes: the distributed
+    //    mapPartitions codec equals the driver-side stub on the same
+    //    byte array (this is the seam a JPEG/PCM decoder replaces)
+    val feats = Multimodal.fakeDecodeFeatures(df, "doc_id", "media", dim = 4)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    feats(1L) shouldBe Multimodal.stubDecode(p1, 4).toSeq
+    feats(4L) shouldBe Multimodal.stubDecode(p4, 4).toSeq
+    // 3. band → verify on the binary payloads: the exact dup verifies
+    //    hash-equal at l1=0; the tail edit decodes to an equal-length
+    //    char stream differing in ONE code point by 1 (the invalid
+    //    prefix decodes identically on both sides), so it verifies at
+    //    exactly l1=1 with hashes apart; the unrelated payload never
+    //    pairs
+    val pairs = Multimodal.mediaNearDupPairs(df, "doc_id", "media",
+        dim = 4, bandSize = 2, maxL1 = 50L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    pairs shouldBe Seq(
+      (1L, 2L, 1L, false),
+      (1L, 3L, 0L, true),
+      (2L, 3L, 1L, false))
+    // 4. the stored-index round trip (build over the binary corpus,
+    //    bloom screen + banded probe) routes a binary arrival too
+    val idxDir = tmpDir("t_binary_fixture_idx")
+    Multimodal.writeMediaDupIndex(spark,
+      df.filter(col("doc_id") =!= 2L), "doc_id", "media", 4, 2, idxDir)
+    val cut = Multimodal.mediaScreenCut(spark, idxDir,
+        df.filter(col("doc_id") === 2L), "doc_id", "media", maxL1 = 50L)
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    cut shouldBe Seq((2L, "cut", Some(1L), Some(1L)))
+  }
+
   test("stored media-dup index: probe matches the frozen corpus, ships no payloads") {
     // ref corpus: doc 1 (and its exact copy 3); probes: 10 = near-edit
     // of 1 (band 0 collides, l1=1), 11 = clean (no band match), 12 =
