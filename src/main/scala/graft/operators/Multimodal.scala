@@ -585,6 +585,43 @@ object Multimodal {
     routeProbes(spark, dim, bandSize, df, idCol, binCol, probes, maxL1)
   }
 
+  /** Deregister probes and fold the survivors into ONE segment — the
+    * registry's lifecycle tail (exemplar sets churn: a probe that
+    * stops earning routes should stop costing its nBands broadcast
+    * rows). Runs under the single-writer lock with the whole-dir
+    * [[StoredIndex.swapRewrite]] crash contract (at every instant
+    * either the old registry or a complete `_tmp` exists); geometry
+    * and the max-id watermark carry over, so future appends still
+    * validate against the HISTORICAL watermark — a deregistered id
+    * can never be re-registered, which is what keeps any registry
+    * state reachable by (write + appends + deregisters) bit-identical
+    * to a fresh write of the surviving set. Routing before and after
+    * a pure compaction (empty `dropIds`) is identical by construction
+    * (the spec pins it). */
+  def compactProbeRegistry(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dropIds: Set[Long] = Set.empty): Unit =
+    StoredIndex.withAppendLock(spark, dir) {
+      val (dim, bandSize) = registryGeometry(spark, dir)
+      val survivors = spark.read.parquet(s"$dir/probes")
+        .select(col("probe_id"), col("_pv"))
+        .filter(!col("probe_id").isin(dropIds.toSeq: _*))
+        .localCheckpoint() // sever lineage from the dir being swapped
+      require(survivors.count() > 0,
+        "deregistering every probe would leave an unroutable registry — " +
+          "delete the directory instead")
+      val maxId = StoredIndex.storedMaxId(spark, dir, "probe_id")
+      StoredIndex.swapRewrite(spark, dir) { tmp =>
+        survivors.write.parquet(s"$tmp/probes/seg=0")
+        spark.range(1).select(lit(dim).as("dim"),
+            lit(bandSize).as("band_size"))
+          .write.parquet(s"$tmp/geometry")
+        // historical watermark, NOT the surviving max: append-only ids
+        // must stay monotone across deregistration or an append of a
+        // recycled id would diverge from the rebuild-equivalence rule
+        StoredIndex.writeMaxIdMeta(spark, tmp, maxId)
+      }
+    }
+
   private def registryGeometry(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int) = {
     val g = spark.read.parquet(s"$dir/geometry").head()

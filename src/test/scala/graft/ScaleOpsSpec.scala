@@ -158,6 +158,50 @@ class MultimodalSpec extends SparkSpec {
     spark.read.parquet(s"$dir/probes").count() shouldBe 3L
   }
 
+  test("registry compaction folds segments and deregisters without breaking the id discipline") {
+    def probes(rows: (Long, Seq[Long])*) = rows.toDF("doc_id", "_pv")
+    val dir = tmpDir("t_registry_compact")
+    Multimodal.writeProbeRegistry(spark,
+      probes(1L -> Seq(10L, 20L, 30L, 40L)), "doc_id", "_pv", 4, 2, dir)
+    Multimodal.appendToProbeRegistry(spark, dir,
+      probes(5L -> Seq(11L, 20L, 30L, 40L)), "doc_id", "_pv")
+    Multimodal.appendToProbeRegistry(spark, dir,
+      probes(9L -> Seq(90L, 91L, 92L, 93L)), "doc_id", "_pv")
+    val arrivals = probes(
+      20L -> Seq(10L, 20L, 30L, 40L), 21L -> Seq(90L, 91L, 92L, 99L))
+    def route() = Multimodal.routeAgainstProbeRegistry(spark, dir,
+        arrivals.select(col("doc_id"),
+          // re-encode a payload whose features equal _pv: 4 chars, one
+          // per window — chr(code) per feature
+          concat((0 until 4).map(i =>
+            expr(s"chr(_pv[$i])")): _*).cast("binary").as("media")),
+        "doc_id", "media", maxL1 = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val before = route()
+    before.map(_._1).distinct.sorted shouldBe Seq(1L, 5L, 9L)
+    // PURE compaction: three segments fold to one, routing identical
+    Multimodal.compactProbeRegistry(spark, dir)
+    new java.io.File(s"$dir/probes").list().count(_.startsWith("seg=")) shouldBe 1
+    route() shouldBe before
+    // deregister probe 5: its routes vanish, everyone else's survive
+    Multimodal.compactProbeRegistry(spark, dir, dropIds = Set(5L))
+    route() shouldBe before.filterNot(_._1 == 5L)
+    // the HISTORICAL watermark survives deregistration: appending a
+    // fresh id works, re-registering a dropped or pre-watermark id
+    // fails — a recycled id would diverge from rebuild equivalence
+    Multimodal.appendToProbeRegistry(spark, dir,
+      probes(10L -> Seq(1L, 2L, 3L, 4L)), "doc_id", "_pv")
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToProbeRegistry(spark, dir,
+        probes(5L -> Seq(1L, 1L, 1L, 1L)), "doc_id", "_pv")
+    }.getMessage should include("append-only")
+    // refusing to empty the registry
+    intercept[IllegalArgumentException] {
+      Multimodal.compactProbeRegistry(spark, dir,
+        dropIds = Set(1L, 9L, 10L))
+    }.getMessage should include("unroutable")
+  }
+
   test("binary-bytes fixture: the codec seam survives genuine non-UTF-8 payloads end-to-end") {
     // A driver-style fixture table with TRUE binary payloads — lone
     // continuation bytes, an overlong-encoding prefix, NUL and 0xFF
