@@ -93,8 +93,30 @@ object Bench {
     // the committed quiet-box artifact, not for dev loops.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(2).max(2)
+    val controlIdx =
+      named.indices.filter(i => controlFamily.contains(named(i)._1))
+    def ctlSubtotal(sw: IndexedSeq[(Double, Option[String])]): Double =
+      controlIdx.collect { case i if sw(i)._2.isEmpty => sw(i)._1 }.sum
     val coldSweep = sweep(reuseArtifacts = false, seed = 1)
-    val warmSweeps = (2 to passes).map(p => sweep(reuseArtifacts = true, seed = p))
+    // Adaptive extra warm sweep (round-14 verdict item 1b): with the
+    // default passes=2 there is exactly ONE warm sweep, and when a
+    // sustained co-tenant regime covers it (r14 driver run: warm
+    // control subtotal 65.80 vs cold 19.97 — 40 minutes of load, not a
+    // burst the seed-shuffle can decorrelate), min-of-N degenerates to
+    // the cold values and the headline silently reports loaded-cold
+    // work as warm. If EVERY warm sweep's control subtotal exceeded
+    // 1.5× the cold sweep's, run one more warm sweep — one recovery
+    // attempt, bounded cost, and the per-sweep subtotals on the line
+    // record whether it helped.
+    val warmSweeps = {
+      val planned = (2 to passes).map(p => sweep(reuseArtifacts = true, seed = p))
+      if (BenchLine.needExtraWarmSweep(
+          ctlSubtotal(coldSweep), planned.map(ctlSubtotal))) {
+        System.err.println(
+          "BENCH: all warm sweeps regime-loaded vs cold control — running one adaptive extra warm sweep")
+        planned :+ sweep(reuseArtifacts = true, seed = passes + 1)
+      } else planned
+    }
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val (cold, errCold) = coldSweep(i)
       val warms = warmSweeps.map(_(i))
@@ -129,12 +151,10 @@ object Bench {
     // shows up as an outlier control subtotal, so a reader of the
     // committed artifact can SEE which sweep was regime-contaminated
     // and discard it, instead of inferring the burst from per-query
-    // anomalies after the fact.
-    val controlIdx =
-      named.indices.filter(i => controlFamily.contains(named(i)._1))
-    val controlBySweep = (coldSweep +: warmSweeps).map { sw =>
-      controlIdx.collect { case i if sw(i)._2.isEmpty => sw(i)._1 }.sum
-    }
+    // anomalies after the fact. Since round 15 these also ride the
+    // stdout line (O(passes) numbers), so the COMMITTED BENCH_r{N}
+    // artifact alone exonerates — or convicts — its own headline.
+    val controlBySweep = (coldSweep +: warmSweeps).map(ctlSubtotal)
     // Cold total: every query's FULL declared semantics (stored-artifact
     // builds included) from pass 1. Emitted alongside the warm min-of-N
     // so the headline can't quietly improve by measuring less work — the
@@ -294,10 +314,21 @@ object Bench {
       else "target/BENCH_FULL.json"
     // a filtered dev run must not clobber the full-surface artifact
     if (only.isEmpty) {
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(fullPath),
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      def writeReport(path: String): Unit =
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      writeReport(fullPath)
+      // Durable copy of the LAST full-surface run (round-14 verdict
+      // item 6): the r14 perf verdict was decided by per-sweep
+      // forensics living only in target/BENCH_FULL.json — one
+      // `rm -rf target` from gone. Non-baseline runs (the driver's
+      // per-round bench included) also land the identical report at a
+      // committed docs/ path, so the full per-query map of any round's
+      // driver run survives into the next round's history.
+      if (fullPath != "docs/BENCH_FULL.json")
+        writeReport("docs/BENCH_FULL_LAST_RUN.json")
     }
     // Compact recall SCALARS stay on the driver-visible line (round-9
     // item 5 gave it trained_recall; round-10 item 5 added
@@ -314,7 +345,7 @@ object Bench {
     println(BenchLine.build(
       total, totalCold, controlTotal, recallShort, failed.size, cpus,
       ok.map(r => r.name -> r.warm), failed.map(r => r.name -> r.err.get),
-      sfDir))
+      sfDir, controlBySweep))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

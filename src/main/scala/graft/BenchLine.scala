@@ -53,38 +53,89 @@ object BenchLine {
       case c => c.toString
     } + "\""
 
+  /** [[jstr]] with the ESCAPED payload capped at `cap` chars. Error
+    * messages must be truncated AFTER escaping: a control-char-heavy
+    * message expands up to 6× under `\u00XX` escaping, so a pre-escape
+    * `take(60)` could still render ~360 chars per entry and blow the
+    * line [[Budget]] even with every query entry dropped — the exact
+    * `parsed:null` failure mode this class exists to prevent (round-14
+    * advice). Truncation never splits an escape sequence: the payload
+    * is assembled escape-unit by escape-unit and stops before the unit
+    * that would cross `cap`. */
+  def jstrCapped(s: String, cap: Int): String = {
+    val sb = new StringBuilder("\"")
+    var i = 0
+    var fits = true
+    while (i < s.length && fits) {
+      val unit = s.charAt(i) match {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      if (sb.length - 1 + unit.length > cap) fits = false
+      else { sb.append(unit); i += 1 }
+    }
+    sb.append('"').toString
+  }
+
   /** "q112_bm25" -> "112": every key is a query number; the full names
     * live in BENCH_FULL.json. */
   def shortKey(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
 
   /** Build the stdout line. `recallFields` is a pre-rendered fragment
     * (`,"trained_recall":0.801,...` or empty) — recall scalars are O(1)
-    * and always fit. The per-query map carries the `queriesTop`
-    * heaviest entries, shrunk further if the rendered line would still
-    * exceed [[Budget]] (it cannot at sane field sizes, but the loop
-    * makes the guarantee unconditional instead of hand-tuned). */
+    * and always fit. `controlBySweep` is the per-sweep control-family
+    * subtotal, cold sweep first (round-14 verdict item 1): O(passes) ≈
+    * 3–4 numbers that let a reader of the COMMITTED artifact see a
+    * regime-poisoned sweep — without them the r14 driver line showed a
+    * 231.66 s "warm" headline whose only exoneration (`control_by_sweep
+    * [19.97, 65.80]` — the warm sweep ran at 8.7× quiet-box load) lived
+    * in an uncommitted target/ file. The per-query map carries the
+    * `queriesTop` heaviest entries, shrunk if the rendered line would
+    * exceed [[Budget]]; once the query map is empty the error entries
+    * drop too, so the budget holds even under escape-expanded
+    * pathological error messages. */
   def build(total: Double, totalCold: Double, controlTotal: Double,
       recallFields: String, nFailed: Int, cpus: String,
       warm: Seq[(String, Double)], errors: Seq[(String, String)],
-      sf: String): String = {
+      sf: String, controlBySweep: Seq[Double] = Nil): String = {
     val top = warm.sortBy { case (n, v) => (-v, n) }
-    val errShown = errors.take(MaxErrors)
-    val errPart =
-      if (errShown.isEmpty) ""
-      else errShown.map { case (n, e) =>
-        "\"" + shortKey(n) + "\":" + jstr(e.take(60))
-      }.mkString(""","errors":{""", ",", "}")
-    def render(k: Int): String = {
+    val sweepPart =
+      if (controlBySweep.isEmpty) ""
+      else controlBySweep.map(fmt2).mkString(""","control_by_sweep":[""", ",", "]")
+    def render(k: Int, nErr: Int): String = {
       val qPart = top.take(k)
         .map { case (n, v) => "\"" + shortKey(n) + "\":" + fmt2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$recallFields,"unit":"sec","n_failed":$nFailed,"cpus":$cpus,"queries_n":${warm.size},"queries_top":$k,"queries":$qPart$errPart,"sf":${jstr(sf)}}"""
+      val errPart =
+        if (nErr == 0) ""
+        else errors.take(nErr).map { case (n, e) =>
+          "\"" + shortKey(n) + "\":" + jstrCapped(e, 60)
+        }.mkString(""","errors":{""", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"total_cold":${fmt(totalCold)},"control_total":${fmt(controlTotal)}$sweepPart$recallFields,"unit":"sec","n_failed":$nFailed,"cpus":$cpus,"queries_n":${warm.size},"queries_top":$k,"queries":$qPart$errPart,"sf":${jstr(sf)}}"""
     }
     var k = math.min(TopN, top.size)
-    var line = render(k)
-    while (line.length > Budget && k > 0) { k -= 1; line = render(k) }
+    var nErr = math.min(MaxErrors, errors.size)
+    var line = render(k, nErr)
+    while (line.length > Budget && k > 0) { k -= 1; line = render(k, nErr) }
+    while (line.length > Budget && nErr > 0) { nErr -= 1; line = render(k, nErr) }
     line
   }
+
+  /** Adaptive-warm-sweep trigger (round-14 verdict item 1b): true when
+    * EVERY warm sweep's control subtotal ran above `factor`× the cold
+    * sweep's — i.e. the whole warm regime was co-tenant-loaded and
+    * min-of-N has only cold values to fall back on (r14: 17 of the 20
+    * heaviest queries reported warm == cold). The caller then runs ONE
+    * extra warm sweep to try to recover a genuine warm measurement.
+    * One extra sweep only — a box loaded for the whole run should cost
+    * +1 sweep, not an unbounded retry loop. Pure so the trigger is
+    * unit-testable against simulated poisoned sweeps. */
+  def needExtraWarmSweep(coldControl: Double, warmControls: Seq[Double],
+      factor: Double = 1.5): Boolean =
+    coldControl > 0 && warmControls.nonEmpty &&
+      warmControls.min > factor * coldControl
 
   /** Deterministic per-sweep execution order (round-13 verdict item 3):
     * each sweep visits the queries in a seed-shuffled order, a

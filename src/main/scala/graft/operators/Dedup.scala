@@ -545,6 +545,10 @@ object Dedup {
     // this read and the swap would be silently dropped by the swap
     // while meta's watermark says its ids are indexed
     StoredIndex.withAppendLock(spark, dir) {
+      // crash fence: folding data while a crashed append's partial
+      // part-files sit behind a pending meta would commit the partial
+      // batch and erase the evidence (round-14 advice, all compactions)
+      StoredIndex.requireNotPending(spark, dir)
       // durable swap: the replacement is fully on disk before the old
       // copy is deleted (a checkpoint-then-overwrite would hold the only
       // copy in non-durable executor blocks mid-rewrite)

@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * The Spark-side machinery here is REAL and tested — schema contract,
   * batched per-partition iteration, feature-vector shape — but the codec
   * itself is a STUB: this container has no image/audio libraries, so
-  * [[fakeDecodeFeatures]] substitutes a deterministic byte-window mean
-  * in place of a JPEG/PCM decoder. Swapping in a real decoder changes
-  * ONE function body; the distributed plumbing (the part Spark owns) is
-  * unchanged.
+  * the default [[MediaDecoder]] ([[MediaDecoders.WindowSums]])
+  * substitutes a deterministic byte-window signature in place of a
+  * JPEG/PCM decoder. Every decode site consumes [[MediaDecoders.active]]
+  * — the pluggable seam — so a real codec lands as ONE MediaDecoder
+  * class plus one JVM property; the distributed plumbing (the part
+  * Spark owns) is unchanged, and stored artifacts record the decoder id
+  * so an index banded under one codec can never be silently probed
+  * under another.
   *
   * Scale notes: the decode stage is a narrow mapPartitions — no shuffle,
   * parallelism = input splits; binary payloads never serialize to the
@@ -42,24 +46,15 @@ object Multimodal {
     df.withColumn("size_bytes", octet_length(col(binCol)).cast("long"))
       .withColumn("content_hash", md5(col(binCol)))
 
-  /** STUB DECODER — deterministic fake standing in for a real codec.
-    * "Decodes" a binary payload into a `dim`-float feature vector by
-    * averaging `dim` equal byte windows (values scaled to [0,1]).
-    * Replace this body with e.g. a JPEG decode + CNN featurizer; the
-    * signature and the distributed shape stay identical. */
-  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (bytes.isEmpty) Array.fill(dim)(0f)
-    else {
-      val window = math.max(1, bytes.length / dim)
-      Array.tabulate(dim) { i =>
-        val from = math.min(i * window, bytes.length - 1)
-        val until = math.min(from + window, bytes.length)
-        var s = 0L; var j = from
-        while (j < until) { s += (bytes(j) & 0xff); j += 1 }
-        (s.toDouble / ((until - from) * 255.0)).toFloat
-      }
-    }
-  }
+  /** STUB DECODER — the default [[MediaDecoder]]'s float face
+    * ([[MediaDecoders.WindowSums]], where the body now lives):
+    * "decodes" a binary payload into a `dim`-float feature vector by
+    * averaging `dim` equal byte windows (values scaled to [0,1]). A
+    * real codec lands as ONE [[MediaDecoder]] class (activated via
+    * `-Dgraft.media.decoder=...`); this alias stays pinned to the stub
+    * so parity specs compare against a fixed reference. */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] =
+    MediaDecoders.WindowSums.decode(bytes, dim)
 
   /** Partition-wise decode → feature column. Dataset-typed
     * `mapPartitions` carrying the FULL input row through: no re-join on
@@ -67,17 +62,21 @@ object Multimodal {
     * through the codec and appends the feature vector in place. The
     * result schema is the input schema plus `features`; `idCol` is kept
     * for signature stability (real codecs often key side outputs) but
-    * the plumbing no longer needs it. */
+    * the plumbing no longer needs it. The codec is the ACTIVE
+    * [[MediaDecoder]], resolved once at plan build and shipped to the
+    * tasks (the trait is Serializable) — the seam a real library codec
+    * plugs into. */
   def fakeDecodeFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
     df.schema.fieldIndex(idCol) // fail fast on a bad id column, like binCol below
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val binIdx = df.schema.fieldIndex(binCol)
+    val dec = MediaDecoders.active
     df.mapPartitions { it =>
       it.map { row =>
         val bytes =
           if (row.isNullAt(binIdx)) Array.emptyByteArray
           else row.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(row.toSeq :+ stubDecode(bytes, dim).toSeq)
+        Row.fromSeq(row.toSeq :+ dec.decode(bytes, dim).toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -91,12 +90,12 @@ object Multimodal {
     * so this is a byte-window content signature; a real codec replaces
     * the character stream with decoded samples, and the banding /
     * verify machinery downstream is unchanged. All-integer → the whole
-    * near-dup face mirrors exactly into SQL (q164). */
-  def stubFeaturesMicro(payload: Column, dim: Int): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(graft.functions.CharWindowSums(
-      ColumnBridge.expression(payload.cast("string")), dim))
-  }
+    * near-dup face mirrors exactly into SQL (q164). Pinned alias of
+    * [[MediaDecoders.WindowSums]]'s integer face (parity specs need a
+    * fixed reference); the MACHINERY consumes [[MediaDecoders.active]]
+    * instead, so a real codec swaps in without touching it. */
+  def stubFeaturesMicro(payload: Column, dim: Int): Column =
+    MediaDecoders.WindowSums.featuresMicro(payload, dim)
 
   /** Composed-functions reference implementation of
     * [[stubFeaturesMicro]] — kept ONLY as the parity pin for the
@@ -164,13 +163,15 @@ object Multimodal {
   }
 
   /** (id, content hash, integer feature vector) for every non-null
-    * payload — the shared front end of all media-dedup faces. */
+    * payload — the shared front end of all media-dedup faces. Features
+    * come from the ACTIVE [[MediaDecoder]] (default: the window-sum
+    * stub), so a real codec flows through every banded face from here. */
   private def featsFrame(df: DataFrame, idCol: String, binCol: String,
       dim: Int): DataFrame =
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).as("_id"),
         md5(col(binCol)).as("_h"),
-        stubFeaturesMicro(col(binCol), dim).as("_f"))
+        MediaDecoders.active.featuresMicro(col(binCol), dim).as("_f"))
 
   /** Exploded (id, full vector, content hash, band index, band slice)
     * rows — the LSH-band key space the candidate equi-joins run on.
@@ -279,7 +280,10 @@ object Multimodal {
       .agg(BloomBridge.bloomAgg(xxhash64(col("_band"), col("_key")), nBands, fpp))
       .head().getAs[Array[Byte]](0)
     spark.range(1).select(lit(bloom).as("bloom"), lit(dim).as("dim"),
-        lit(bandSize).as("band_size"))
+        lit(bandSize).as("band_size"),
+        // decoder identity is part of the artifact contract: probing
+        // under a different codec would band-miss every payload
+        lit(MediaDecoders.active.id).as("decoder"))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -371,6 +375,13 @@ object Multimodal {
   private def readGeometry(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int) = {
     val meta = spark.read.parquet(s"$dir/meta").head()
+    // decoder fence: bands written under another codec would silently
+    // never collide (100% false negatives) — fail here instead
+    MediaDecoders.requireMatch(
+      if (meta.schema.fieldNames.contains("decoder"))
+        Option(meta.getAs[String]("decoder"))
+      else None,
+      MediaDecoders.active, s"media index $dir")
     (meta.getAs[Number]("dim").intValue(),
       meta.getAs[Number]("band_size").intValue())
   }
@@ -408,7 +419,8 @@ object Multimodal {
     // (band index, key) hashes must match the writer's
     // xxhash64(_band, _key): posexplode's pos and the sequence values
     // are both 0-based ints
-    graft.functions.ArrayOps.bind(stubFeaturesMicro(payload, dim)) { f =>
+    graft.functions.ArrayOps.bind(
+        MediaDecoders.active.featuresMicro(payload, dim)) { f =>
       exists(transform(sequence(lit(0), lit(dim / bandSize - 1)),
         b => BloomBridge.mightContain(filterBytes,
           xxhash64(b, slice(f, b * bandSize + lit(1), lit(bandSize))))),
@@ -489,7 +501,8 @@ object Multimodal {
     // the SHARED band-discipline expressions — the first-agreeing-band
     // rule lives only in [[noEarlierAgreement]].
     val aBands = stream.filter(col(binCol).isNotNull)
-      .select(col(idCol), stubFeaturesMicro(col(binCol), dim).as("_f"))
+      .select(col(idCol),
+        MediaDecoders.active.featuresMicro(col(binCol), dim).as("_f"))
       .select(col(idCol), col("_f"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
           b => slice(col("_f"), b * bandSize + lit(1), lit(bandSize)))))
@@ -533,7 +546,10 @@ object Multimodal {
       StoredIndex.swapRewrite(spark, dir) { tmp =>
         seg.write.parquet(s"$tmp/probes/seg=0")
         spark.range(1).select(lit(dim).as("dim"),
-            lit(bandSize).as("band_size"))
+            lit(bandSize).as("band_size"),
+            // registered vectors must come from the decoder that will
+            // decode arrivals at route time — record which one
+            lit(MediaDecoders.active.id).as("decoder"))
           .write.parquet(s"$tmp/geometry")
         StoredIndex.writeMaxIdMeta(spark, tmp,
           StoredIndex.requiredMaxId(seg, "probe_id"))
@@ -601,6 +617,10 @@ object Multimodal {
   def compactProbeRegistry(spark: org.apache.spark.sql.SparkSession,
       dir: String, dropIds: Set[Long] = Set.empty): Unit =
     StoredIndex.withAppendLock(spark, dir) {
+      // crash fence FIRST: folding dir/probes while a crashed append's
+      // partial segment sits there would commit the partial batch and
+      // erase the pending evidence (round-14 advice)
+      StoredIndex.requireNotPending(spark, dir)
       val (dim, bandSize) = registryGeometry(spark, dir)
       val survivors = spark.read.parquet(s"$dir/probes")
         .select(col("probe_id"), col("_pv"))
@@ -613,7 +633,10 @@ object Multimodal {
       StoredIndex.swapRewrite(spark, dir) { tmp =>
         survivors.write.parquet(s"$tmp/probes/seg=0")
         spark.range(1).select(lit(dim).as("dim"),
-            lit(bandSize).as("band_size"))
+            lit(bandSize).as("band_size"),
+            // registryGeometry's decoder fence passed above, so the
+            // active id IS the stored id — the stamp carries over
+            lit(MediaDecoders.active.id).as("decoder"))
           .write.parquet(s"$tmp/geometry")
         // historical watermark, NOT the surviving max: append-only ids
         // must stay monotone across deregistration or an append of a
@@ -622,26 +645,80 @@ object Multimodal {
       }
     }
 
+  /** Per-probe ROUTING STATS over an arrival batch — the MEASURE step
+    * that closes the registry lifecycle (register → route → measure →
+    * deregister): one row per REGISTERED probe with its route count,
+    * band-agreement mass and best (min) verified L1 over the batch.
+    * Zero-route probes surface with `n_routes = 0` and a null `min_l1`
+    * — exactly the operational signal [[compactProbeRegistry]]'s
+    * deregistration decision needs ("which exemplars stopped earning
+    * routes"), produced from the same single routing pass a production
+    * ingest tick already runs. Scale shape: the routing plan is
+    * [[routeAgainstProbeRegistry]]'s (nBands hash lookups per arrival
+    * against the bounded banded broadcast relation); the stats are one
+    * probe-keyed partial-combined aggregate whose output is bounded by
+    * the 1024-probe registration contract, left-joined back onto the
+    * (model-sized) registered id set so absent probes report zero. */
+  def probeRegistryRouteStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, binCol: String,
+      maxL1: Long): DataFrame = {
+    val routed = routeAgainstProbeRegistry(spark, dir, df, idCol, binCol, maxL1)
+    val stats = routed.groupBy("probe_id").agg(
+      count(lit(1)).as("n_routes"),
+      sum(col("bands_hit")).as("sum_bands"),
+      min(col("l1")).as("min_l1"))
+    spark.read.parquet(s"$dir/probes").select(col("probe_id"))
+      .join(stats, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_routes"), lit(0L)).as("n_routes"),
+        coalesce(col("sum_bands"), lit(0L)).as("sum_bands"),
+        col("min_l1"))
+  }
+
   private def registryGeometry(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int) = {
     val g = spark.read.parquet(s"$dir/geometry").head()
+    // decoder fence (read side of the stamp the writers record):
+    // arrivals decoded under another codec would band-miss every
+    // registered probe — silent 100% false negatives, so fail here
+    MediaDecoders.requireMatch(
+      if (g.schema.fieldNames.contains("decoder"))
+        Option(g.getAs[String]("decoder"))
+      else None,
+      MediaDecoders.active, s"probe registry $dir")
     (g.getAs[Number]("dim").intValue(),
       g.getAs[Number]("band_size").intValue())
   }
 
   /** Normalize + validate a registration batch: (probe_id, _pv) with
-    * every vector non-null and exactly `dim` wide, and the batch
-    * within the remaining registry capacity. Registration batches are
-    * exemplar-sized, so the validating count is bounded by contract. */
+    * every id non-null and unique, every vector non-null and exactly
+    * `dim` wide, and the batch within the remaining registry capacity.
+    * The id checks matter on the WRITE path (round-14 advice): the
+    * append path re-validates ids through
+    * [[StoredIndex.validateAppendBatch]], but an initial write batch
+    * with a null or duplicate probe_id would otherwise persist a
+    * registry that only fails at route time (routeProbes' distinct-ids
+    * require, or an NPE in the route collect) with no hint the stored
+    * artifact itself is corrupt — violating the registry's "every
+    * violation fails LOUDLY at registration" contract. Registration
+    * batches are exemplar-sized, so the validating count is bounded by
+    * contract. */
   private def validatedProbeSeg(probes: DataFrame, idCol: String,
       vecCol: String, dim: Int, maxNew: Long): DataFrame = {
     val seg = probes.select(col(idCol).cast("long").as("probe_id"),
       col(vecCol).cast("array<long>").as("_pv"))
     val r = seg.agg(count(lit(1)),
-      count(when(col("_pv").isNull || size(col("_pv")) =!= dim, 1))).head
-    val (n, bad) = (r.getLong(0), r.getLong(1))
+      count(when(col("_pv").isNull || size(col("_pv")) =!= dim, 1)),
+      count(when(col("probe_id").isNull, 1)),
+      count_distinct(col("probe_id"))).head
+    val (n, bad, nullIds, distinctIds) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     require(bad == 0,
       s"$bad probe vector(s) null or not dim=$dim — refusing to register")
+    require(nullIds == 0,
+      s"$nullIds probe id(s) null — refusing to register")
+    require(distinctIds == n - nullIds,
+      s"${n - nullIds - distinctIds} duplicate probe id(s) — refusing to register")
     require(n > 0 && n <= maxNew,
       s"registration batch of $n exceeds remaining registry capacity " +
         s"$maxNew (the 1024-probe exemplar bound) or is empty")

@@ -301,6 +301,10 @@ object Retrieval {
     // below and the swap would otherwise vanish from the merged index
     // while doclens/stats/meta still count its rows
     StoredIndex.withAppendLock(spark, dir) {
+      // crash fence: merging postings while a crashed append's partial
+      // segment sits behind a pending meta would commit the partial
+      // batch and erase the evidence (round-14 advice, all compactions)
+      StoredIndex.requireNotPending(spark, dir)
       val merged = decodeSegments(spark.read.parquet(s"$dir/postings"))
         .select(col("id"), col("token"), col("tf"))
       val seg = encodeSegment(merged

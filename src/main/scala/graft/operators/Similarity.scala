@@ -1147,6 +1147,10 @@ object Similarity {
     // snapshot below and the dynamic-overwrite commit would be wiped
     // with the cell — the lock makes that append fail loudly instead
     StoredIndex.withAppendLock(spark, dir) {
+      // crash fence: a crashed append may have left a PARTIAL cell file
+      // behind a pending meta — folding it in would commit the partial
+      // batch and erase the evidence (round-14 advice, all compactions)
+      StoredIndex.requireNotPending(spark, dir)
       val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
       val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val crowded = fs.listStatus(dataPath).toSeq

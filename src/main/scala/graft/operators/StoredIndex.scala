@@ -43,6 +43,25 @@ object StoredIndex {
       df.columns.contains("pending") && df.head.getAs[Boolean]("pending")
     }.getOrElse(false)
 
+  /** Pending-meta crash fence for COMPACTIONS (round-14 advice): a
+    * compaction folds whatever part-files exist into a fresh layout and
+    * rewrites the meta with `pending = false` — run over an index whose
+    * previous append CRASHED mid-write (meta pending, a possibly
+    * PARTIAL segment on disk), it would silently commit the partial
+    * batch and clear the only evidence, the exact double-ingest /
+    * silent-loss class [[guardedAppend]] exists to prevent. Appends hit
+    * this fence via [[validateAppendBatch]]; every fold-existing-data
+    * compaction must call this first (inside its lock). Full REBUILDS
+    * from source data are exempt by design — recomputing from the
+    * corpus is the documented repair path for a stranded pending flag. */
+  def requireNotPending(spark: SparkSession, dir: String): Unit =
+    require(!metaPending(spark, dir),
+      s"a previous append to $dir did not complete (meta is marked " +
+        "pending, data files may be partial): verify whether the " +
+        "pending batch's rows landed in data, clear the marker with " +
+        "writeMaxIdMeta at the verified watermark, then re-run the " +
+        "compaction — compacting now would silently commit a partial batch")
+
   /** The append protocol every stored artifact shares: validate the
     * id discipline, mark the meta PENDING at the new watermark, run the
     * data append, clear the flag. A crash between any two steps leaves

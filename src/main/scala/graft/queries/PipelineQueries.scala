@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, PortableRound}
@@ -1495,25 +1496,44 @@ object PipelineQueries {
     * arrival, nBands hash lookups against a bounded banded broadcast
     * relation — probe count is capped at 1024 by the registration
     * contract, so the route-side collect is model-sized forever. */
+  /** The q171/q173 registry artifact: built ONCE and shared by both
+    * faces ("register once, route forever" — two consumers of one
+    * stored registry is the lifecycle the family exists to prove).
+    * Geometry/threshold constants live here so the two queries and
+    * their oracles cannot drift apart. */
+  private val RegistryDim = 16
+  private val RegistryBandSize = 4
+  private val RegistryMaxL1 = 1200L
+
+  private def q171Registry(s: SparkSession, dir: String,
+      media: org.apache.spark.sql.DataFrame): String = {
+    val rDir = s"${System.getProperty("java.io.tmpdir")}/graft_q171_registry_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Artifacts.prepare(s, rDir) {
+      val ex = media
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500 &&
+          col("media").isNotNull)
+        .select(col("doc_id"),
+          // the ACTIVE decoder, so registration and routing stay codec-
+          // consistent (default = the window-sum stub the oracle mirrors)
+          graft.operators.MediaDecoders.active
+            .featuresMicro(col("media"), RegistryDim).as("_pv"))
+      Multimodal.writeProbeRegistry(s,
+        ex.filter(col("doc_id") < 250), "doc_id", "_pv",
+        RegistryDim, RegistryBandSize, rDir)
+      Multimodal.appendToProbeRegistry(s, rDir,
+        ex.filter(col("doc_id") >= 250), "doc_id", "_pv")
+    }
+    rDir
+  }
+
   private val q171 = {
-    val (dim, bs, nb, maxL1) = (16, 4, 4, 1200L)
+    val (dim, bs, nb, maxL1) = (RegistryDim, RegistryBandSize, 4, RegistryMaxL1)
     Q(
       "q171_probe_registry",
       (s, dir) => {
         val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
-        val rDir = s"${System.getProperty("java.io.tmpdir")}/graft_q171_registry_" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        Artifacts.prepare(s, rDir) {
-          val ex = media
-            .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500 &&
-              col("media").isNotNull)
-            .select(col("doc_id"),
-              Multimodal.stubFeaturesMicro(col("media"), dim).as("_pv"))
-          Multimodal.writeProbeRegistry(s,
-            ex.filter(col("doc_id") < 250), "doc_id", "_pv", dim, bs, rDir)
-          Multimodal.appendToProbeRegistry(s, rDir,
-            ex.filter(col("doc_id") >= 250), "doc_id", "_pv")
-        }
+        val rDir = q171Registry(s, dir, media)
         Multimodal.routeAgainstProbeRegistry(s, rDir,
           media.filter(col("doc_id") % 2 === 1), "doc_id", "media", maxL1)
           .orderBy("probe_id", "doc_id")
@@ -1545,9 +1565,65 @@ object PipelineQueries {
         ORDER BY probe_id, doc_id""".replaceAll("\\s+", " ")))
   }
 
+  /** REGISTRY ROUTING STATS (round-14 verdict item 7) — the MEASURE
+    * step that closes the registry lifecycle loop (register → route →
+    * measure → deregister): per REGISTERED probe, its route count,
+    * band-agreement mass and best verified L1 over an arrival batch,
+    * with zero-route probes surfacing as `n_routes = 0` rows — the
+    * operational signal `compactProbeRegistry`'s deregistration
+    * decision consumes. Reads the SAME stored registry q171 built
+    * (register once, two lifecycle consumers), so the artifact-shared
+    * prepare proves the stored probe set serves multiple downstream
+    * faces. Everything integer-exact; the oracle is q171's routing
+    * relation aggregated per probe and LEFT-joined from the full
+    * registered set. Scale shape: q171's routing plan + one
+    * probe-keyed aggregate bounded at 1024 output rows. */
+  private val q173 = {
+    val (dim, bs, nb, maxL1) = (RegistryDim, RegistryBandSize, 4, RegistryMaxL1)
+    Q(
+      "q173_registry_route_stats",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(t(s, dir, "documents"), "text", "text")
+        val rDir = q171Registry(s, dir, media)
+        Multimodal.probeRegistryRouteStats(s, rDir,
+          media.filter(col("doc_id") % 2 === 1), "doc_id", "media", maxL1)
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+          FROM d),
+        f AS (SELECT doc_id,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0)) AS feats
+          FROM co),
+        p AS (SELECT doc_id AS probe_id, feats AS pv FROM f
+          WHERE doc_id % 10 = 0 AND doc_id < 500),
+        a AS (SELECT doc_id, feats FROM f WHERE doc_id % 2 = 1),
+        r AS (SELECT p.probe_id, a.doc_id,
+            len(list_filter(range(0, $nb), b ->
+              list_slice(a.feats, b*$bs+1, b*$bs+$bs) =
+                list_slice(p.pv, b*$bs+1, b*$bs+$bs))) AS bands_hit,
+            list_sum(list_transform(list_zip(a.feats, p.pv),
+              z -> abs(z[1] - z[2]))) AS l1
+          FROM a CROSS JOIN p),
+        m AS (SELECT probe_id, count(*) AS n_routes, sum(bands_hit) AS sum_bands,
+            min(l1) AS min_l1
+          FROM r WHERE bands_hit >= 1 AND l1 <= $maxL1 GROUP BY 1)
+        SELECT p.probe_id,
+          CAST(COALESCE(m.n_routes, 0) AS BIGINT) AS n_routes,
+          CAST(COALESCE(m.sum_bands, 0) AS BIGINT) AS sum_bands,
+          CAST(m.min_l1 AS BIGINT) AS min_l1
+        FROM p LEFT JOIN m USING (probe_id)
+        ORDER BY p.probe_id""".replaceAll("\\s+", " ")))
+  }
+
   val all: Seq[Q] =
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
       q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166,
-      q167, q168, q171)
+      q167, q168, q171, q173)
 }

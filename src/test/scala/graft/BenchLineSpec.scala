@@ -60,6 +60,64 @@ class BenchLineSpec extends AnyFunSuite with Matchers {
     line.length should be <= BenchLine.Budget
   }
 
+  test("escape-expanded error messages cannot blow the budget") {
+    // round-14 advice: control-char-heavy messages expand up to 6x
+    // under \u00XX escaping, so a pre-escape take(60) could render
+    // ~360 chars per entry — 5 entries alone would exceed the budget
+    // even at k=0. The fix truncates AFTER escaping and, as a last
+    // resort, drops error entries entirely.
+    val n = 2 * SparkEntry.queries.size
+    val errs = (1 to n).map(i => f"q$i%03d_name" -> ("\n" * 80))
+    val line = BenchLine.build(0.0, 0.0, 0.0, "", n, "32",
+      fakeQueries(n), errs, "/root/testdata/sf0.1")
+    line.length should be <= BenchLine.Budget
+    val parsed = JsonMethods.parse(line)
+    (parsed \ "n_failed") shouldBe JInt(n)
+    // each surviving error value's escaped payload is capped at 60
+    val JObject(es) = (parsed \ "errors"): @unchecked
+    es.foreach { case (_, JString(v)) =>
+      // decoded value round-trips to <= 60 escaped chars
+      BenchLine.jstr(v).length should be <= 62
+    case other => fail(s"non-string error $other")
+    }
+  }
+
+  test("jstrCapped never splits an escape sequence") {
+    // a cap landing mid-\u sequence must drop the whole unit
+    val s = "a\nb\"c\\d\u0001e"
+    for (cap <- 0 to 20) {
+      val out = BenchLine.jstrCapped(s, cap)
+      JsonMethods.parse(s"""{"x":$out}""") // stays valid JSON
+      out.length should be <= cap + 2
+    }
+    // under a generous cap the capped form degrades to plain jstr
+    BenchLine.jstrCapped("a\nb", 60) shouldBe BenchLine.jstr("a\nb")
+  }
+
+  test("control_by_sweep rides the line and stays O(passes)") {
+    val warm = fakeQueries(2 * SparkEntry.queries.size)
+    val line = BenchLine.build(100.0, 200.0, 7.5, "", 0, "32", warm,
+      Seq.empty, "sf", controlBySweep = Seq(19.97, 65.8, 8.1))
+    line.length should be <= BenchLine.Budget
+    val parsed = JsonMethods.parse(line)
+    val JArray(cs) = (parsed \ "control_by_sweep"): @unchecked
+    cs.map { case JDouble(v) => v; case JInt(v) => v.toDouble
+      case other => fail(s"non-numeric control $other") } shouldBe
+      Seq(19.97, 65.8, 8.1)
+  }
+
+  test("adaptive warm-sweep trigger fires only on a fully poisoned warm regime") {
+    // the r14 driver run: cold control 19.97, one warm sweep at 65.80
+    // — every warm sweep loaded, so one extra sweep is warranted
+    BenchLine.needExtraWarmSweep(19.97, Seq(65.80)) shouldBe true
+    // any ONE healthy warm sweep means min-of-N already has a genuine
+    // warm value — no extra sweep
+    BenchLine.needExtraWarmSweep(19.97, Seq(65.80, 20.1)) shouldBe false
+    BenchLine.needExtraWarmSweep(7.6, Seq(8.2)) shouldBe false // quiet box
+    BenchLine.needExtraWarmSweep(0.0, Seq(65.80)) shouldBe false // degenerate
+    BenchLine.needExtraWarmSweep(7.6, Nil) shouldBe false
+  }
+
   test("sweep order is a deterministic permutation, distinct across seeds") {
     val n = 170
     val s1 = BenchLine.sweepOrder(n, 1)

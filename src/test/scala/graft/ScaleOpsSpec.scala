@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, SkewJoin}
+import graft.operators.{Dedup, Multimodal, SkewJoin, StoredIndex}
 import graft.sources.Bucketed
 
 class SkewJoinSpec extends SparkSpec {
@@ -46,6 +46,19 @@ class BucketedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_dims")
     }
   }
+}
+
+/** Test codec for the [[graft.operators.MediaDecoder]] seam: every
+  * payload decodes to the all-ones vector, so activating it is
+  * observable end-to-end (every pair bands-collides at l1=0) while the
+  * distributed machinery stays byte-identical. Top-level and zero-arg
+  * so `-Dgraft.media.decoder=<this>` resolves it reflectively — exactly
+  * how a real JPEG/PCM codec class would land. */
+class ConstantTestDecoder extends graft.operators.MediaDecoder {
+  val id = "constant-test"
+  def featuresMicro(payload: org.apache.spark.sql.Column, dim: Int) =
+    transform(sequence(lit(1), lit(dim)), _ => lit(1L))
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] = Array.fill(dim)(1f)
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -202,6 +215,54 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage should include("unroutable")
   }
 
+  test("compaction refuses a pending-meta registry (crashed-append crash fence)") {
+    // round-14 advice: a compaction folding dir/probes while a crashed
+    // append's PARTIAL segment sits behind a pending meta would commit
+    // the partial batch into seg=0 and rewrite meta pending=false —
+    // silently clearing the fence guardedAppend exists for. The
+    // compaction must fail loudly until the operator repairs the meta.
+    def probes(rows: (Long, Seq[Long])*) = rows.toDF("doc_id", "_pv")
+    val dir = tmpDir("t_registry_pending_fence")
+    Multimodal.writeProbeRegistry(spark,
+      probes(1L -> Seq(10L, 20L, 30L, 40L)), "doc_id", "_pv", 4, 2, dir)
+    // simulate the crash window: meta marked pending at a new watermark
+    // (exactly what guardedAppendPrepared writes before the data lands)
+    StoredIndex.writeMaxIdMeta(spark, dir, 7L, pending = true)
+    intercept[IllegalArgumentException] {
+      Multimodal.compactProbeRegistry(spark, dir)
+    }.getMessage should include("pending")
+    // appends are fenced by the same flag (existing contract)
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToProbeRegistry(spark, dir,
+        probes(9L -> Seq(1L, 2L, 3L, 4L)), "doc_id", "_pv")
+    }.getMessage should include("pending")
+    // operator repair: verify the data, clear the marker at the
+    // verified watermark — compaction then proceeds
+    StoredIndex.writeMaxIdMeta(spark, dir, 1L)
+    Multimodal.compactProbeRegistry(spark, dir)
+    spark.read.parquet(s"$dir/probes").count() shouldBe 1L
+  }
+
+  test("registry WRITE validates probe ids like the append path (nulls, duplicates)") {
+    // round-14 advice: without write-path id validation, a null or
+    // duplicate probe_id persists a corrupt registry that only fails
+    // later at route time with no hint the stored artifact is bad
+    val dir = tmpDir("t_registry_write_ids")
+    val dup = Seq((1L, Seq(1L, 2L, 3L, 4L)), (1L, Seq(5L, 6L, 7L, 8L)))
+      .toDF("doc_id", "_pv")
+    intercept[IllegalArgumentException] {
+      Multimodal.writeProbeRegistry(spark, dup, "doc_id", "_pv", 4, 2, dir)
+    }.getMessage should include("duplicate")
+    val withNull = Seq((java.lang.Long.valueOf(2L), Seq(1L, 2L, 3L, 4L)),
+        (null.asInstanceOf[java.lang.Long], Seq(5L, 6L, 7L, 8L)))
+      .toDF("doc_id", "_pv")
+    intercept[IllegalArgumentException] {
+      Multimodal.writeProbeRegistry(spark, withNull, "doc_id", "_pv", 4, 2, dir)
+    }.getMessage should include("null")
+    // nothing landed: both violations failed BEFORE any write
+    new java.io.File(dir, "probes").exists() shouldBe false
+  }
+
   test("binary-bytes fixture: the codec seam survives genuine non-UTF-8 payloads end-to-end") {
     // A driver-style fixture table with TRUE binary payloads — lone
     // continuation bytes, an overlong-encoding prefix, NUL and 0xFF
@@ -270,6 +331,58 @@ class MultimodalSpec extends SparkSpec {
         df.filter(col("doc_id") === 2L), "doc_id", "media", maxL1 = 50L)
       .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
     cut shouldBe Seq((2L, "cut", Some(1L), Some(1L)))
+  }
+
+  test("media decoder seam: a custom codec flows through the machinery; stored artifacts fence codec identity") {
+    import graft.operators.MediaDecoders
+    // default resolution: unset property means the window-sum stub
+    sys.props.remove(MediaDecoders.Property)
+    MediaDecoders.active.id shouldBe MediaDecoders.WindowSums.id
+    val docs = Seq((1L, "aaaabbbb"), (2L, "ccccdddd"), (3L, "aaaabbbb"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachPayload(docs, "text", "text")
+    // under the default codec only the exact pair (1,3) bands-collide
+    def pairs() = Multimodal.mediaNearDupPairs(media, "doc_id", "media",
+        dim = 4, bandSize = 2, maxL1 = 0L)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Boolean)].collect().toSeq
+    pairs() shouldBe Seq((1L, 3L, 0L, true))
+    // a stored index + registry written under the default codec
+    val idxDir = tmpDir("t_decoder_seam_idx")
+    Multimodal.writeMediaDupIndex(spark, media, "doc_id", "media", 4, 2, idxDir)
+    val regDir = tmpDir("t_decoder_seam_reg")
+    Multimodal.writeProbeRegistry(spark,
+      media.select(col("doc_id"),
+        MediaDecoders.active.featuresMicro(col("media"), 4).as("_pv")),
+      "doc_id", "_pv", 4, 2, regDir)
+    try {
+      // activate the constant test codec: EVERY payload decodes to the
+      // same vector, so every pair bands-collides at l1=0 — the swap is
+      // observable end-to-end through the unchanged machinery
+      sys.props(MediaDecoders.Property) = classOf[ConstantTestDecoder].getName
+      MediaDecoders.active.id shouldBe "constant-test"
+      pairs() shouldBe Seq(
+        (1L, 2L, 0L, false), (1L, 3L, 0L, true), (2L, 3L, 0L, false))
+      // the float decode path picks the codec up too
+      Multimodal.fakeDecodeFeatures(media, "doc_id", "media", 4)
+        .select(col("features")).as[Seq[Float]].head() shouldBe Seq(1f, 1f, 1f, 1f)
+      // CODEC FENCE: artifacts banded under window-sums refuse a probe
+      // under the constant codec — the mismatch would otherwise be a
+      // silent 100% false-negative rate, never an error
+      intercept[IllegalArgumentException] {
+        Multimodal.mediaNearDupAgainstStored(spark, idxDir, media,
+          "doc_id", "media", maxL1 = 0L)
+      }.getMessage should include("decoder")
+      intercept[IllegalArgumentException] {
+        Multimodal.routeAgainstProbeRegistry(spark, regDir, media,
+          "doc_id", "media", maxL1 = 0L)
+      }.getMessage should include("decoder")
+      // an unknown class fails loudly at resolution
+      sys.props(MediaDecoders.Property) = "graft.NoSuchDecoder"
+      intercept[IllegalArgumentException] { MediaDecoders.active }
+    } finally sys.props.remove(MediaDecoders.Property)
+    // back on the default codec, the stored artifacts probe again
+    Multimodal.mediaNearDupAgainstStored(spark, idxDir, media,
+      "doc_id", "media", maxL1 = 0L).count() should be > 0L
   }
 
   test("stored media-dup index: probe matches the frozen corpus, ships no payloads") {

@@ -182,6 +182,9 @@ object PlanAudit {
         "(never pair-keyed). Output is bloom-independent — the query " +
         "hash-checks against a bloom-free oracle."))
 
+  /** Exposed for [[SurveyAudit]]'s artifact-vs-prose cross-check. */
+  private[graft] def bnljAllowlistSize: Int = bnljAllowlist.size
+
   /** The EXACT set of queries allowed to plan a
     * BroadcastNestedLoopJoin — every site is a bounded-queries-side
     * probe (an ANN/rerank query batch or a |sources|²-over-signatures
@@ -191,9 +194,6 @@ object PlanAudit {
     * CartesianProduct anywhere), so a regression that silently turns a
     * keyed join into a nested loop cannot land without editing this
     * allowlist in the same diff. */
-  /** Exposed for [[SurveyAudit]]'s artifact-vs-prose cross-check. */
-  private[graft] def bnljAllowlistSize: Int = bnljAllowlist.size
-
   private val bnljAllowlist: Set[String] = Set(
     "q25_ann_bruteforce", "q29_embedding_neardup", "q43_ann_ivf",
     "q87_pq_adc", "q90_ann_rerank", "q106_global_rank",
