@@ -75,7 +75,11 @@ object ScaleSweep {
     // expected q168's curvature: arrival-linear, probe side bounded)
     // and the materialized gate→pack boundary (q169's gate cost paid
     // in the build, the measured pack stage reading the decision set)
-    "q171_probe_registry", "q172_gate_pack_stored")
+    "q171_probe_registry", "q172_gate_pack_stored",
+    // round-15: the registry MEASURE step (q171's routing pass + a
+    // probe-keyed aggregate bounded at 1024 output rows — expected to
+    // ride q171's arrival-linear curvature)
+    "q173_registry_route_stats")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =
