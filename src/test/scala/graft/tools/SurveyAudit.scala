@@ -43,7 +43,15 @@ object SurveyAudit {
       val s = JsonMethods.parse(Files.readString(Paths.get(path)))
       val JObject(qs) = (s \ "queries"): @unchecked
       val headline = num(s \ "max_ratio_vs_committed")
-      val argmax = qs.maxBy { case (_, v) => num(v \ "ratio_vs_committed") }._1
+      // a query added after the last committed baseline has no
+      // ratio_vs_committed yet (its sweep row carries ratio_warm only)
+      // and by construction cannot carry the committed-ratio headline
+      val argmax = qs.maxBy { case (_, v) =>
+        v \ "ratio_vs_committed" match {
+          case JNothing => Double.NegativeInfinity
+          case other => num(other)
+        }
+      }._1
       f"- $label sweep (`$path`): ${qs.size} rows, max_ratio_vs_committed $headline%.2f ($argmax)"
     }
     Seq(
