@@ -95,8 +95,18 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(2).max(2)
     val controlIdx =
       named.indices.filter(i => controlFamily.contains(named(i)._1))
-    def ctlSubtotal(sw: IndexedSeq[(Double, Option[String])]): Double =
-      controlIdx.collect { case i if sw(i)._2.isEmpty => sw(i)._1 }.sum
+    // Per-sweep control subtotals exist to COMPARE sweeps, so every
+    // subtotal must sum the SAME query set: a control query that
+    // errored in ANY sweep is excluded from ALL of them. Excluding it
+    // only from its own sweep would deflate that one subtotal and
+    // either fire the adaptive warm-sweep trigger spuriously or mask
+    // a genuinely loaded regime — with nothing on the line to show
+    // the per-sweep sets differed (round-15 review finding).
+    def ctlBySweep(
+        sweeps: Seq[IndexedSeq[(Double, Option[String])]]): Seq[Double] = {
+      val common = controlIdx.filter(i => sweeps.forall(_(i)._2.isEmpty))
+      sweeps.map(sw => common.map(sw(_)._1).sum)
+    }
     val coldSweep = sweep(reuseArtifacts = false, seed = 1)
     // Adaptive extra warm sweep (round-14 verdict item 1b): with the
     // default passes=2 there is exactly ONE warm sweep, and when a
@@ -110,8 +120,8 @@ object Bench {
     // record whether it helped.
     val warmSweeps = {
       val planned = (2 to passes).map(p => sweep(reuseArtifacts = true, seed = p))
-      if (BenchLine.needExtraWarmSweep(
-          ctlSubtotal(coldSweep), planned.map(ctlSubtotal))) {
+      val ctls = ctlBySweep(coldSweep +: planned)
+      if (BenchLine.needExtraWarmSweep(ctls.head, ctls.tail)) {
         System.err.println(
           "BENCH: all warm sweeps regime-loaded vs cold control — running one adaptive extra warm sweep")
         planned :+ sweep(reuseArtifacts = true, seed = passes + 1)
@@ -154,7 +164,7 @@ object Bench {
     // anomalies after the fact. Since round 15 these also ride the
     // stdout line (O(passes) numbers), so the COMMITTED BENCH_r{N}
     // artifact alone exonerates — or convicts — its own headline.
-    val controlBySweep = (coldSweep +: warmSweeps).map(ctlSubtotal)
+    val controlBySweep = ctlBySweep(coldSweep +: warmSweeps)
     // Cold total: every query's FULL declared semantics (stored-artifact
     // builds included) from pass 1. Emitted alongside the warm min-of-N
     // so the headline can't quietly improve by measuring less work — the

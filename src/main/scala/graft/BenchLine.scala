@@ -46,12 +46,19 @@ object BenchLine {
     else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
   }
 
+  /** The one JSON escape table — [[jstr]] and [[jstrCapped]] must
+    * never diverge (a char escaped by one and not the other would
+    * re-open the parsed:null line-corruption class), so both map every
+    * character through this. */
+  private def escapeChar(c: Char): String = c match {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    "\"" + s.flatMap(escapeChar) + "\""
 
   /** [[jstr]] with the ESCAPED payload capped at `cap` chars. Error
     * messages must be truncated AFTER escaping: a control-char-heavy
@@ -67,12 +74,7 @@ object BenchLine {
     var i = 0
     var fits = true
     while (i < s.length && fits) {
-      val unit = s.charAt(i) match {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+      val unit = escapeChar(s.charAt(i))
       if (sb.length - 1 + unit.length > cap) fits = false
       else { sb.append(unit); i += 1 }
     }

@@ -354,9 +354,7 @@ object Multimodal {
   def mediaScreenCut(spark: org.apache.spark.sql.SparkSession,
       dir: String, df: DataFrame, idCol: String, binCol: String,
       maxL1: Long, broadcastProbe: Boolean = true): DataFrame = {
-    val bloom = spark.read.parquet(s"$dir/meta").head()
-      .getAs[Array[Byte]]("bloom")
-    val (dim, bandSize) = readGeometry(spark, dir)
+    val (bloom, dim, bandSize) = readScreenMeta(spark, dir)
     val suspects = df.filter(col(binCol).isNotNull &&
       bloomHit(col(binCol), bloom, dim, bandSize))
     val best = mediaNearDupAgainstStored(spark, dir, suspects, idCol, binCol,
@@ -375,16 +373,40 @@ object Multimodal {
   private def readGeometry(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int) = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    // decoder fence: bands written under another codec would silently
-    // never collide (100% false negatives) — fail here instead
-    MediaDecoders.requireMatch(
-      if (meta.schema.fieldNames.contains("decoder"))
-        Option(meta.getAs[String]("decoder"))
-      else None,
-      MediaDecoders.active, s"media index $dir")
+    fenceDecoder(meta, s"media index $dir")
     (meta.getAs[Number]("dim").intValue(),
       meta.getAs[Number]("band_size").intValue())
   }
+
+  /** Read the stored screen's meta ONCE — the stream-start discipline
+    * for [[streamMediaScreenBloom]], and [[mediaScreenCut]]'s batch
+    * entry: (bloom bytes, dim, band_size), WITH the decoder-identity
+    * fence. The raw bloom predicate decodes arrivals under the ACTIVE
+    * decoder, so a bloom built under another codec would never hit —
+    * silent 100% false negatives on the screen face while the banded
+    * verify faces throw loudly on the same artifact (round-15 review
+    * finding). Every consumer of the raw (filterBytes, dim, bandSize)
+    * form must obtain them through here, so the fence travels with
+    * the bytes. */
+  def readScreenMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Byte], Int, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    fenceDecoder(meta, s"media screen $dir")
+    (meta.getAs[Array[Byte]]("bloom"),
+      meta.getAs[Number]("dim").intValue(),
+      meta.getAs[Number]("band_size").intValue())
+  }
+
+  /** Decoder fence shared by every stored-artifact meta/geometry read:
+    * bands written under another codec would silently never collide
+    * (100% false negatives) — fail here instead. Artifacts written
+    * before the stamp read as window-sums (correct by construction). */
+  private def fenceDecoder(row: Row, what: String): Unit =
+    MediaDecoders.requireMatch(
+      if (row.schema.fieldNames.contains("decoder"))
+        Option(row.getAs[String]("decoder"))
+      else None,
+      MediaDecoders.active, what)
 
   /** STREAMING media pre-screen — [[graft.operators.Dedup.streamSubstringScreenBloom]]'s
     * discipline for the media modality: drop stream payloads with ANY
@@ -594,12 +616,19 @@ object Multimodal {
       dir: String, df: DataFrame, idCol: String, binCol: String,
       maxL1: Long): DataFrame = {
     val (dim, bandSize) = registryGeometry(spark, dir)
-    val probes = spark.read.parquet(s"$dir/probes")
+    routeProbes(spark, dim, bandSize, df, idCol, binCol,
+      readRegistryProbes(spark, dir), maxL1)
+  }
+
+  /** The registry's full probe set as a driver-local seq — model-sized
+    * by the 1024-probe registration contract, shared by the route and
+    * stats faces so each pays exactly one registry read. */
+  private def readRegistryProbes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Array[Long])] =
+    spark.read.parquet(s"$dir/probes")
       .select(col("probe_id"), col("_pv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).toSeq
-    routeProbes(spark, dim, bandSize, df, idCol, binCol, probes, maxL1)
-  }
 
   /** Deregister probes and fold the survivors into ONE segment — the
     * registry's lifecycle tail (exemplar sets churn: a probe that
@@ -662,12 +691,20 @@ object Multimodal {
   def probeRegistryRouteStats(spark: org.apache.spark.sql.SparkSession,
       dir: String, df: DataFrame, idCol: String, binCol: String,
       maxL1: Long): DataFrame = {
-    val routed = routeAgainstProbeRegistry(spark, dir, df, idCol, binCol, maxL1)
+    val (dim, bandSize) = registryGeometry(spark, dir)
+    // ONE registry read feeds both the routing relation and the
+    // registered-id side of the stats join (the stats face runs every
+    // production ingest tick — a second distributed parquet scan for a
+    // ≤1024-row set already in driver memory was pure hot-path waste)
+    val probes = readRegistryProbes(spark, dir)
+    val routed = routeProbes(spark, dim, bandSize, df, idCol, binCol,
+      probes, maxL1)
     val stats = routed.groupBy("probe_id").agg(
       count(lit(1)).as("n_routes"),
       sum(col("bands_hit")).as("sum_bands"),
       min(col("l1")).as("min_l1"))
-    spark.read.parquet(s"$dir/probes").select(col("probe_id"))
+    import spark.implicits._
+    probes.map(_._1).toDF("probe_id")
       .join(stats, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_routes"), lit(0L)).as("n_routes"),

@@ -376,6 +376,12 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.routeAgainstProbeRegistry(spark, regDir, media,
           "doc_id", "media", maxL1 = 0L)
       }.getMessage should include("decoder")
+      // the stream screen's meta read fences too — the raw bloom
+      // predicate would otherwise pass EVERY payload silently under a
+      // foreign codec (no band can ever hit)
+      intercept[IllegalArgumentException] {
+        Multimodal.readScreenMeta(spark, idxDir)
+      }.getMessage should include("decoder")
       // an unknown class fails loudly at resolution
       sys.props(MediaDecoders.Property) = "graft.NoSuchDecoder"
       intercept[IllegalArgumentException] { MediaDecoders.active }

@@ -601,9 +601,12 @@ class StreamingSpec extends SparkSpec {
     Multimodal.writeMediaDupIndex(spark,
       Multimodal.attachPayload(ref, "text", "text"), "doc_id", "media",
       dim = 4, bandSize = 2, dir)
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val bloom = meta.getAs[Array[Byte]]("bloom")
-    meta.getAs[Number]("dim").intValue() shouldBe 4
+    // the FENCED stream-start read: bloom + geometry + decoder check
+    // in one meta pull (the raw predicate must never see a bloom from
+    // a foreign codec — it would pass every payload silently)
+    val (bloom, metaDim, metaBs) = Multimodal.readScreenMeta(spark, dir)
+    metaDim shouldBe 4
+    metaBs shouldBe 2
     val in = MemoryStream[(Long, String)]
     val media = Multimodal.attachPayload(
       in.toDF().toDF("doc_id", "text"), "text", "text")
@@ -824,7 +827,7 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     (ssSurvivors intersect dupTextIds) shouldBe empty
     val mSurvivors = Multimodal.streamMediaScreenBloom(arrivals, "media",
-        spark.read.parquet(s"$mDir/meta").head.getAs[Array[Byte]]("bloom"), 16, 4)
+        Multimodal.readScreenMeta(spark, mDir)._1, 16, 4)
       .select("doc_id").as[Long].collect().toSet
     (mSurvivors intersect dupMediaIds) shouldBe empty
     // and the screens do real work: most clean arrivals pass through
