@@ -50,10 +50,13 @@ trait MediaDecoder extends Serializable {
   *
   * Resolution: `-Dgraft.media.decoder=<fully.qualified.ClassName>`
   * names a zero-arg-constructible implementation; unset means
-  * [[MediaDecoders.WindowSums]] — the deterministic, container-honest
-  * stub (no image/audio libraries exist in this environment, so the
-  * default "codec" is a byte-window signature whose integer exactness
-  * is what lets the whole media family hash-check against SQL oracles).
+  * [[MediaDecoders.WindowSums]] — the deterministic byte-window stub.
+  * A REAL pure-JDK codec exists ([[JdkAvDecoder]]: JPEG/PNG/GIF/BMP
+  * via javax.imageio, WAV via javax.sound) and is spec-proven through
+  * the full banded/stored/registry machinery; WindowSums stays the
+  * DEFAULT because the declared media queries hash-check against SQL
+  * oracles, and a byte-window signature is the one feature rule DuckDB
+  * can reproduce — decoding JPEGs is not.
   * The property is read at PLAN-BUILD time (driver-side, once per
   * query construction — never per row), so swapping costs nothing in
   * the executor hot path and specs can exercise the seam by setting

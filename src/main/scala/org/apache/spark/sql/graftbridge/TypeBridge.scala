@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
-import org.apache.spark.sql.types.{AbstractDataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, StringType}
 
 /** Input-type contract bridge. Spark 4 marks [[AbstractDataType]]
   * `private[sql]`, so a library expression outside the sql package
@@ -13,4 +13,11 @@ import org.apache.spark.sql.types.{AbstractDataType, StringType}
   * ClassCastException inside codegen. */
 trait ExpectsStringInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+}
+
+/** Binary-input twin of [[ExpectsStringInput]], for expressions that
+  * consume raw payload bytes (e.g.
+  * [[graft.functions.JdkAvFeatures]]). */
+trait ExpectsBinaryInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
 }
