@@ -97,6 +97,34 @@ class JdkAvDecoderSpec extends SparkSpec {
     }
   }
 
+  test("every JDK container decodes (GIF/BMP too); truncated or corrupt " +
+      "payloads degrade to the byte-window fallback instead of failing") {
+    // GIF and BMP ride the same ImageIO path as PNG/JPEG — the sniff
+    // recognizes all four magics
+    for (fmt <- Seq("gif", "bmp")) {
+      val bytes = encode(gradient(32, 32), fmt)
+      val g = dec.decode(bytes, 16)
+      g(0) should be < g(15) // the gradient actually decoded
+      g shouldBe dec.decode(bytes, 16)
+    }
+    // a TRUNCATED stream still sniffs as its container but cannot
+    // decode — the rule degrades to the byte-window signature, never
+    // throws: one poison payload must not fail a 100 TB ingest batch
+    val jpg = encode(gradient(32, 32), "jpg")
+    val truncated = jpg.take(100)
+    dec.decode(truncated, 16).toSeq shouldBe
+      MediaDecoders.WindowSums.decode(truncated, 16).toSeq
+    // cut INSIDE the fmt chunk (bytes 12..): sniffs as RIFF/WAVE but
+    // the header parse fails — a longer truncation would still parse
+    // and legitimately decode the frames that survived
+    val corruptWav = wav(0.05, 12000).take(20)
+    dec.decode(corruptWav, 16).toSeq shouldBe
+      MediaDecoders.WindowSums.decode(corruptWav, 16).toSeq
+    // and the fallback keeps the cross-face micro-unit contract
+    JdkAvDecoder.featuresMicroCompute(truncated, 16).toSeq shouldBe
+      dec.decode(truncated, 16).map(v => Math.round(v * 1e6)).toSeq
+  }
+
   test("the normalized grid is resolution-invariant: the same picture at " +
       "2x resolution lands within a small per-cell distance") {
     val lo = dec.decode(encode(gradient(32, 32), "png"), 16)
