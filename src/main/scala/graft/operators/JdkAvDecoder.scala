@@ -67,10 +67,76 @@ class JdkAvDecoder extends MediaDecoder {
 
 object JdkAvDecoder {
 
-  /** Versioned: a change to the grid/luminance/bucket rule must change
-    * the id, or stored artifacts written under the old rule would
-    * band-miss silently instead of hitting the decoder fence. */
-  val Id = "jdk-av-v1"
+  /** Versioned RULE id: a change to the grid/luminance/bucket rule
+    * must change this, or stored artifacts written under the old rule
+    * would band-miss silently instead of hitting the decoder fence. */
+  val RuleId = "jdk-av-v1"
+
+  /** The full decoder identity = rule id + an ENVIRONMENT CANARY.
+    *
+    * The rule id alone cannot catch cross-environment decode drift: a
+    * JDK whose JPEG decoder rounds differently, or a classpath that
+    * gains/loses an ImageIO plugin (changing not just values but WHICH
+    * payloads decode vs fall back), would produce different features
+    * under the same "jdk-av-v1" string — the silent 100%-false-negative
+    * case the fence exists to prevent. So the id folds in a canary:
+    * the micro-feature vectors of three embedded fixtures (JPEG, PNG,
+    * and a hand-rolled PCM WAV) decoded through the FULL rule at
+    * class-init, plus the sorted registered ImageIO reader-format set.
+    * Same environment → same suffix (fixtures are constants, decode is
+    * deterministic in-JVM); a drifted reader, plugin set, or rounding
+    * behavior → a different id → the stored-artifact fence fails
+    * LOUDLY with a rebuild instruction instead of probing bands that
+    * can never collide. (The canary certifies the JVM that computes
+    * it — driver and executors share one JVM under local[*]; on a real
+    * cluster a heterogeneous-JVM fleet should pin one JDK image, which
+    * this id makes checkable per artifact.) */
+  lazy val Id: String = s"$RuleId+$envCanary"
+
+  private lazy val envCanary: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (fx <- Seq(canaryJpeg, canaryPng, canaryWav); v <- featuresMicroCompute(fx, 16)) {
+      var i = 0
+      while (i < 8) { md.update(((v >>> (56 - 8 * i)) & 0xff).toByte); i += 1 }
+    }
+    ImageIO.getReaderFormatNames.map(_.toLowerCase).distinct.sorted
+      .foreach(n => md.update(n.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** 8×8 RGB gradient, default-quality JPEG / PNG encodes (embedded as
+    * constants — re-encoding at runtime would fold WRITER drift into a
+    * canary that exists to certify the read path). */
+  private lazy val canaryJpeg: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAAIAAgDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwBvhj4c/c/c/pRRRTpVZcppkOd4z6nH3j//2Q==")
+
+  private lazy val canaryPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAgAAAAICAIAAABLbSncAAAAhElEQVR4Xg3IwQAEQRADwDAsQzMsQxiGIQzDEIZhCMMyNMMx9OOmngUAhYco4TUYrIYG+/ZTVaxXRddKqWtPGeDtl6S4TIW76eEB9JZuL0nWjtw6owBmedG3t+34tDP+gKyKmK3cPkk636SBVvVmW33ct7/unv4Bs2vMOZp4vszt38z8ASv7XoF2yxaRAAAAAElFTkSuQmCC")
+
+  /** 64 frames of 16-bit mono PCM with a hand-rolled canonical 44-byte
+    * RIFF header (no AudioSystem.write — writer drift must not move a
+    * read-path canary); StrictMath keeps the samples bit-identical
+    * across platforms. */
+  private lazy val canaryWav: Array[Byte] = {
+    val frames = 64
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s = (StrictMath.sin(i * 0.3) * 9000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(36 + pcm.length)
+    out.put("WAVEfmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(16).putShort(1).putShort(1) // PCM, mono
+    out.putInt(8000).putInt(16000)         // rate, byte rate
+    out.putShort(2).putShort(16)           // block align, bits
+    out.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(pcm.length).put(pcm)
+    out.array()
+  }
 
   /** ImageIO's default ImageInputStream spools through a disk-backed
     * temp file — pathological for per-row decode on executors. The
@@ -122,41 +188,60 @@ object JdkAvDecoder {
     * same vector. */
   private def decodeImage(bytes: Array[Byte], dim: Int): Array[Float] =
     try {
-      // ImageIO.read(ImageInputStream) closes the stream itself on
-      // completion — an extra close() here throws IOException("closed")
-      // and would discard the successful decode
-      val img = ImageIO.read(
-        new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
-      if (img == null) null
-      else {
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      val img = ImageIO.read(iis)
+      if (img == null) {
+        // ImageIO.read closes the stream only when a READER WAS FOUND
+        // — on the no-reader path the stream is still open and must be
+        // released here (a batch of unreadable payloads would otherwise
+        // queue one native-resource cleanup per row on the executors)
+        try iis.close() catch { case _: Exception => () }
+        null
+      } else {
         val w = img.getWidth; val h = img.getHeight
         val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
         val cols = (dim + rows - 1) / rows
         val out = new Array[Float](dim)
+        // bulk scanline reads: per-pixel getRGB pays a ColorModel
+        // conversion + bounds check per CALL — on a 12-megapixel JPEG
+        // that is 12M calls on the ingest hot path; the scanline form
+        // computes identical ARGB values ~an order of magnitude cheaper
+        val rowBuf = new Array[Int](w)
         var r = 0
         while (r < rows) {
           val y0 = (r.toLong * h / rows).toInt
-          val y1 = math.max(y0 + 1, ((r + 1).toLong * h / rows).toInt)
+          val yEnd = math.min(math.max(y0 + 1, ((r + 1).toLong * h / rows).toInt), h)
           var c = 0
           while (c < cols && r * cols + c < dim) {
             val x0 = (c.toLong * w / cols).toInt
-            val x1 = math.max(x0 + 1, ((c + 1).toLong * w / cols).toInt)
+            val xEnd = math.min(
+              math.max(x0 + 1, ((c + 1).toLong * w / cols).toInt), w)
+            val cw = xEnd - x0
             var sum = 0L
             var y = y0
-            while (y < math.min(y1, h)) {
-              var x = x0
-              while (x < math.min(x1, w)) {
-                val rgb = img.getRGB(x, y)
-                // BT.601 integer weights; result in [0, 255000]
-                sum += 299 * ((rgb >> 16) & 0xff) +
-                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
-                x += 1
+            while (y < yEnd) {
+              img.getRGB(x0, y, cw, 1, rowBuf, 0, cw)
+              var i = 0
+              while (i < cw) {
+                val argb = rowBuf(i)
+                val a = (argb >>> 24) & 0xff
+                // BT.601 luminance in [0, 255000], alpha-composited
+                // onto WHITE (the block-hash convention): two PNGs
+                // that RENDER identically must featurize identically
+                // even if transparent regions carry different hidden
+                // RGB. Numerator kept exact (≤ 255·255000 per pixel),
+                // one division per cell. Opaque pixels (a = 255)
+                // reduce to plain luminance bit-for-bit.
+                val lum = 299 * ((argb >> 16) & 0xff) +
+                  587 * ((argb >> 8) & 0xff) + 114 * (argb & 0xff)
+                sum += a.toLong * lum + 255000L * (255 - a)
+                i += 1
               }
               y += 1
             }
-            val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+            val n = (yEnd - y0).toLong * cw
             out(r * cols + c) =
-              if (n <= 0) 0f else (sum.toDouble / (n * 255000.0)).toFloat
+              if (n <= 0) 0f else (sum.toDouble / (n * 255.0 * 255000.0)).toFloat
             c += 1
           }
           r += 1

@@ -125,6 +125,34 @@ class JdkAvDecoderSpec extends SparkSpec {
       dec.decode(truncated, 16).map(v => Math.round(v * 1e6)).toSeq
   }
 
+  test("the decoder id carries an environment canary; alpha composites " +
+      "onto white so identical renders featurize identically") {
+    // id = rule id + canary over embedded-fixture decodes and the
+    // registered ImageIO reader set: same environment → same id; a
+    // drifted JDK decoder or a gained/lost ImageIO plugin → different
+    // id → the stored-artifact fence fails loudly instead of silently
+    // band-missing every payload
+    dec.id should fullyMatch regex "jdk-av-v1\\+[0-9a-f]{8}"
+    dec.id shouldBe (new JdkAvDecoder).id // stable within the JVM
+    // transparent pixels carry hidden garbage RGB in one image and are
+    // plain white in the other — the two RENDER identically, so the
+    // composite-onto-white rule must featurize them identically
+    val garbage = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+    val white = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      if (y < 16) { // opaque half: same visible gradient in both
+        val p = ((255 * x / 31) << 16) | ((255 * y / 31) << 8) | 40
+        garbage.setRGB(x, y, 0xff000000 | p)
+        white.setRGB(x, y, p)
+      } else { // transparent half: garbage RGB vs plain white
+        garbage.setRGB(x, y, 0x00000000 | ((x * 8) << 16) | (y * 7))
+        white.setRGB(x, y, 0xffffff)
+      }
+    }
+    dec.decode(encode(garbage, "png"), 16).toSeq shouldBe
+      dec.decode(encode(white, "png"), 16).toSeq
+  }
+
   test("the normalized grid is resolution-invariant: the same picture at " +
       "2x resolution lands within a small per-cell distance") {
     val lo = dec.decode(encode(gradient(32, 32), "png"), 16)
