@@ -69,8 +69,12 @@ object JdkAvDecoder {
 
   /** Versioned RULE id: a change to the grid/luminance/bucket rule
     * must change this, or stored artifacts written under the old rule
-    * would band-miss silently instead of hitting the decoder fence. */
-  val RuleId = "jdk-av-v1"
+    * would band-miss silently instead of hitting the decoder fence.
+    * (v2 = alpha compositing onto white — a featurization change for
+    * every payload with an alpha channel, so the version bumped per
+    * this invariant rather than leaning on the canary suffix, which
+    * exists to encode ENVIRONMENT drift, not rule revisions.) */
+  val RuleId = "jdk-av-v2"
 
   /** The full decoder identity = rule id + an ENVIRONMENT CANARY.
     *
@@ -78,7 +82,7 @@ object JdkAvDecoder {
     * JDK whose JPEG decoder rounds differently, or a classpath that
     * gains/loses an ImageIO plugin (changing not just values but WHICH
     * payloads decode vs fall back), would produce different features
-    * under the same "jdk-av-v1" string — the silent 100%-false-negative
+    * under the same rule-id string — the silent 100%-false-negative
     * case the fence exists to prevent. So the id folds in a canary:
     * the micro-feature vectors of three embedded fixtures (JPEG, PNG,
     * and a hand-rolled PCM WAV) decoded through the FULL rule at
@@ -91,16 +95,43 @@ object JdkAvDecoder {
     * it — driver and executors share one JVM under local[*]; on a real
     * cluster a heterogeneous-JVM fleet should pin one JDK image, which
     * this id makes checkable per artifact.) */
-  lazy val Id: String = s"$RuleId+$envCanary"
+  lazy val Id: String = s"$RuleId+${computeEnvCanary()}"
 
-  private lazy val envCanary: String = {
+  /** Recompute the full id from scratch (bypassing [[Id]]'s caching) —
+    * the spec's determinism pin: a nondeterministic canary would
+    * otherwise hide behind the lazy val. */
+  private[graft] def recomputeId: String = s"$RuleId+${computeEnvCanary()}"
+
+  private def computeEnvCanary(): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    for (fx <- Seq(canaryJpeg, canaryPng, canaryWav); v <- featuresMicroCompute(fx, 16)) {
+    // canaryArgbPng certifies the ALPHA read path specifically: a
+    // reader that drifts only in tRNS/16-bit-alpha handling would
+    // leave the opaque fixtures' features untouched
+    for (fx <- Seq(canaryJpeg, canaryPng, canaryArgbPng, canaryWav);
+         v <- featuresMicroCompute(fx, 16)) {
       var i = 0
       while (i < 8) { md.update(((v >>> (56 - 8 * i)) & 0xff).toByte); i += 1 }
     }
-    ImageIO.getReaderFormatNames.map(_.toLowerCase).distinct.sorted
-      .foreach(n => md.update(n.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    // registered read-side SPI sets, BOTH modalities (which payloads
+    // decode vs fall back is classpath-determined on each). Names are
+    // 0x00-separated — a bare concatenation would let differently-
+    // split name lists collide — and lowercased under Locale.ROOT (a
+    // tr-locale JVM would otherwise dotless-i "GIF" into a different
+    // digest on an identical JDK/classpath).
+    val audioReaders = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += "audio:" + it.next().getClass.getName
+      b.result()
+    }
+    val names =
+      ImageIO.getReaderFormatNames.toSeq
+        .map(_.toLowerCase(java.util.Locale.ROOT)) ++ audioReaders
+    names.distinct.sorted.foreach { n =>
+      md.update(n.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      md.update(0.toByte)
+    }
     md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
@@ -112,6 +143,11 @@ object JdkAvDecoder {
 
   private lazy val canaryPng: Array[Byte] = java.util.Base64.getDecoder.decode(
     "iVBORw0KGgoAAAANSUhEUgAAAAgAAAAICAIAAABLbSncAAAAhElEQVR4Xg3IwQAEQRADwDAsQzMsQxiGIQzDEIZhCMMyNMMx9OOmngUAhYco4TUYrIYG+/ZTVaxXRddKqWtPGeDtl6S4TIW76eEB9JZuL0nWjtw6owBmedG3t+34tDP+gKyKmK3cPkk636SBVvVmW33ct7/unv4Bs2vMOZp4vszt38z8ASv7XoF2yxaRAAAAAElFTkSuQmCC")
+
+  /** 8×8 ARGB gradient with PARTIAL alpha (α = x·32) — exercises the
+    * alpha-composite read path the opaque fixtures cannot. */
+  private lazy val canaryArgbPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAgAAAAICAYAAADED76LAAAAzElEQVR4XhWNobFEIQwAU8MVwCCo4SkEMjVEUUAKQDGUEIVmqCEFoF4BqEj01YD491fv7AL84z4eYkhAT4aCDToNUF6w64EAHwgu+BCfFAhzKNRC5xG0rrDlAP4UdI/HiAmJMhZu2OtAlYV7HmB4gB16jpSYOHOpjbsM1rl46wH5NcSRl8hJqGYp0qTPIapL9ntAgUAde401KUnWMpt2Harv0m0H7DcxV71FSUYzW9Fm/R2mtmx/D1yocJ34G2e6pPmWt91u4+p33X3PH7SndUFzYvyXAAAAAElFTkSuQmCC")
 
   /** 64 frames of 16-bit mono PCM with a hand-rolled canonical 44-byte
     * RIFF header (no AudioSystem.write — writer drift must not move a
@@ -186,9 +222,12 @@ object JdkAvDecoder {
     * [r·h/rows,(r+1)·h/rows) × [c·w/cols,(c+1)·w/cols) — normalized
     * coordinates, so two resolutions of the same picture land near the
     * same vector. */
-  private def decodeImage(bytes: Array[Byte], dim: Int): Array[Float] =
+  private def decodeImage(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // hoisted so the catch path can release it: ImageIO.read can throw
+    // BEFORE selecting a reader (a third-party SPI's canDecodeInput),
+    // and it only closes the stream itself when a reader WAS found
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
       val img = ImageIO.read(iis)
       if (img == null) {
         // ImageIO.read closes the stream only when a READER WAS FOUND
@@ -229,9 +268,13 @@ object JdkAvDecoder {
                 // onto WHITE (the block-hash convention): two PNGs
                 // that RENDER identically must featurize identically
                 // even if transparent regions carry different hidden
-                // RGB. Numerator kept exact (≤ 255·255000 per pixel),
-                // one division per cell. Opaque pixels (a = 255)
-                // reduce to plain luminance bit-for-bit.
+                // RGB. One division per cell; the int64 sum is exact,
+                // and the final toDouble stays exact below 2^53 — at
+                // ≤ 255·255000 per pixel that is ~1.4e8 pixels per
+                // CELL (a 12k×12k image at dim = 1; any practical dim
+                // pushes the bound into the billions). Opaque pixels
+                // (a = 255) reduce to plain luminance bit-for-bit
+                // within that range.
                 val lum = 299 * ((argb >> 16) & 0xff) +
                   587 * ((argb >> 8) & 0xff) + 114 * (argb & 0xff)
                 sum += a.toLong * lum + 255000L * (255 - a)
@@ -248,7 +291,12 @@ object JdkAvDecoder {
         }
         out
       }
-    } catch { case _: Exception => null }
+    } catch {
+      case _: Exception =>
+        try iis.close() catch { case _: Exception => () }
+        null
+    }
+  }
 
   /** PCM frames → `dim` mean-|amplitude| buckets over normalized time;
     * channels averaged per frame. Supports the PCM encodings the JDK's

@@ -132,8 +132,11 @@ class JdkAvDecoderSpec extends SparkSpec {
     // drifted JDK decoder or a gained/lost ImageIO plugin → different
     // id → the stored-artifact fence fails loudly instead of silently
     // band-missing every payload
-    dec.id should fullyMatch regex "jdk-av-v1\\+[0-9a-f]{8}"
-    dec.id shouldBe (new JdkAvDecoder).id // stable within the JVM
+    dec.id should fullyMatch regex "jdk-av-v2\\+[0-9a-f]{8}"
+    // determinism pinned by RECOMPUTING the canary from scratch — an
+    // equality against the cached lazy val could not fail even under a
+    // nondeterministic digest
+    dec.id shouldBe JdkAvDecoder.recomputeId
     // transparent pixels carry hidden garbage RGB in one image and are
     // plain white in the other — the two RENDER identically, so the
     // composite-onto-white rule must featurize them identically
