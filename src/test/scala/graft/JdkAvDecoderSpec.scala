@@ -212,6 +212,38 @@ class JdkAvDecoderSpec extends SparkSpec {
     }
   }
 
+  test("property: decode is TOTAL over arbitrary bytes — in-range, " +
+      "deterministic, micro contract held, even on magic-prefixed garbage") {
+    // the ingest path's core promise: no payload, however malformed,
+    // can throw or break the cross-face contract. Adversarial corners:
+    // random bytes wearing each container's magic (the sniff says
+    // "image"/"wav", the decoder must recover to the fallback), and
+    // every length 0..64 of a valid PNG (every truncation point).
+    val seeds = new scala.util.Random(42)
+    val magics = Seq[Array[Byte]](
+      Array(0xff, 0xd8, 0xff).map(_.toByte),
+      Array(0x89, 'P', 'N', 'G').map(_.toByte),
+      Array[Byte]('G', 'I', 'F', '8'),
+      Array[Byte]('B', 'M'),
+      "RIFF    WAVE".getBytes("ISO-8859-1"))
+    val png = encode(gradient(16, 16), "png")
+    val cases =
+      (0 until 40).map { _ =>
+        val b = new Array[Byte](seeds.nextInt(300))
+        seeds.nextBytes(b)
+        val m = magics(seeds.nextInt(magics.length))
+        m ++ b
+      } ++ (0 to 64).map(png.take)
+    for (bytes <- cases; dim <- Seq(1, 4, 16)) {
+      val f1 = dec.decode(bytes, dim)
+      f1 should have length dim
+      all(f1) should (be >= 0f and be <= 1f)
+      f1 shouldBe dec.decode(bytes, dim)
+      JdkAvDecoder.featuresMicroCompute(bytes, dim).toSeq shouldBe
+        f1.map(v => Math.round(v * 1e6)).toSeq
+    }
+  }
+
   test("stored index + probe registry written under the jdk codec " +
       "round-trip on real payloads; the decoder fence refuses a " +
       "window-sums reader") {
