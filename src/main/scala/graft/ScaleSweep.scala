@@ -79,7 +79,11 @@ object ScaleSweep {
     // round-15: the registry MEASURE step (q171's routing pass + a
     // probe-keyed aggregate bounded at 1024 output rows — expected to
     // ride q171's arrival-linear curvature)
-    "q173_registry_route_stats")
+    "q173_registry_route_stats",
+    // the coarse-band re-encode-tolerant media face — q164's plan
+    // shape with wider bucket occupancy (coarser keys), expected to
+    // track q164's curvature with a modestly larger verified set
+    "q174_media_near_dup_coarse")
 
   /** The sweep's EXECUTION ORDER, made structural so a spec can pin it:
     * every measured row first, the box-speed controls LAST (flag =

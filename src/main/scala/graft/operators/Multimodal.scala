@@ -147,12 +147,13 @@ object Multimodal {
     * `broadcastBuild = false` to force the shuffle path. */
   def mediaNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       dim: Int, bandSize: Int, maxL1: Long,
-      broadcastBuild: Boolean = true): DataFrame = {
+      broadcastBuild: Boolean = true, quantShift: Int = 0): DataFrame = {
     require(dim % bandSize == 0, s"bandSize $bandSize must divide dim $dim")
     // checkpointed: the self-join's two sides would otherwise decode
     // every payload twice; the count for the broadcast gate is then a
     // free metadata pass over the materialized partitions
-    val feats = featsFrame(df, idCol, binCol, dim).localCheckpoint()
+    val feats =
+      featsFrame(df, idCol, binCol, dim, quantShift).localCheckpoint()
     val bands = bandsFrame(feats, dim, bandSize)
     val gated = broadcastBuild &&
       underBroadcastGate(feats.count(), dim, bandSize)
@@ -165,13 +166,29 @@ object Multimodal {
   /** (id, content hash, integer feature vector) for every non-null
     * payload — the shared front end of all media-dedup faces. Features
     * come from the ACTIVE [[MediaDecoder]] (default: the window-sum
-    * stub), so a real codec flows through every banded face from here. */
+    * stub), so a real codec flows through every banded face from here.
+    *
+    * `quantShift > 0` right-shifts every feature before anything
+    * downstream sees it — COARSE banding (and L1 in coarse units):
+    * exact-integer band equality is the right discipline for lossless
+    * edits (a localized change leaves other bands bit-equal), but a
+    * LOSSY RE-ENCODE (JPEG quality change) drifts EVERY cell a little,
+    * so no exact band survives and the pair is invisible at any L1
+    * threshold — the classic quantize-then-band LSH answer is to band
+    * on `x >> k`, trading k bits of discrimination for re-encode
+    * tolerance, with the L1 verify still gating in the quantized
+    * space. Features are non-negative for every decoder (sums /
+    * micro-units), so the arithmetic shift is a clean bucket divide. */
   private def featsFrame(df: DataFrame, idCol: String, binCol: String,
-      dim: Int): DataFrame =
+      dim: Int, quantShift: Int = 0): DataFrame = {
+    val raw = MediaDecoders.active.featuresMicro(col(binCol), dim)
+    val f = if (quantShift == 0) raw
+      else transform(raw, x => shiftright(x, quantShift))
     df.filter(col(binCol).isNotNull)
       .select(col(idCol).as("_id"),
         md5(col(binCol)).as("_h"),
-        MediaDecoders.active.featuresMicro(col(binCol), dim).as("_f"))
+        f.as("_f"))
+  }
 
   /** Exploded (id, full vector, content hash, band index, band slice)
     * rows — the LSH-band key space the candidate equi-joins run on.

@@ -1295,6 +1295,55 @@ object PipelineQueries {
         WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
   }
 
+  /** q164's COARSE-BAND face — re-encode-tolerant media near-dup.
+    * Exact-integer band equality (q164) is the right discipline for
+    * lossless edits, but a lossy re-encode drifts EVERY feature cell a
+    * little, so no exact band survives; banding on `x >> 6` (the
+    * quantize-then-band LSH answer) trades 6 bits of discrimination
+    * for that tolerance, with the L1 verify gating in the quantized
+    * space. Same banded-candidate plan shape as q164 — never
+    * all-pairs; the coarser keys only widen bucket occupancy, they do
+    * not change the join. Under the default integer codec the whole
+    * face stays DuckDB-mirrorable (`>>` on both sides); under the jdk
+    * codec the same shift is what lets a JPEG quality re-encode pair
+    * with its original (JdkAvDecoderSpec pins that end-to-end). */
+  private val q174 = {
+    val (dim, bs, nb, shift, maxL1) = (16, 4, 4, 6, 60L)
+    Q(
+      "q174_media_near_dup_coarse",
+      (s, dir) => Multimodal.mediaNearDupPairs(
+        Multimodal.attachPayload(t(s, dir, "documents"), "text", "text"),
+        "doc_id", "media", dim = dim, bandSize = bs, maxL1 = maxL1,
+        quantShift = shift)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH d AS (SELECT doc_id, text, len(text) AS n
+          FROM documents WHERE text IS NOT NULL),
+        co AS (SELECT doc_id, n, greatest(1, n // $dim) AS w,
+            list_transform(range(1, n + 1),
+              i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes,
+            md5(text) AS h
+          FROM d),
+        f AS (SELECT doc_id, h,
+            list_transform(range(0, $dim), j -> COALESCE(list_sum(
+              list_slice(codes, CAST(j*w+1 AS BIGINT),
+                CAST(least((j+1)*w, n) AS BIGINT))), 0) >> $shift) AS feats
+          FROM co),
+        bands AS (SELECT doc_id, b AS band,
+            list_slice(feats, b*$bs+1, b*$bs+$bs) AS key
+          FROM f, range(0, $nb) r(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        v AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(fa.feats, fb.feats),
+              p -> abs(p[1] - p[2]))) AS l1,
+            (fa.h = fb.h) AS same_content
+          FROM cand c JOIN f fa ON fa.doc_id = c.id_a
+          JOIN f fb ON fb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(l1 AS BIGINT) AS l1, same_content FROM v
+        WHERE l1 <= $maxL1 ORDER BY id_a, id_b""".replaceAll("\\s+", " ")))
+  }
+
   /** q164's STORED face — media ingest screening against a FROZEN
     * corpus (q159's discipline for the media modality): the even-id
     * half of the corpus is indexed once (features + band keys + the
@@ -1625,5 +1674,5 @@ object PipelineQueries {
     Seq(q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
       q83, q89, q92, q95, q96, q103, q104, q117, q118, q126, q130, q131,
       q138, q140, q142, q143, q144, q145, q146, q147, q148, q149, q164, q166,
-      q167, q168, q171, q173)
+      q167, q168, q171, q173, q174)
 }

@@ -59,6 +59,20 @@ class JdkAvDecoderSpec extends SparkSpec {
     out.toByteArray
   }
 
+  private def encodeJpegQ(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   private def withJdkCodec[A](body: => A): A = {
     sys.props(MediaDecoders.Property) = classOf[JdkAvDecoder].getName
     try body finally sys.props.remove(MediaDecoders.Property)
@@ -209,6 +223,34 @@ class JdkAvDecoderSpec extends SparkSpec {
       got.map(p => (p._1, p._2, p._4)) shouldBe Seq((1L, 2L, false))
       val l1 = got.head._3
       l1 should (be > 0L and be <= 200000L)
+    }
+  }
+
+  test("coarse quantized banding pairs a JPEG quality re-encode its " +
+      "exact bands miss; a different picture still never pairs") {
+    // a lossy re-encode drifts EVERY cell a little, so exact-integer
+    // band equality finds nothing at ANY L1 threshold — the failure
+    // mode quantShift exists for: band on x >> k, verify in the
+    // quantized space (q174's face, here under the real codec)
+    val img = gradient(32, 32)
+    val docs = Seq(
+      (1L, encodeJpegQ(img, 0.9f)),
+      (2L, encodeJpegQ(img, 0.6f)), // same picture, different quality
+      (3L, encodeJpegQ(gradient(32, 32, flip = true), 0.9f)))
+      .toDF("doc_id", "media")
+    withJdkCodec {
+      def pairs(shift: Int, maxL1: Long) =
+        Multimodal.mediaNearDupPairs(docs, "doc_id", "media",
+            dim = 16, bandSize = 4, maxL1 = maxL1, quantShift = shift)
+          .orderBy("id_a", "id_b")
+          .as[(Long, Long, Long, Boolean)].collect().toSeq
+      // exact bands: invisible even with the L1 gate wide open
+      pairs(0, Long.MaxValue) shouldBe Seq.empty
+      // coarse bands (buckets of 2^13 micro-units ≈ 0.8% luminance):
+      // the re-encode pair survives; the flipped picture still cannot
+      // produce four consecutive equal buckets
+      val coarse = pairs(13, 50L)
+      coarse.map(p => (p._1, p._2, p._4)) shouldBe Seq((1L, 2L, false))
     }
   }
 
