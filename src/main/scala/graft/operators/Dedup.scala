@@ -826,7 +826,20 @@ object Dedup {
     * the k-term sum under 2^37 before its reduction — all exact int64,
     * all DuckDB-mirrorable (though the oracles use the plain
     * every-window md5 definition — the rolling hash only NOMINATES). */
-  private def rollingWindowDigests(textCol: String, k: Int): Column = {
+  private[operators] def rollingWindowDigests(textCol: String, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.RollingHashWindows(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          tokens(col(textCol))), k))
+
+  /** The composed (pure-`functions._`) form [[rollingWindowDigests]]
+    * natively replaces — kept as the parity pin's reference
+    * (DedupSpec asserts bit-equality on random docs, short docs and
+    * null-token edges). The `aggregate` fold here runs k interpreted
+    * multiply-adds per position (O(n·k) per document, boxed
+    * accumulators); the native expression computes identical values in
+    * O(n + k) via the backward rolling recurrence. */
+  private[operators] def rollingWindowDigestsComposed(textCol: String, k: Int): Column = {
     import graft.functions.ArrayOps
     val (m1, m2) = (2147483647L, 2147483629L)
     def pows(c: Long, m: Long): Seq[Long] =

@@ -21,3 +21,10 @@ trait ExpectsStringInput extends ExpectsInputTypes {
 trait ExpectsBinaryInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
 }
+
+/** Token-array twin, for expressions that consume a tokenized document
+  * (e.g. [[graft.functions.RollingHashWindows]]). */
+trait ExpectsStringArrayInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+}

@@ -139,6 +139,35 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L), (3L, 1L), (4L, 1L))
   }
 
+  test("native rolling window digests equal the composed form bit-for-bit") {
+    // the native RollingHashWindows expression replaces an interpreted
+    // O(n·k) HOF fold with an O(n) backward recurrence — same values by
+    // construction; this pins it over random docs, short docs (< k
+    // tokens → empty array), exact-k docs, repeated tokens, multi-space
+    // (empty tokens), unicode, and a null text row
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"tok$i") ++ Seq("», déjà", "漢字")
+    val cases = (0L until 60L).map { i =>
+      val n = rnd.nextInt(80)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (100L, ""), (101L, "a"), (102L, "a b c d e"), (103L, "x  y   z"),
+      (104L, "r r r r r r r r r r"))
+    val df = cases.toDF("doc_id", "text")
+      .unionByName(Seq((105L, Option.empty[String])).toDF("doc_id", "text"))
+    for (k <- Seq(2, 5, 50)) {
+      val got = df.filter(col("text").isNotNull).select(col("doc_id"),
+          Dedup.rollingWindowDigests("text", k).as("native"),
+          Dedup.rollingWindowDigestsComposed("text", k).as("composed"))
+        .collect()
+      got.foreach { r =>
+        withClue(s"k=$k doc=${r.getLong(0)}: ") {
+          r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+        }
+      }
+    }
+  }
+
   test("jaccardPairs finds the dup pairs within blocks above threshold") {
     val got = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
