@@ -154,3 +154,12 @@ object RollingHashWindows {
     new GenericArrayData(out)
   }
 }
+
+/** Column entry point (dev tools / tests). */
+object RollingHashWindowsCol {
+  def of(text: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      RollingHashWindows(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          org.apache.spark.sql.functions.split(text, " ")), k))
+}

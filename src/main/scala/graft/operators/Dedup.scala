@@ -741,13 +741,13 @@ object Dedup {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
     val docs = df.filter(col(textCol).isNotNull)
-    // ordered (non-distinct) k-gram windows with 1-based start positions
-    val grams = graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
-      shinglesOf(toks, k) // the multiset shingle form, incl. short-doc guard
-    }
+    // ordered (non-distinct) k-gram window digests with 1-based start
+    // positions — exactWindowHashes IS md5-of-each-shingle (same values
+    // as the shinglesOf + md5 composition this replaced; the native
+    // Md5HexGram inside it skips the per-window gram-string build)
     val w = docs
-      .select(col(idCol), posexplode(grams).as(Seq("_p0", "_g")))
-      .select(col(idCol), (col("_p0") + 1).as("pos"), md5(col("_g")).as("_h"))
+      .select(col(idCol), posexplode(exactWindowHashes(textCol, k)).as(Seq("_p0", "_h")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("_h"))
       .localCheckpoint() // feeds the dup-digest count AND the semi-join —
       // without it the tokenize+hash pass runs twice
     val dupHashes = w.groupBy("_h")
@@ -882,7 +882,7 @@ object Dedup {
     val exact = docs.join(cand, Seq(idCol))
       .select(col(idCol), ArrayOps.bind(tokens(col(textCol))) { toks =>
         transform(col("_ps"), p => struct(p.as("pos"),
-          md5(concat_ws(" ", slice(toks, p, lit(k)))).as("_h")))
+          graft.functions.Md5HexGram.of(toks, p, k).as("_h")))
       }.as("_pe"))
       .select(col(idCol), explode(col("_pe")).as("_x"))
       .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
@@ -922,7 +922,7 @@ object Dedup {
       when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => struct(i.cast("long").as("start"),
-            md5(concat_ws(" ", slice(toks, i + 1, lit(k)))).as("h"))))
+            graft.functions.Md5HexGram.of(toks, i + 1, k).as("h"))))
         .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
     }
     val grams = docs
@@ -1010,7 +1010,7 @@ object Dedup {
       .join(cand, Seq("doc_id"))
       .select(col("doc_id"), ArrayOps.bind(col("_toks")) { toks =>
         transform(col("_ss"), s0 => struct(s0.as("start"),
-          md5(concat_ws(" ", slice(toks, s0 + 1, lit(k)))).as("h")))
+          graft.functions.Md5HexGram.of(toks, s0 + 1, k).as("h")))
       }.as("_pe"))
       .select(col("doc_id"), explode(col("_pe")).as("_x"))
       .select(col("doc_id"), col("_x.start").as("start"), col("_x.h").as("h"))
@@ -1027,7 +1027,7 @@ object Dedup {
     graft.functions.ArrayOps.bind(tokens(col(textCol))) { toks =>
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
-          p => md5(concat_ws(" ", slice(toks, p, lit(k))))))
+          p => graft.functions.Md5HexGram.of(toks, p, k)))
         .otherwise(array().cast("array<string>"))
     }
 
@@ -1080,7 +1080,7 @@ object Dedup {
     val exact = docs.join(cand, Seq(idCol))
       .select(col(idCol), ArrayOps.bind(tokens(col(textCol))) { toks =>
         transform(col("_ps"), p => struct(p.as("pos"),
-          md5(concat_ws(" ", slice(toks, p, lit(k)))).as("_h")))
+          graft.functions.Md5HexGram.of(toks, p, k).as("_h")))
       }.as("_pe"))
       .select(col(idCol), explode(col("_pe")).as("_x"))
       .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))

@@ -139,6 +139,28 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L), (3L, 1L), (4L, 1L))
   }
 
+  test("native gram md5 equals md5(concat_ws(slice)) bit-for-bit, incl. tails") {
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 25).map(i => s"w$i") ++ Seq("déjà", "漢字", "")
+    val docs = ((0L until 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((90L, ""), (91L, "a"), (92L, "x  y   z"))).toDF("doc_id", "text")
+    for (kk <- Seq(2, 5, 50)) {
+      // probe every position from 1 past the end (empty-slice tail) so
+      // the native expression's short-tail and empty-gram semantics are
+      // pinned against the composition it replaces
+      val got = docs.select(
+          graft.functions.ArrayOps.bind(split(col("text"), " ")) { toks =>
+            transform(sequence(lit(1), org.apache.spark.sql.functions.size(toks) + 2), p => struct(
+              graft.functions.Md5HexGram.of(toks, p, kk).as("native"),
+              md5(concat_ws(" ", slice(toks, p, lit(kk)))).as("composed")))
+          }.as("pairs"))
+        .select(explode(col("pairs")).as("p"))
+        .filter(col("p.native") =!= col("p.composed"))
+      withClue(s"k=$kk: ") { got.count() shouldBe 0L }
+    }
+  }
+
   test("native rolling window digests equal the composed form bit-for-bit") {
     // the native RollingHashWindows expression replaces an interpreted
     // O(n·k) HOF fold with an O(n) backward recurrence — same values by

@@ -23,7 +23,14 @@ object Scratch {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => wanted.exists(w => n.startsWith(w)))
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // SPARK_GRAFT_WARM=1: run 1 builds artifacts (full declared
+    // semantics), runs 2..N time the probe steady state under
+    // graft.bench.reuseArtifacts — Bench's warm-sweep discipline, so
+    // Scratch numbers stay comparable to BENCH_FULL warm values.
+    val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     for (name <- names; r <- 1 to repeat) {
+      if (warm && r > 1) System.setProperty("graft.bench.reuseArtifacts", "true")
+      else System.clearProperty("graft.bench.reuseArtifacts")
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"[scratch] $name%-30s run$r ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
