@@ -1228,6 +1228,14 @@ object Dedup {
     * `w` grams contribute their single overall minimum (one clipped
     * window); documents shorter than a gram contribute none. */
   def winnowFingerprintArray(text: Column, kGram: Int, w: Int): Column =
+    graft.functions.WinnowMinFingerprints.of(tokens(text), kGram, w)
+
+  /** The composed (pure-`functions._`) form [[winnowFingerprintArray]]
+    * natively replaces — kept as the parity pin's reference
+    * (WinnowingSpec asserts bit-equality, order included). The gram
+    * strings and the O(n·w) interpreted least()-chain here are what the
+    * native one-pass deque form removes. */
+  private[operators] def winnowFingerprintArrayComposed(text: Column, kGram: Int, w: Int): Column =
     graft.functions.ArrayOps.bind(tokens(text)) { toks =>
       val combs = when(size(toks) >= kGram,
         transform(sequence(lit(0), size(toks) - kGram),

@@ -85,10 +85,11 @@ object Sketches {
       shingleN: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(groupCol).as("g"),
-        explode(graft.functions.ArrayOps.bind(Dedup.tokens(col(textCol))) { toks =>
-          array_distinct(transform(Dedup.shinglesOf(toks, shingleN),
-            g => PortableHash.md5Hash32(g)))
-        }).as("h"))
+        // native one-pass gram hasher — identical values to the
+        // shinglesOf + md5Hash32 composition (GramHash32Windows
+        // scaladoc; SketchesSpec pins it), no per-window gram string
+        explode(array_distinct(graft.functions.GramHash32Windows.of(
+          Dedup.tokens(col(textCol)), shingleN))).as("h"))
       .distinct()
 
   /** The ≤k smallest distinct hashes per group, as rows. Salted two-stage

@@ -48,6 +48,36 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("native winnow fingerprints equal the composed form bit-for-bit, order included") {
+    val docs = ((1 to 80).map(i => (i.toLong, randTokens(rnd.nextInt(80)).mkString(" "))) :+
+      (96L, "") :+ (97L, "a") :+ (98L, "a b") :+ (99L, "a b c d") :+
+      (100L, "r r r r r r r r r")) // repeated token: equal gram hashes, tie → leftmost
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((K, W), (2, 2), (5, 8))) {
+      val diff = docs.select(
+          Dedup.winnowFingerprintArray(col("text"), k, w).as("native"),
+          Dedup.winnowFingerprintArrayComposed(col("text"), k, w).as("composed"))
+        .filter(!(col("native") <=> col("composed")))
+      withClue(s"k=$k w=$w: ") { diff.count() shouldBe 0L }
+    }
+  }
+
+  test("native gram hashes equal the shinglesOf + md5Hash32 composition") {
+    val docs = ((1 to 60).map(i => (i.toLong, randTokens(rnd.nextInt(50)).mkString(" "))) :+
+      (97L, "") :+ (98L, "a") :+ (99L, "x  y   z")) // empty tokens from multi-space
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val diff = docs.select(
+          graft.functions.GramHash32Windows.of(split(col("text"), " "), n).as("native"),
+          graft.functions.ArrayOps.bind(split(col("text"), " ")) { toks =>
+            transform(Dedup.shinglesOf(toks, n),
+              g => graft.functions.PortableHash.md5Hash32(g))
+          }.as("composed"))
+        .filter(!(col("native") <=> col("composed")))
+      withClue(s"n=$n: ") { diff.count() shouldBe 0L }
+    }
+  }
+
   test("a shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // 40 doc pairs, each sharing exactly one (w+k-1)-token run at a
     // random offset inside otherwise-disjoint token streams
