@@ -66,26 +66,34 @@ object Retrieval {
         "posting while the inline sum would count it per list entry")
     val toks = Dedup.tokens(col(textCol))
     val base = df.filter(col(textCol).isNotNull)
+    // ONE token walk per row for every term's tf (native TermCounts —
+    // identical values to the per-term filter()/array_contains walks it
+    // replaced; RetrievalSpec pins it), materialized as a column so the
+    // stats aggregate and the scoring projection each evaluate it once
+    val statsBase = base.select(size(toks).cast("long").as("_dl"),
+      graft.functions.TermCounts.of(toks, terms).as("_tc"))
     val statsCols =
       count(lit(1)).cast("long").as("n") +:
-        sum(size(toks)).cast("long").as("sumdl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+        sum(col("_dl")).cast("long").as("sumdl") +:
+        terms.indices.map { i =>
+          sum(when(element_at(col("_tc"), i + 1) > 0L, 1L).otherwise(0L)).as(s"df_$i")
         }
     // one row, |terms|+2 columns — bounded at any scale
-    val statsRow = base.agg(statsCols.head, statsCols.tail: _*).head()
+    val statsRow = statsBase.agg(statsCols.head, statsCols.tail: _*).head()
     val n = statsRow.getAs[Long]("n")
     val sumdl = statsRow.getAs[Long]("sumdl")
     val idfs = terms.indices.map(i => idfMicro(n, statsRow.getAs[Long](s"df_$i")))
 
     val dl = size(toks).cast("long")
-    val partials = terms.zip(idfs).map { case (t, idf) =>
-      val tf = size(filter(toks, x => x === lit(t))).cast("long")
-      scoreMicro(idf, tf, dl, n, sumdl)
+    val score = graft.functions.ArrayOps.bind(
+      graft.functions.TermCounts.of(toks, terms)) { tc =>
+      terms.indices.zip(idfs).map { case (i, idf) =>
+        scoreMicro(idf, element_at(tc, i + 1), dl, n, sumdl)
+      }.reduce(_ + _)
     }
     base
       .select(col(idCol), dl.as("n_tokens"),
-        partials.reduce(_ + _).cast("long").as("score_micro"))
+        score.cast("long").as("score_micro"))
       .filter(col("score_micro") > 0L)
       .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
       .orderBy(col("score_micro").desc, col(idCol))
@@ -147,12 +155,18 @@ object Retrieval {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val toks = Dedup.tokens(col(textCol))
     val dl = size(toks).cast("long")
-    val partials = terms.filter(dfByTerm.contains).map { t =>
-      val tf = size(filter(toks, x => x === lit(t))).cast("long")
-      scoreMicro(idfMicro(n, dfByTerm(t)), tf, dl, n, sumdl)
-    }
+    // one native token walk for all present terms' tfs (bm25TopK's
+    // TermCounts discipline) — identical per-term counts, one bind so
+    // the walk runs once per row
+    val present = terms.filter(dfByTerm.contains)
     val total =
-      if (partials.isEmpty) lit(0L) else partials.reduce(_ + _).cast("long")
+      if (present.isEmpty) lit(0L)
+      else graft.functions.ArrayOps.bind(
+        graft.functions.TermCounts.of(toks, present)) { tc =>
+        present.zipWithIndex.map { case (t, i) =>
+          scoreMicro(idfMicro(n, dfByTerm(t)), element_at(tc, i + 1), dl, n, sumdl)
+        }.reduce(_ + _)
+      }.cast("long")
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), dl.as("n_tokens"), total.as("score_micro"))
       .withColumn("bm25", col("score_micro").cast("double") / lit(1000000.0))
@@ -189,12 +203,18 @@ object Retrieval {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val toks = Dedup.tokens(col(textCol))
     val dl = size(toks).cast("long")
-    val partials = terms.filter(dfByTerm.contains).map { t =>
-      val tf = size(filter(toks, x => x === lit(t))).cast("long")
-      scoreMicro(idfMicro(n, dfByTerm(t)), tf, dl, n, sumdl)
-    }
+    // one native token walk for all present terms' tfs (bm25TopK's
+    // TermCounts discipline) — identical per-term counts, one bind so
+    // the walk runs once per row
+    val present = terms.filter(dfByTerm.contains)
     val total =
-      if (partials.isEmpty) lit(0L) else partials.reduce(_ + _).cast("long")
+      if (present.isEmpty) lit(0L)
+      else graft.functions.ArrayOps.bind(
+        graft.functions.TermCounts.of(toks, present)) { tc =>
+        present.zipWithIndex.map { case (t, i) =>
+          scoreMicro(idfMicro(n, dfByTerm(t)), element_at(tc, i + 1), dl, n, sumdl)
+        }.reduce(_ + _)
+      }.cast("long")
     val qlit = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("query_id"), typedLit(qv.toSeq).as("qv"))
     }: _*)

@@ -109,9 +109,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+    // document frequency as a count over the term-partitioned window of
+    // the tf frame — same value as the former groupBy(tok) + join back
+    // (each tf row is one distinct (doc, term)), one exchange fewer and
+    // no join (guide §2.4: two operations keyed the same way share one
+    // exchange; the per-doc ranking window is the only other shuffle)
+    val wTok = Window.partitionBy(col("tok"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score1m").desc, col("tok").asc)
-    tf.join(dfreq, Seq("tok"))
+    tf.withColumn("df_t", count(lit(1)).over(wTok))
       .withColumn("score1m", expr("(tf * 1000000) DIV df_t"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

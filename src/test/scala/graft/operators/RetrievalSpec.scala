@@ -75,6 +75,23 @@ class RetrievalSpec extends SparkSpec {
     (4L, "customer spark spark spark spark"),
     (5L, "vector vector customer")).toDF("doc_id", "text")
 
+  test("native TermCounts equals the per-term filter counts bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("spark", "vector", "customer", "x", "y", "déjà", "")
+    val docs = ((1 to 80).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (97L, "") :+ (98L, "spark  spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "vector", "customer")
+    val toks = split(col("text"), " ")
+    val diff = docs.select(
+        graft.functions.TermCounts.of(toks, terms).as("native"),
+        array(terms.map(t =>
+          org.apache.spark.sql.functions.size(
+            filter(toks, x => x === lit(t))).cast("long")): _*).as("composed"))
+      .filter(!(col("native") <=> col("composed")))
+    diff.count() shouldBe 0L
+  }
+
   test("bm25TopK ranks term-dense docs first and drops no-hit docs") {
     val res = Retrieval
       .bm25TopK(corpus, "doc_id", "text", Seq("spark", "vector"), 10)
