@@ -561,7 +561,21 @@ object Dedup {
 
   /** SimHash fingerprint over the low `bits` bits of the token hash:
     * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    // Row-local native fingerprint: no explode, no exchange — the
+    // signature stage is a narrow projection. The null-text filter
+    // preserves the aggregation form's row set (explode of a null
+    // token array produced no group); values are identical (integer
+    // ±1 sums are fold-order-free; equality with the aggregation form
+    // pinned in spec).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), simhashExpr(col(textCol), bits).as("simhash"))
+
+  /** The explode → shuffle → bits-column conditional-sum AGGREGATION
+    * form [[simhash]] replaced — kept as the parity reference the
+    * row-local forms are property-tested against. */
+  private[graft] def simhashAggComposed(df: DataFrame, idCol: String,
+      textCol: String, bits: Int = 16): DataFrame = {
     // md5Hash32 provides 32 hash bits; beyond that every fingerprint
     // bit is constant 0 and the banded join silently degenerates
     require(bits >= 1 && bits <= 32, s"simhash needs 1 <= bits <= 32, got $bits")
@@ -587,7 +601,20 @@ object Dedup {
     * state is whatever the consumer keeps (see StreamNearDup). Also the
     * cheaper batch shape when each document is one row: no
     * explode-shuffle-agg round trip at all. */
-  def simhashExpr(text: Column, bits: Int = 16): Column = {
+  def simhashExpr(text: Column, bits: Int = 16): Column =
+    // Native one-walk fingerprint ([[graft.functions.SimhashFingerprint]]):
+    // null text → null token array → null fingerprint (the expression
+    // is null-strict), matching the composed form's null algebra.
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SimhashFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          distinctTokens(text)), bits))
+
+  /** The interpreted bits-pass composition [[simhashExpr]] replaced
+    * (bits `aggregate` folds per document) — the row-local parity
+    * reference, property-tested equal to the native expression and to
+    * [[simhashAggComposed]]. */
+  private[graft] def simhashExprComposed(text: Column, bits: Int = 16): Column = {
     val hs = transform(distinctTokens(text), t => PortableHash.md5Hash32(t))
     val fp: Column = (0 until bits).map { j =>
       val bitSum = aggregate(hs, lit(0L), (acc, h) =>

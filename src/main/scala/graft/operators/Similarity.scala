@@ -577,6 +577,10 @@ object Similarity {
     /** Nested literal for codegen'd encode/score expressions. */
     private[operators] def lit3: Column =
       typedLit(centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    /** Flat `[m][k][subDim]` row-major codebook for the native
+      * encode expression ([[graft.functions.PqEncodeCodes]]). */
+    private[operators] def flatCents: Seq[Double] =
+      centroids.flatMap(_.flatMap(_.toSeq)).toSeq
   }
 
   /** Squared L2 between two array<double> columns. */
@@ -650,7 +654,17 @@ object Similarity {
     * which is the point: stored size per row falls from dim floats to m
     * small ints. */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
-      codesCol: String = "codes", rounded: Boolean = false): DataFrame = {
+      codesCol: String = "codes", rounded: Boolean = false): DataFrame =
+    df.withColumn(codesCol, graft.functions.PqOps.encodeCodes(
+      asDouble(col(vecCol)), model.flatCents, model.m, model.k,
+      model.subDim, rounded))
+
+  /** The interpreted composition [[pqEncode]] replaced (m·k
+    * slice/zip_with/aggregate lambdas per row) — kept as the parity
+    * reference SimilaritySpec pins the native expression against. */
+  private[graft] def pqEncodeComposed(df: DataFrame, vecCol: String,
+      model: PqModel, codesCol: String = "codes",
+      rounded: Boolean = false): DataFrame = {
     val cents = model.lit3
     val v = asDouble(col(vecCol))
     val dist: (Column, Column) => Column =
@@ -677,6 +691,18 @@ object Similarity {
     * column (flat m*k array, entry j*k+c). Rounded mode: `_tab` holds
     * 4-dp-scaled longs, so the sum is an exact integer sum. */
   private def adcScore(codesCol: String, m: Int, k: Int,
+      rounded: Boolean): Column = {
+    val s = graft.functions.PqOps.adcLookupSum(
+      col(codesCol), col("_tab"), m, k, rounded)
+    if (rounded) s.cast("double") / 10000.0
+    else PortableRound.round4(s)
+  }
+
+  /** The interpreted composition [[adcScore]] replaced (a zip_with
+    * lookup array + aggregate fold per corpus row × query) — the
+    * parity reference SimilaritySpec pins [[graft.functions.AdcLookupSum]]
+    * against. */
+  private[graft] def adcScoreComposed(codesCol: String, m: Int, k: Int,
       rounded: Boolean): Column = {
     val lookups = zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
       (c, j) => element_at(col("_tab"), (j * lit(k) + c + 1).cast("int")))

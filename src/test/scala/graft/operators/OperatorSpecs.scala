@@ -447,18 +447,27 @@ class DedupSpec extends SparkSpec {
         Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text")
   }
 
-  test("row-local simhashExpr equals the aggregation-form simhash") {
+  test("native simhash equals both composed forms (aggregation + row-local)") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 40).map(i => s"w$i")
-    val corpus = (1L to 80L).map { id =>
+    val corpus: Seq[(Long, String)] = (1L to 80L).map { id =>
       (id, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
-    }
+    } ++ Seq((200L, ""), (201L, "  leading  doubles "), (202L, null))
     val df = corpus.toDF("doc_id", "text")
-    val viaAgg = Dedup.simhash(df, "doc_id", "text", 16)
+    // simhash(): native row-local projection; same (id, fp) SET as the
+    // explode+aggregate form it replaced — incl. the dropped null-text row
+    val viaNative = Dedup.simhash(df, "doc_id", "text", 16)
       .as[(Long, Long)].collect().toMap
-    val viaExpr = df.select(col("doc_id"), Dedup.simhashExpr(col("text"), 16))
+    val viaAgg = Dedup.simhashAggComposed(df, "doc_id", "text", 16)
       .as[(Long, Long)].collect().toMap
-    viaExpr shouldBe viaAgg
+    viaNative shouldBe viaAgg
+    // simhashExpr: native fp column equals the interpreted bits-pass
+    // composition row for row (null text → null fp on both)
+    val exprPair = df.select(col("doc_id"),
+        Dedup.simhashExpr(col("text"), 16).as("n"),
+        Dedup.simhashExprComposed(col("text"), 16).as("c"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    exprPair.foreach { case (id, n, c) => withClue(s"doc=$id") { n shouldBe c } }
   }
 
   test("SortedIntersectSize equals size(array_intersect) on sorted random arrays") {
@@ -823,6 +832,72 @@ class SimilaritySpec extends SparkSpec {
         .select("query_id", "vec_id", "d2_approx")
         .as[(Long, Long, Double)].collect().sorted.toSeq
     run() shouldBe run()
+  }
+
+  test("native PQ encode is bit-identical to the composed form (both modes, edges)") {
+    val rnd = new scala.util.Random(7)
+    val clean: Seq[(Long, Seq[Option[Double]])] = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8)(Some(rnd.nextGaussian()): Option[Double]))
+    }
+    // ties: vectors equal to codebook rows; edges: short / empty / null
+    // vector, null component (nulls subspace 0's code only)
+    val edges: Seq[(Long, Seq[Option[Double]])] = Seq(
+      (100L, clean(2)._2),
+      (101L, Seq.fill(5)(Some(0.25): Option[Double])),
+      (102L, Seq[Option[Double]](Some(1.0), None, Some(0.5), Some(0.25),
+        Some(-1.0), Some(2.0), Some(0.125), Some(-0.5))),
+      (103L, null),
+      (104L, Seq.empty[Option[Double]]))
+    val df = (clean ++ edges).toDF("vec_id", "embedding")
+    val model = Similarity.pqModelDeterministic(
+      df.filter(col("vec_id") < 60), "vec_id", "embedding", m = 2, k = 4)
+    def codesOf(d: org.apache.spark.sql.DataFrame) = d
+      .select("vec_id", "codes").as[(Long, Seq[Option[Int]])]
+      .collect().sortBy(_._1).toSeq
+    for (rounded <- Seq(true, false)) {
+      codesOf(Similarity.pqEncode(df, "embedding", model, rounded = rounded)) shouldBe
+        codesOf(Similarity.pqEncodeComposed(df, "embedding", model, rounded = rounded))
+    }
+  }
+
+  test("native ADC lookup sum is bit-identical to the composed fold (both modes, edges)") {
+    val (m, k) = (2, 4)
+    def oi(xs: Int*): Seq[Option[Int]] = xs.map(Some(_))
+    val tabL: Seq[Option[Long]] = (1 to m * k).map(i => Some(i * 7L))
+    val rows: Seq[(Long, Seq[Option[Int]], Seq[Option[Long]])] = Seq(
+      (0L, oi(0, 3), tabL),
+      (1L, oi(3, 0), tabL),
+      (2L, Seq(Some(2), None), tabL),              // null code
+      (3L, null, tabL),                            // null codes array
+      (4L, oi(1), tabL),                           // too short
+      (5L, oi(0, 1, 2), tabL),                     // too long
+      (7L, oi(0, 0), null))                        // null table
+    val df = rows.toDF("id", "codes", "_tab")
+    val composedL = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("_tab"), (j * lit(k) + c + 1).cast("int"))),
+      lit(0L), (acc, d) => acc + d)
+    val gotL = df.select(col("id"),
+        graft.functions.PqOps.adcLookupSum(col("codes"), col("_tab"), m, k, rounded = true).as("n"),
+        composedL.as("c"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    gotL.foreach { case (id, n, c) => withClue(s"id=$id") { n shouldBe c } }
+    val dfD = df.withColumn("_tab", col("_tab").cast("array<double>"))
+    val composedD = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("_tab"), (j * lit(k) + c + 1).cast("int"))),
+      lit(0.0), (acc, d) => acc + d)
+    val gotD = dfD.select(col("id"),
+        graft.functions.PqOps.adcLookupSum(col("codes"), col("_tab"), m, k, rounded = false).as("n"),
+        composedD.as("c"))
+      .as[(Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    gotD.foreach { case (id, n, c) => withClue(s"id=$id") { n shouldBe c } }
+    // out-of-range lookup (unreachable for produced codes, which are
+    // always in [0, k)): the native expression yields null — the
+    // composed element_at under ANSI would raise instead
+    Seq((6L, oi(3, 3), tabL.take(3))).toDF("id", "codes", "_tab")
+      .select(graft.functions.PqOps.adcLookupSum(col("codes"), col("_tab"), m, k, rounded = true))
+      .as[Option[Long]].collect() shouldBe Array(None)
   }
 
   test("IVFPQ stored index: codes-only files, pruned probe, full probe = ADC") {
