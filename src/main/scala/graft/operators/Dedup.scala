@@ -53,10 +53,31 @@ object Dedup {
     transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** Shared minhash pipeline: explode a distinct-unit array (tokens or
-    * shingles) → md5-derived hash → one partial-aggregated groupBy(doc)
-    * with k min-permutations. ONE shuffle, map-side combined. */
-  private def minhashFrom(df: DataFrame, idCol: String, units: Column, k: Int): DataFrame = {
+  /** Shared minhash pipeline, ROW-LOCAL: all k min-permutations in one
+    * native walk per document ([[graft.functions.MinhashMins]]) — a
+    * narrow projection, no explode, no exchange. `nonEmpty` must be the
+    * cheap row predicate equivalent to "the unit array is non-empty":
+    * it preserves the aggregation form's row set (explode of an empty
+    * or null unit array produced no group) without evaluating the unit
+    * expression twice. The k column extractions share the single
+    * signature walk through codegen subexpression elimination. */
+  private def minhashFrom(df: DataFrame, idCol: String, units: Column, k: Int,
+      nonEmpty: Column): DataFrame =
+    df.filter(nonEmpty)
+      .select(col(idCol),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.MinhashMins(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(units), k))
+          .as("_mh"))
+      .select(col(idCol) +: (0 until k).map(i => col("_mh")(i).as(s"mh$i")): _*)
+
+  /** The explode → shuffle → k-column min AGGREGATION form
+    * [[minhashFrom]] replaced — kept as the parity reference the
+    * row-local form is property-tested against, and as the per-GROUP
+    * aggregator's building block ([[sourceOverlapMinhash]] composes it
+    * differently). */
+  private[graft] def minhashFromAggComposed(df: DataFrame, idCol: String,
+      units: Column, k: Int): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(units).as("u"))
       .withColumn("h", PortableHash.md5Hash32(col("u")))
@@ -65,10 +86,13 @@ object Dedup {
   }
 
   /** MinHash signature over n-token shingles — the shingle→minhash
-    * stage of the canonical near-dup pipeline. */
+    * stage of the canonical near-dup pipeline. A document shorter than
+    * `shingleN` tokens has no shingles, hence no signature row (the
+    * aggregation form's row-set rule, as a cheap token-count test). */
   def minhashSignatureShingled(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int): DataFrame =
-    minhashFrom(df, idCol, distinctShingles(col(textCol), shingleN), k)
+    minhashFrom(df, idCol, distinctShingles(col(textCol), shingleN), k,
+      col(textCol).isNotNull && size(tokens(col(textCol))) >= shingleN)
 
   /** Exact dedup: group by content digest, keep min id as the canonical
     * representative. */
@@ -84,9 +108,11 @@ object Dedup {
         count(lit(1)).as("dup_count"))
 
   /** MinHash signature: one row per doc with k min-permutation columns
-    * mh0..mh{k-1}. */
+    * mh0..mh{k-1}. Non-null text always splits into at least one token,
+    * so the null filter is exactly the aggregation form's row-set rule. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    minhashFrom(df, idCol, distinctTokens(col(textCol)), k)
+    minhashFrom(df, idCol, distinctTokens(col(textCol)), k,
+      col(textCol).isNotNull)
 
   /** Source-level overlap matrix: estimated token-set Jaccard between
     * every pair of corpus partitions (sources / dumps / snapshots) via
@@ -95,20 +121,27 @@ object Dedup {
     * doc-level dedup runs.
     *
     * A group's signature component i is min over the UNION of its docs'
-    * token sets of permutation i — and min is idempotent, so doc-level
-    * `distinct` units feed the same one partial-combined aggregation
-    * as [[minhashSignature]]; nothing needs a group-level distinct.
+    * token sets of permutation i — and min is idempotent, so the
+    * group aggregate folds PER-DOCUMENT minima: each doc computes its
+    * row-local native signature ([[graft.functions.MinhashMins]], one
+    * walk, no explode) and the group min-agg runs over doc-count rows
+    * of k longs instead of token-count exploded rows — same values
+    * (min of mins = min of the union), far fewer shuffled bytes.
     * The estimate is (agreeing components)/k in exact integer
-    * milli-units. Scale: the corpus contributes ONE explode + one
-    * group-keyed min-agg (group-cardinality rows out); the pair matrix
-    * is groups², enumerated over the group-sized signature frame only —
-    * at 100 TB with thousands of dumps that is millions of cheap rows,
-    * never a corpus join. */
+    * milli-units. Scale: the corpus contributes one narrow projection
+    * + one group-keyed min-agg (group-cardinality rows out); the pair
+    * matrix is groups², enumerated over the group-sized signature
+    * frame only — at 100 TB with thousands of dumps that is millions
+    * of cheap rows, never a corpus join. */
   def sourceOverlapMinhash(df: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
-    val sig = minhashFrom(
+    // non-null text → ≥1 token → every kept doc has a full signature,
+    // and every agg-form group (≥1 exploded unit) is represented
+    val perDoc = minhashFrom(
       df.filter(col(textCol).isNotNull), groupCol,
-      distinctTokens(col(textCol)), k)
+      distinctTokens(col(textCol)), k, lit(true))
+    val mins = (0 until k).map(i => min(col(s"mh$i")).as(s"mh$i"))
+    val sig = perDoc.groupBy(col(groupCol)).agg(mins.head, mins.tail: _*)
     val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
     val agree = (0 until k)
@@ -160,7 +193,17 @@ object Dedup {
     * ~nBands× the distinct pair count). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandSize: Int = 4, broadcastBuild: Boolean = true): DataFrame = {
-    val bands = lshBandsKeyed(minhashSignature(df, idCol, textCol, k), idCol, k, bandSize)
+    // Signature-sized checkpoint (docs × k+1 columns): (a) the
+    // self-join's two sides read the per-doc signature walk ONCE — the
+    // materialization role the aggregation form's groupBy exchange used
+    // to play; (b) it fences InferFiltersFromGenerate's size(keys) > 0
+    // filter, which pushdown would otherwise substitute through the
+    // row-local projection into a scan-side filter carrying one
+    // minhash_mins copy PER BAND COLUMN (measured 10× on the verified-
+    // pair family — the same fence the winnow/digest families use).
+    val bands = lshBandsKeyed(
+      minhashSignature(df, idCol, textCol, k).localCheckpoint(),
+      idCol, k, bandSize)
     // Explicit-N repartition: the stream side is byte-tiny but each row's
     // probe fans out quadratically inside hot bands — AQE's byte-based
     // coalescing would serialize it (SURVEY.md §8.1).

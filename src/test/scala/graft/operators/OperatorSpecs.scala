@@ -447,6 +447,45 @@ class DedupSpec extends SparkSpec {
         Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text")
   }
 
+  test("native minhash signatures equal the aggregation form (tokens, shingles, groups)") {
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // lengths 1..12 — includes docs shorter than the shingle width —
+    // plus empty text, repeated-whitespace text and null text
+    val corpus: Seq[(Long, String, String)] = (1L to 90L).map { id =>
+      (id, s"s${id % 4}",
+        Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((200L, "s0", ""), (201L, "s1", " x  x "), (202L, "s2", null))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val k = 8
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    rows(Dedup.minhashSignature(df, "doc_id", "text", k)) shouldBe
+      rows(Dedup.minhashFromAggComposed(df, "doc_id",
+        Dedup.distinctTokens(col("text")), k))
+    rows(Dedup.minhashSignatureShingled(df, "doc_id", "text", k, shingleN = 3)) shouldBe
+      rows(Dedup.minhashFromAggComposed(df, "doc_id",
+        Dedup.distinctShingles(col("text"), 3), k))
+    // group-level: per-doc row-local minima folded by min == one
+    // aggregation over every exploded unit (min is idempotent)
+    def grows(d: org.apache.spark.sql.DataFrame) = d.orderBy("source_a", "source_b")
+      .collect().map(_.toSeq).toSeq
+    val aggSig = Dedup.minhashFromAggComposed(
+      df.filter(col("text").isNotNull), "source",
+      Dedup.distinctTokens(col("text")), k)
+    grows(Dedup.sourceOverlapMinhash(df, "source", "text", k)
+      .select("source_a", "source_b", "agree")) shouldBe {
+      val a = aggSig.columns.foldLeft(aggSig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = aggSig.columns.foldLeft(aggSig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val agree = (0 until k)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      grows(a.join(b, col("a_source") < col("b_source"))
+        .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+          agree.as("agree")))
+    }
+  }
+
   test("native simhash equals both composed forms (aggregation + row-local)") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 40).map(i => s"w$i")
