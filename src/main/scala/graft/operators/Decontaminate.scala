@@ -28,17 +28,37 @@ import graft.functions.{Plans, PortableHash}
   */
 object Decontaminate {
 
-  /** (id, gram_hash): distinct n-token-gram hashes per document. A
-    * document shorter than `n` tokens contributes no grams (and so can
-    * never be flagged). Narrow: explode + projection, no shuffle. */
+  /** (id, gram_hash): distinct n-token-gram hashes per document — the
+    * graded faces ([[contaminationFraction]]) count these rows, so the
+    * per-document DISTINCT-GRAM-STRING semantics is load-bearing here.
+    * A document shorter than `n` tokens contributes no grams (and so
+    * can never be flagged). Narrow: explode + projection, no shuffle. */
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(Dedup.distinctShingles(col(textCol), n)).as("_gram"))
       .select(col(idCol), PortableHash.md5Hash32(col("_gram")).as("gram_hash"))
 
-  /** Distinct gram hashes of the test set — the (small) reference side. */
+  /** (id, gram_hash) over EVERY n-token window — the MULTISET form the
+    * membership screens use ([[contaminatedIds]] / [[cleanBloomExact]] /
+    * [[cleanWithStoredArtifact]]): their semi-join + id-distinct only
+    * asks "does ANY window hash hit?", and the SET of hashes of a
+    * document's distinct gram strings equals the set of its window
+    * hashes, so dropping the distinct changes nothing downstream —
+    * PROVABLY, not just collision-probably. What it buys: the native
+    * one-walk gram hasher ([[graft.functions.GramHash32Windows]])
+    * feeds token bytes straight into the digest — no per-window gram
+    * STRING build, no array_distinct re-hash of those strings — the
+    * same per-task win the KMV/winnow fronts measured. */
+  def ngramHashesAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.GramHash32Windows.of(
+        Dedup.tokens(col(textCol)), n)).as("gram_hash"))
+
+  /** Distinct gram hashes of the test set — the (small) reference side.
+    * Hash-then-distinct over every window: the same SET as distinct-
+    * strings-then-hash, without the gram-string builds. */
   def testGramSet(test: DataFrame, textCol: String, n: Int): DataFrame =
-    test.select(explode(Dedup.distinctShingles(col(textCol), n)).as("_gram"))
-      .select(PortableHash.md5Hash32(col("_gram")).as("gram_hash"))
+    test.select(explode(graft.functions.GramHash32Windows.of(
+        Dedup.tokens(col(textCol)), n)).as("gram_hash"))
       .distinct()
 
   /** Ids of corpus documents sharing ≥1 n-gram with `test`. Broadcast
@@ -47,7 +67,7 @@ object Decontaminate {
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       test: DataFrame, testTextCol: String, n: Int,
       broadcastTest: Boolean = true): DataFrame =
-    ngramHashes(corpus, idCol, textCol, n)
+    ngramHashesAll(corpus, idCol, textCol, n)
       .join(Plans.maybeBroadcast(testGramSet(test, testTextCol, n), broadcastTest),
         Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
@@ -87,7 +107,7 @@ object Decontaminate {
     // no UDF. The serialized filter ships as a constant (at cluster
     // scale: a few MB in the task binary vs a hash frame of hundreds).
     val filterBytes = bloomFromGrams(grams, fpp)
-    val candidates = ngramHashes(corpus, idCol, textCol, n)
+    val candidates = ngramHashesAll(corpus, idCol, textCol, n)
       .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
       .join(broadcast(grams), Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
@@ -176,7 +196,7 @@ object Decontaminate {
     val filterBytes = row.getAs[Array[Byte]]("bloom")
     val n = row.getAs[Number]("n").intValue()
     val grams = spark.read.parquet(s"$dir/grams")
-    val candidates = ngramHashes(corpus, idCol, textCol, n)
+    val candidates = ngramHashesAll(corpus, idCol, textCol, n)
       .filter(BloomBridge.mightContain(filterBytes, col("gram_hash")))
       .join(broadcast(grams), Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
@@ -195,8 +215,10 @@ object Decontaminate {
   def streamCleanBloom(stream: DataFrame, textCol: String,
       filterBytes: Array[Byte], n: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.BloomBridge
-    val gramHashes = transform(Dedup.distinctShingles(col(textCol), n),
-      g => PortableHash.md5Hash32(g))
+    // every-window hashes (native one-walk): same hash SET as the
+    // distinct-gram form, so the `exists` probe is provably unchanged
+    val gramHashes = graft.functions.GramHash32Windows.of(
+      Dedup.tokens(col(textCol)), n)
     stream.filter(
       !exists(gramHashes, h => BloomBridge.mightContain(filterBytes, h)))
   }
