@@ -44,4 +44,28 @@ object Plans {
     * int64 hash + id + hashed-relation overhead) — the model q169's
     * substring-screen reference and the digest-set probes share. */
   val hashedDigestRowBytes = 48L
+
+  /** Driver-side parquet row count: sum the footer record counts of a
+    * stored artifact's files without scheduling a Spark job. The
+    * broadcast GATES only need the artifact's row count, and a
+    * `count()` job costs two scheduler round trips per gate read —
+    * measured 0.30 s of the q169 ingest gate's warm invocation for two
+    * ~40 k-row digest sets whose footers answer in milliseconds.
+    * Reads the files on EVERY call (nothing cached across runs); flat
+    * artifact directories only (the stored digest/posting layouts —
+    * no partition subdirectories). */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 }

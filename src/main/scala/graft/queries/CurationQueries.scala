@@ -1885,8 +1885,11 @@ object CurationQueries {
         // ~48 B per hashed digest row): above the limit the probe
         // falls back to Catalyst's shuffle join instead of forcing a
         // corpus-sized build into every executor
-        val nRef = s.read.parquet(s"$sDir/roll").count() +
-          s.read.parquet(s"$sDir/exact").count()
+        // footer-metadata counts (driver-side, no job): the gate needs
+        // only the stored digest sets' row counts, and two count() jobs
+        // cost ~0.3 s of every gate invocation
+        val nRef = graft.functions.Plans.parquetRowCount(s, s"$sDir/roll") +
+          graft.functions.Plans.parquetRowCount(s, s"$sDir/exact")
         val dupText = Dedup.dupSpansRollingAgainstStored(
             s, sDir, arrivals, "doc_id", "text",
             broadcastRef = graft.functions.Plans.underBroadcastGate(

@@ -88,3 +88,13 @@ class OovVocabSpec extends SparkSpec {
     streamed shouldBe Map(1L -> 0L, 2L -> 2L, 3L -> 3L)
   }
 }
+
+class PlansHelpersSpec extends graft.SparkSpec {
+  test("parquetRowCount (footer metadata, no job) equals count() on a stored artifact") {
+    val dir = tmpDir("plans_rowcount")
+    spark.range(1234).selectExpr("id", "id * 2 AS v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    graft.functions.Plans.parquetRowCount(spark, dir) shouldBe
+      spark.read.parquet(dir).count()
+  }
+}
