@@ -342,7 +342,28 @@ object Retrieval {
     * sum over the posting-sized exploded stream restores absolute ids.
     * The window partitions by (token, seg) so gaps decode within their
     * own segment. */
-  private def decodeSegments(posts: DataFrame): DataFrame = {
+  private[graft] def decodeSegments(posts: DataFrame): DataFrame = {
+    val segCol = if (posts.columns.contains("seg")) col("seg") else lit(0L)
+    // In-row native prefix scan ([[graft.functions.GapDecodePostings]]):
+    // the running sum is confined to one row's postings array — the
+    // (token, seg) window partition key IS the row key — so decoding
+    // before the explode removes the window's Exchange + Sort from
+    // every stored-retrieval probe. Values identical (same
+    // left-to-right integer prefix sum; parity pinned in RetrievalSpec
+    // against the window form below).
+    posts
+      .withColumn("_seg", segCol)
+      .select(col("token"), col("_seg"), col("df_t"),
+        explode(graft.functions.GapDecodePostings.of(col("postings"))).as("_p"))
+      .select(col("token"), col("_p.id").as("id"), col("_p.tf").as("tf"),
+        col("df_t"), col("_seg"))
+  }
+
+  /** The window-form decode [[decodeSegments]] replaced (running sum
+    * over the posexploded posting stream — Exchange + Sort + Window
+    * per probe) — the parity reference RetrievalSpec pins the in-row
+    * native decode against. */
+  private[graft] def decodeSegmentsComposed(posts: DataFrame): DataFrame = {
     val segCol = if (posts.columns.contains("seg")) col("seg") else lit(0L)
     posts
       .withColumn("_seg", segCol)

@@ -153,6 +153,20 @@ class RetrievalSpec extends SparkSpec {
     row.getSeq[Long](1).scanLeft(0L)(_ + _).drop(1) shouldBe Seq(1L, 2L, 4L)
   }
 
+  test("native in-row gap decode equals the window-form decode on a stored index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retr_dec").toString
+    val first = corpus.filter(col("doc_id") <= 3)
+    Retrieval.writeRetrievalIndex(spark, first, "doc_id", "text", dir)
+    Retrieval.appendToRetrievalIndex(spark, dir,
+      corpus.filter(col("doc_id") > 3), "doc_id", "text")
+    val posts = spark.read.parquet(s"$dir/postings") // multi-segment
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("token", "id", "tf", "df_t", "_seg")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    rows(Retrieval.decodeSegments(posts)) shouldBe
+      rows(Retrieval.decodeSegmentsComposed(posts))
+  }
+
   test("segment append equals a from-scratch build; compaction preserves the probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retr4").toString
     val first = corpus.filter(col("doc_id") <= 3)
