@@ -72,6 +72,28 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length saturation, lexical
     * diversity, and English stopword density. 4dp for oracle parity. */
   def qualityScore(text: Column): Column = {
+    // One-walk native token stats ([[graft.functions.TokenStats]]):
+    // the composed form re-tokenized three times and paid an
+    // interpreted stopword filter per token; the three counts are
+    // exact integers, so the double algebra below is bit-identical.
+    // The three getFields share the single walk through codegen
+    // subexpression elimination.
+    val st = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TokenStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens(text)),
+        stopwords("en")))
+    val n = st.getField("n").cast("double")
+    val lengthScore = least(lit(1.0), n / lit(100.0))
+    val diversity = st.getField("nd").cast("double") / n
+    val stopDensity = least(lit(1.0),
+      st.getField("hits").cast("double") / n * lit(5.0))
+    PortableRound.round4(lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * stopDensity)
+  }
+
+  /** The three-pass composition [[qualityScore]] replaced (tokenize ×3
+    * + interpreted stopword filter) — the parity reference
+    * TextAnalysisSpec pins the fused form against. */
+  private[graft] def qualityScoreComposed(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val lengthScore = least(lit(1.0), n / lit(100.0))
     val diversity = distinctTokenCount(text).cast("double") / n

@@ -790,6 +790,25 @@ class CurationSpec extends SparkSpec {
     got.foreach { case (_, _, _, r, n) => (4 * (r - 1)) should be >= (3 * (n - 1)) }
   }
 
+  test("fused native qualityScore is bit-identical to the three-pass composition") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(37)
+    val vocab = (0 until 30).map(i => s"w$i") ++ TextAnalysis.stopwords("en")
+    val docs: Seq[(Long, String)] = (1L to 120L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(140))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (200L, ""),                         // one empty token
+      (201L, "  the  a "),                // empty tokens + stopwords
+      (202L, "the the the the"),          // stopword-only, repeated
+      (203L, "z"), (204L, null))          // single token; null text
+    val pairs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("fused"),
+        TextAnalysis.qualityScoreComposed(col("text")).as("composed"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    pairs.foreach { case (id, f, c) => withClue(s"doc=$id") { f shouldBe c } }
+  }
+
   test("stored decontamination artifact screens identically to the inline path") {
     import graft.operators.Decontaminate
     val rnd = new scala.util.Random(43)
