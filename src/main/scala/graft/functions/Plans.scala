@@ -6,12 +6,49 @@ import org.apache.spark.sql.functions.broadcast
 /** Shared plan-shaping helpers for the engine's operators. */
 object Plans {
 
-  /** The session's shuffle fan-out — used with explicit-N
-    * `repartition(n)` (exempt from AQE coalescing) to keep CPU-heavy,
-    * small-byte stages parallel. One definition so every operator
-    * agrees on the fallback. */
-  def shufflePartitions(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  /** Per-partition byte target for the VOLUME-AWARE fan-out below.
+    * Deliberately finer-grained than AQE's 64–256 MB advisory: the
+    * stages sized by [[shufflePartitions]] are CPU-heavy per byte
+    * (quadratic pair enumeration/verification over kilobyte rows), so
+    * partitions carry far more compute than their bytes suggest. */
+  val FanoutBytesPerPartitionKey = "spark.graft.fanout.bytesPerPartition"
+  val DefaultFanoutBytesPerPartition: Long = 16L * 1024 * 1024
+
+  /** The engine's explicit-N fan-out for CPU-heavy, small-byte stages
+    * (`repartition(n)` is exempt from AQE coalescing — byte-based
+    * coalescing would serialize quadratic pair work). One definition so
+    * every operator agrees.
+    *
+    * VOLUME-AWARE (round-16, guide §2): N = clamp(estimated input
+    * bytes / [[FanoutBytesPerPartitionKey]],
+    * floor = min(defaultParallelism, cap),
+    * cap = `spark.sql.shuffle.partitions`) instead of the session
+    * constant alone. The floor keeps every core busy (these stages are
+    * CPU-bound — idle cores are pure waste, and the round-16
+    * FanoutProbe measured cap as optimal for the token-verify family
+    * at bench SF); the cap bounds scheduler pressure; in between the
+    * fan-out grows with the DATA, so an ingest-batch-sized probe on a
+    * 12000-partition cluster session no longer pays a 12000-task
+    * round-robin exchange for kilobytes of batch. Unknown statistics
+    * (checkpoint-backed inputs surface Long.MaxValue-ish defaults)
+    * fall back to the cap — the pre-round-16 behavior. */
+  def shufflePartitions(df: DataFrame): Int = {
+    val sess = df.sparkSession
+    val cap = sess.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val floor = math.min(cap, sess.sparkContext.defaultParallelism)
+    val perPart = sess.conf
+      .get(FanoutBytesPerPartitionKey, DefaultFanoutBytesPerPartition.toString)
+      .toLong
+    // a streaming frame has no batch optimizedPlan (checkForBatch
+    // throws) and no meaningful size estimate — cap, as before round 16
+    if (df.isStreaming) return cap
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // > 1 PiB = "no real estimate" (unknown leaves report
+    // spark.sql.defaultSizeInBytes, Long.MaxValue by default)
+    if (bytes <= 0 || bytes > BigInt(1L << 50) || perPart <= 0) cap
+    else math.max(floor.toLong,
+      math.min(cap.toLong, (bytes.toLong + perPart - 1) / perPart)).toInt
+  }
 
   /** Optionally broadcast the build side of a self-join. `true` (the
     * default in the pair operators) is right while the build side fits
@@ -59,7 +96,21 @@ object Plans {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).iterator
+    // Fail fast on layout drift (round-15 advice): a partitioned or
+    // unexpectedly-laid-out artifact would silently UNDERCOUNT here,
+    // and an undercount feeds the broadcast gate — wrongly forcing a
+    // corpus-sized broadcast build is exactly the failure the gate
+    // exists to prevent. Data files and commit markers only.
+    val statuses = fs.listStatus(p)
+    val rogue = statuses.filter(st => st.isDirectory ||
+      !(st.getPath.getName.endsWith(".parquet") ||
+        st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith(".")))
+    require(rogue.isEmpty,
+      s"parquetRowCount($path): flat parquet artifact expected, found " +
+        rogue.map(_.getPath.getName).take(3).mkString(", ") +
+        " — a partitioned/drifted layout would undercount the broadcast gate")
+    statuses.iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile

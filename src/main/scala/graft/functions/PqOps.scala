@@ -159,6 +159,24 @@ case class AdcLookupSum(left: Expression, right: Expression, m: Int,
   override def nullable: Boolean = true
   override def prettyName: String = "adc_lookup_sum"
 
+  /** The `rounded` flag dictates how table cells are READ (getLong vs
+    * getDouble on the raw ArrayData) — a mismatched element type would
+    * silently reinterpret bits into garbage scores rather than fail
+    * (round-15 advice). Enforce the pairing at the expression boundary:
+    * rounded → array<bigint> table, raw → array<double>. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val want: DataType = if (rounded) LongType else DoubleType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(et, _)) if et == want =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(rounded=$rounded) expects (array<int>, " +
+          s"array<${want.simpleString}>); got (${l.simpleString}, ${r.simpleString})")
+    }
+  }
+
   override protected def nullSafeEval(codes: Any, tab: Any): Any =
     AdcLookupSum.compute(codes.asInstanceOf[ArrayData],
       tab.asInstanceOf[ArrayData], m, k, rounded)

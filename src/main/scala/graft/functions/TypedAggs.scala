@@ -90,6 +90,62 @@ object TypedAggs {
   def heavyHittersOf(c: Column, k: Int): Column =
     udaf(new HeavyHittersAggregator(k)).apply(c)
 
+  /** The k smallest DISTINCT long values per group, as an ascending
+    * sequence — the KMV sketch state computed as ONE partial-combined
+    * aggregate (round 16, guide §2.3 "aggregate before you shuffle").
+    * The windowed form it replaces for [[graft.operators.Sketches]]
+    * paid a global `(g, h)` distinct exchange plus TWO whole-bucket
+    * Window sorts (salt stage + merge stage, 3 exchanges total); this
+    * buffer is ≤ k longs per group per map task, so only
+    * tasks × groups × k longs ever shuffle and nothing is globally
+    * sorted. Values are exact set minima (a java.util.TreeSet — dedupe
+    * and ordering are the set's), so the result is BIT-IDENTICAL to
+    * the windowed form (SketchesSpec pins it). Null inputs skipped. */
+  class KmvMinsAggregator(k: Int)
+      extends Aggregator[java.lang.Long, java.util.TreeSet[java.lang.Long], Seq[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    override def zero: java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def insert(b: java.util.TreeSet[java.lang.Long],
+        v: java.lang.Long): java.util.TreeSet[java.lang.Long] = {
+      if (b.size < k) b.add(v)
+      else if (v < b.last) { if (b.add(v)) b.pollLast() }
+      b
+    }
+
+    override def reduce(b: java.util.TreeSet[java.lang.Long],
+        v: java.lang.Long): java.util.TreeSet[java.lang.Long] =
+      if (v == null) b else insert(b, v)
+
+    override def merge(a: java.util.TreeSet[java.lang.Long],
+        b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b.iterator()
+      var go = true
+      while (go && it.hasNext) {
+        val v = it.next()
+        // b iterates ascending: once v can't enter, nothing after it can
+        if (a.size >= k && v >= a.last) go = false else insert(a, v)
+      }
+      a
+    }
+
+    override def finish(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Long](b.size)
+      b.forEach(v => out += v)
+      out.toSeq
+    }
+
+    override def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
+      Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** KMV minima as a Column aggregate: ascending ≤k distinct minima. */
+  def kmvMinsOf(c: Column, k: Int): Column =
+    udaf(new KmvMinsAggregator(k)).apply(c)
+
   /** Session-level SQL registration:
     * `SELECT mode_agg(c), heavy_hitters_16(c) FROM ...`. */
   def register(spark: SparkSession): Unit = {

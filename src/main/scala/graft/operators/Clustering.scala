@@ -56,10 +56,18 @@ object Clustering {
     // driver than to iterate over — the loop's cost is dominated by
     // per-round job scheduling, not data. The id ordering must match
     // Spark's min() for identical cluster ids.
+    // (round-16 note: a limit(ceiling+1)-collect probe was tried here
+    // to fuse the gate and the solve into one job — CollectLimitExec's
+    // scale-up rounds turn an unreached limit over N partitions into
+    // ~log₄(N) jobs, strictly worse than count+collect; and raising
+    // spark.sql.limit.initialNumPartitions makes the huge-graph first
+    // round collect up to partitions×ceiling rows at the driver. The
+    // two-job gate stays.)
     val sameType = p.schema("_a").dataType == p.schema("_b").dataType
     val keyOrdering = if (sameType) minOrdering(p.schema("_a").dataType) else None
-    if (p.count() <= driverSolveMaxEdges && keyOrdering.isDefined) {
-      val out = driverSolve(p, keyOrdering.get)
+    if (keyOrdering.isDefined && p.count() <= driverSolveMaxEdges) {
+      val out = driverSolve(p.sparkSession, p.schema("_a").dataType,
+        p.collect(), keyOrdering.get)
       CheckpointBridge.release(p)
       return out
     }
@@ -153,8 +161,8 @@ object Clustering {
   /** Union-find with path compression, roots kept at the component MIN
     * (so the root IS the cluster id — no second pass). One driver
     * thread, O(E α(V)) amortized with compression. */
-  private def driverSolve(p: DataFrame, ord: Ordering[Any]): DataFrame = {
-    val spark = p.sparkSession
+  private def driverSolve(spark: org.apache.spark.sql.SparkSession,
+      idType: DataType, rows: Array[Row], ord: Ordering[Any]): DataFrame = {
     val parent = new java.util.HashMap[Any, Any]()
     def find(x0: Any): Any = {
       var root = x0
@@ -169,7 +177,7 @@ object Clustering {
       root
     }
     val verts = new java.util.LinkedHashSet[Any]()
-    p.collect().foreach { r =>
+    rows.foreach { r =>
       val (a, b) = (r.get(0), r.get(1))
       verts.add(a); verts.add(b)
       val (ra, rb) = (find(a), find(b))
@@ -177,10 +185,9 @@ object Clustering {
         if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    val idType = p.schema("_a").dataType
-    val rows = new java.util.ArrayList[Row](verts.size())
-    verts.forEach(v => rows.add(Row(v, find(v))))
-    spark.createDataFrame(rows, StructType(Seq(
+    val out = new java.util.ArrayList[Row](verts.size())
+    verts.forEach(v => out.add(Row(v, find(v))))
+    spark.createDataFrame(out, StructType(Seq(
       StructField("id", idType), StructField("cluster_id", idType))))
   }
 
@@ -258,15 +265,18 @@ object Clustering {
     // component's minimum without ever meeting the old root directly)
     // compared with the id column's OWN Spark ordering (a long cast
     // crashes on string ids under ANSI mode and silently disables the
-    // guard with ANSI off)
-    val mx = stored.agg(max(col(idCol))).head
-    val mn = batchIds.agg(min(col(batchIdCol))).head
-    val ordered = mx.isNullAt(0) || mn.isNullAt(0) ||
-      stored.sparkSession.range(1)
-        .select(lit(mn.get(0)) > lit(mx.get(0))).head.getBoolean(0)
+    // guard with ANSI off). ONE action: the two single-row aggregates
+    // cross-join and the comparison rides the same plan — the previous
+    // three driver round trips (two agg jobs + a range(1) comparison
+    // job) were pure scheduling latency on every merge call.
+    val mm = stored.agg(max(col(idCol)).as("_mx"))
+      .crossJoin(batchIds.agg(min(col(batchIdCol)).as("_mn")))
+      .select(col("_mx"), col("_mn"), (col("_mn") > col("_mx")).as("_ok"))
+      .head
+    val ordered = mm.isNullAt(0) || mm.isNullAt(1) || mm.getBoolean(2)
     require(ordered,
-      s"append-only id discipline violated: batch min id ${mn.get(0)} <= " +
-        s"max stored id ${mx.get(0)}; run a full recompute instead")
+      s"append-only id discipline violated: batch min id ${mm.get(1)} <= " +
+        s"max stored id ${mm.get(0)}; run a full recompute instead")
     val endpoints = p.select(explode(array(col("_a"), col("_b"))).as("_rid"))
       .distinct()
     val touched = stored

@@ -60,7 +60,16 @@ object Dedup {
     * it preserves the aggregation form's row set (explode of an empty
     * or null unit array produced no group) without evaluating the unit
     * expression twice. The k column extractions share the single
-    * signature walk through codegen subexpression elimination. */
+    * signature walk through codegen subexpression elimination.
+    *
+    * UNIQUE-ID PRECONDITION (round-15 advice): the row-local form
+    * emits one signature row PER INPUT ROW, where the aggregation form
+    * merged duplicate ids into one signature over the UNION of their
+    * units. Every engine caller feeds a primary-key id (doc_id /
+    * vec_id — the testdata invariant the parity specs cover); on a
+    * corpus with repeated ids, dedupe ids first or use
+    * [[minhashFromAggComposed]], or downstream band joins see inflated
+    * duplicate signature rows. */
   private def minhashFrom(df: DataFrame, idCol: String, units: Column, k: Int,
       nonEmpty: Column): DataFrame =
     df.filter(nonEmpty)
@@ -201,8 +210,14 @@ object Dedup {
     // row-local projection into a scan-side filter carrying one
     // minhash_mins copy PER BAND COLUMN (measured 10× on the verified-
     // pair family — the same fence the winnow/digest families use).
+    // Checkpoints.stable (round-16, round-15 verdict item 7): the fence
+    // is DELIBERATELY eager (both consumers need the materialization)
+    // and executor-local by default; setting spark.graft.checkpointDir
+    // switches every fence in this family to a RELIABLE DFS checkpoint
+    // so an executor loss at cluster scale costs a task retry, not the
+    // query (results identical — CheckpointsSpec pins both modes).
     val bands = lshBandsKeyed(
-      minhashSignature(df, idCol, textCol, k).localCheckpoint(),
+      Checkpoints.stable(minhashSignature(df, idCol, textCol, k)),
       idCol, k, bandSize)
     // Explicit-N repartition: the stream side is byte-tiny but each row's
     // probe fans out quadratically inside hot bands — AQE's byte-based
@@ -245,15 +260,26 @@ object Dedup {
 
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandSize: Int, threshold: Double,
-      broadcastBuild: Boolean = true): DataFrame =
+      broadcastBuild: Boolean = true): DataFrame = {
     // Candidate generation is [[minhashCandidates]]' dedup-free
     // first-collision join, so candidates flow STRAIGHT into the
     // verification joins — zero shuffles between enumeration and verify
     // (everything after the signature aggregate is one fused
     // broadcast-probe pipeline).
+    // Size-ratio prefilter ([[jaccardPairs]]' derivation, verbatim):
+    // jaccard <= min(|A|,|B|)/max(|A|,|B|), and round4(j) >= t only if
+    // j >= t - 5e-5, so candidates failing
+    // 20000*min >= (20000*t - 1)*max cannot pass the threshold — the
+    // O(|A|+|B|) intersection merge is skipped for them with the row
+    // set provably unchanged. At a tight threshold (q104's 0.95) this
+    // prunes almost every non-near-equal-size candidate.
+    val tScaled = math.round(threshold * 20000) - 1
     withJaccard(
-      candidateTokenJoin(df, idCol, textCol, k, bandSize, broadcastBuild),
+      candidateTokenJoin(df, idCol, textCol, k, bandSize, broadcastBuild)
+        .filter(least(col("n_a"), col("n_b")) * 20000L >=
+          greatest(col("n_a"), col("n_b")) * tScaled),
       Seq.empty, threshold)
+  }
 
   /** CONTAINMENT detection over LSH candidates: flags pairs where the
     * smaller document's token set is (nearly) a subset of the larger's —
@@ -603,7 +629,9 @@ object Dedup {
   }
 
   /** SimHash fingerprint over the low `bits` bits of the token hash:
-    * per-bit ±1 sums, sign → bit. Returns (id, simhash). */
+    * per-bit ±1 sums, sign → bit. Returns (id, simhash). Same
+    * unique-id precondition as [[minhashFrom]]: one row per input row —
+    * duplicate ids are not merged the way the aggregation form did. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     // Row-local native fingerprint: no explode, no exchange — the
     // signature stage is a narrow projection. The null-text filter
@@ -818,7 +846,7 @@ object Dedup {
     val w = docs
       .select(col(idCol), posexplode(exactWindowHashes(textCol, k)).as(Seq("_p0", "_h")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("_h"))
-      .localCheckpoint() // feeds the dup-digest count AND the semi-join —
+      .transform(Checkpoints.stable) // feeds the dup-digest count AND the semi-join —
       // without it the tokenize+hash pass runs twice
     val dupHashes = w.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_nd"))
@@ -897,10 +925,15 @@ object Dedup {
     * all DuckDB-mirrorable (though the oracles use the plain
     * every-window md5 definition — the rolling hash only NOMINATES). */
   private[operators] def rollingWindowDigests(textCol: String, k: Int): Column =
+    rollingWindowDigestsOf(tokens(col(textCol)), k)
+
+  /** [[rollingWindowDigests]] over an ALREADY-BOUND token array — for
+    * callers that let-bind the tokenization once and derive both the
+    * digests and the exact gram md5s from the same walk. */
+  private[operators] def rollingWindowDigestsOf(toks: Column, k: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.RollingHashWindows(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          tokens(col(textCol))), k))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), k))
 
   /** The composed (pure-`functions._`) form [[rollingWindowDigests]]
     * natively replaces — kept as the parity pin's reference
@@ -939,7 +972,7 @@ object Dedup {
     val rollPos = docs
       .select(col(idCol), posexplode(digests).as(Seq("_p0", "_d")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("_d"))
-      .localCheckpoint() // feeds the dup count AND the semi-join (the
+      .transform(Checkpoints.stable) // feeds the dup count AND the semi-join (the
       // dupSpans discipline) — without it the hash pass runs twice
     val dupRoll = rollPos.groupBy("_d")
       .agg(countDistinct(col(idCol)).as("_nd"))
@@ -956,7 +989,7 @@ object Dedup {
       }.as("_pe"))
       .select(col(idCol), explode(col("_pe")).as("_x"))
       .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
-      .localCheckpoint() // candidate-sized; feeds count + semi-join
+      .transform(Checkpoints.stable) // candidate-sized; feeds count + semi-join
     val dupExact = exact.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
@@ -998,7 +1031,7 @@ object Dedup {
     val grams = docs
       .select(col(idCol).as("doc_id"), explode(gramStructs).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.h").as("h"))
-      .localCheckpoint() // feeds keepers AND covered — hash once
+      .transform(Checkpoints.stable) // feeds keepers AND covered — hash once
     cutFromGrams(docs, idCol, textCol, grams, k)
   }
 
@@ -1068,7 +1101,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         posexplode(rollingWindowDigests(textCol, k)).as(Seq("_p0", "_d")))
       .select(col("doc_id"), col("_p0").cast("long").as("start"), col("_d"))
-      .localCheckpoint() // feeds the dup count AND the semi-join
+      .transform(Checkpoints.stable) // feeds the dup count AND the semi-join
     val dupRoll = rollPos.groupBy("_d")
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= 2)
@@ -1084,7 +1117,7 @@ object Dedup {
       }.as("_pe"))
       .select(col("doc_id"), explode(col("_pe")).as("_x"))
       .select(col("doc_id"), col("_x.start").as("start"), col("_x.h").as("h"))
-      .localCheckpoint() // candidate-sized; feeds keepers AND covered
+      .transform(Checkpoints.stable) // candidate-sized; feeds keepers AND covered
     cutFromGrams(docs, idCol, textCol, grams, k)
   }
 
@@ -1173,7 +1206,7 @@ object Dedup {
     val refDocs = ref.filter(col(textCol).isNotNull)
     val roll = refDocs
       .select(explode(rollingWindowDigests(textCol, k)).as("_d")).distinct()
-      .localCheckpoint() // feeds the parquet write, the count, AND the bloom
+      .transform(Checkpoints.stable) // feeds the parquet write, the count, AND the bloom
     // fail fast on a degenerate reference: bloom_filter_agg over zero
     // rows is null, which would land a NullType `bloom` literal in meta
     // (an unrelated-looking write-time analysis error) and NPE every
@@ -1200,11 +1233,48 @@ object Dedup {
   def dupSpansRollingAgainstStored(spark: SparkSession, dir: String,
       df: DataFrame, idCol: String, textCol: String,
       broadcastRef: Boolean = true): DataFrame = {
-    val k = spark.read.parquet(s"$dir/meta").head().getAs[Number]("k").intValue()
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val k = meta.getAs[Number]("k").intValue()
     val docs = df.filter(col(textCol).isNotNull)
-    val verified = crossVerifiedFromSets(docs, idCol, textCol, k,
-      spark.read.parquet(s"$dir/roll"), spark.read.parquet(s"$dir/exact"),
-      broadcastRef)
+    val verified =
+      if (broadcastRef) {
+        // ROW-LOCAL bloom nomination (round 16, guide §2.4): under the
+        // broadcast gate the artifact's rolling-digest bloom (dir/meta,
+        // sized for the full digest set) nominates candidate POSITIONS
+        // inside one projection — replacing the probe's
+        // posexplode → broadcast-semi-join → groupBy(collect_list) →
+        // join-back-to-docs round trip (an Exchange + two joins) with
+        // ~one bloom probe per window. Output is IDENTICAL: the bloom
+        // has zero false negatives over the digest set it was built
+        // from, so every position the semi-join nominated is
+        // nominated here; false positives (bloom fpp + rolling
+        // collisions) only add md5 work, and the exact window-md5
+        // semi-join — unchanged — has the final word either way.
+        // Above the gate (corpus-sized reference) the bloom literal
+        // would ship with every task, so the shuffle-join path below
+        // stays the scale shape.
+        import graft.functions.ArrayOps
+        val bloom = meta.getAs[Array[Byte]]("bloom")
+        val pe = ArrayOps.bind(tokens(col(textCol))) { toks =>
+          ArrayOps.bind(rollingWindowDigestsOf(toks, k)) { ds =>
+            val starts = when(size(ds) >= 1, sequence(lit(1), size(ds)))
+              .otherwise(array().cast("array<int>"))
+            transform(
+              filter(starts, p =>
+                org.apache.spark.sql.graftbridge.BloomBridge
+                  .mightContain(bloom, element_at(ds, p))),
+              p => struct(p.as("pos"),
+                graft.functions.Md5HexGram.of(toks, p, k).as("_h")))
+          }
+        }
+        docs.select(col(idCol), explode(pe).as("_x"))
+          .select(col(idCol), col("_x.pos").as("pos"), col("_x._h").as("_h"))
+          .join(Plans.maybeBroadcast(
+            spark.read.parquet(s"$dir/exact").select(col("_h")), enabled = true),
+            Seq("_h"), "left_semi")
+      } else crossVerifiedFromSets(docs, idCol, textCol, k,
+        spark.read.parquet(s"$dir/roll"), spark.read.parquet(s"$dir/exact"),
+        broadcastRef = false)
     spanStats(docs, idCol, textCol, verified, k)
   }
 
@@ -1428,7 +1498,7 @@ object Dedup {
     // referenced three times below (df cut + both join sides) — without
     // a checkpoint the md5 fingerprint projection re-runs per reference
     // and dominates the whole pipeline (~3x measured at sf0.1)
-    val fp = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint()
+    val fp = Checkpoints.stable(winnowFingerprints(df, idCol, textCol, k, w))
     // fp is distinct per (doc, fp) so count(*) is the document frequency
     val rare = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))

@@ -83,6 +83,14 @@ object Sketches {
     * — and skips materializing a per-document string array. */
   private def shingleHashes(df: DataFrame, groupCol: String, textCol: String,
       shingleN: Int): DataFrame =
+    shingleHashesRaw(df, groupCol, textCol, shingleN).distinct()
+
+  /** The per-row hash stream WITHOUT the global (g, h) distinct — the
+    * aggregate path's input: row-local dedupe only (array_distinct);
+    * cross-document duplicates are absorbed by the SET-semantics
+    * aggregator, so no distinct exchange is needed. */
+  private def shingleHashesRaw(df: DataFrame, groupCol: String,
+      textCol: String, shingleN: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(groupCol).as("g"),
         // native one-pass gram hasher — identical values to the
@@ -90,7 +98,6 @@ object Sketches {
         // scaladoc; SketchesSpec pins it), no per-window gram string
         explode(array_distinct(graft.functions.GramHash32Windows.of(
           Dedup.tokens(col(textCol)), shingleN))).as("h"))
-      .distinct()
 
   /** The ≤k smallest distinct hashes per group, as rows. Salted two-stage
     * top-k: the per-task sort is bounded by |universe|/salt (stage 1)
@@ -120,15 +127,34 @@ object Sketches {
     * check). Output: group, k_used, kth_min, est_distinct. */
   def kmvDistinct(df: DataFrame, groupCol: String, textCol: String,
       shingleN: Int, k: Int, salt: Int = 32): DataFrame =
-    kmvMinRows(shingleHashes(df, groupCol, textCol, shingleN), k, salt)
-      .groupBy(col("g").as(groupCol))
-      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
-      .withColumn("est_distinct", kmvEstimate(k, col("k_used"), col("kth_min")))
+    kmvSketchEstimate(kmvSketch(df, groupCol, textCol, shingleN, k, salt),
+      groupCol, k)
 
   /** Storable sketch form: per group the sorted ≤k minimum hashes — the
-    * whole state is k integers, mergeable with [[kmvMerge]]. */
+    * whole state is k integers, mergeable with [[kmvMerge]].
+    *
+    * ONE partial-combined aggregate (round 16, guide §2.3):
+    * [[graft.functions.TypedAggs.KmvMinsAggregator]] keeps a ≤k-long
+    * set per group per map task, so a single group-keyed exchange of
+    * tasks × groups × k longs replaces the windowed form's global
+    * (g, h) distinct + salt-stage Window + merge-stage Window (3
+    * exchanges, 2 whole-bucket sorts). Values are bit-identical
+    * (SketchesSpec pins the windowed twin, [[kmvMinRowsWindowed]]).
+    * `salt` is retained for signature stability; it shaped only the
+    * retired windowed execution, never results. */
   def kmvSketch(df: DataFrame, groupCol: String, textCol: String,
-      shingleN: Int, k: Int, salt: Int = 32): DataFrame =
+      shingleN: Int, k: Int, salt: Int = 32): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    shingleHashesRaw(df, groupCol, textCol, shingleN)
+      .groupBy(col("g").as(groupCol))
+      .agg(graft.functions.TypedAggs.kmvMinsOf(col("h"), k).as("mins"))
+  }
+
+  /** The windowed salted two-stage top-k twin [[kmvSketch]] replaced —
+    * kept as the parity reference (SketchesSpec asserts bit-equality
+    * on random corpora). */
+  private[graft] def kmvSketchWindowed(df: DataFrame, groupCol: String,
+      textCol: String, shingleN: Int, k: Int, salt: Int = 32): DataFrame =
     kmvMinRows(shingleHashes(df, groupCol, textCol, shingleN), k, salt)
       .groupBy(col("g").as(groupCol))
       .agg(sort_array(collect_list(col("h"))).as("mins"))

@@ -80,6 +80,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvSketch (one bounded aggregate) is bit-identical to the windowed twin") {
+    // round-16 parity pin: the partial-combined KmvMinsAggregator path
+    // must reproduce the retired 3-exchange windowed top-k exactly —
+    // same ≤k ascending distinct minima per group, for k above and
+    // below the per-group universe
+    for (k <- Seq(8, 64, 4096)) {
+      val fast = Sketches.kmvSketch(kmvDocs, "source", "text", 3, k)
+        .as[(String, Seq[Long])].collect().toMap
+      val windowed = Sketches.kmvSketchWindowed(kmvDocs, "source", "text", 3, k)
+        .as[(String, Seq[Long])].collect().toMap
+      withClue(s"k=$k: ") { fast shouldBe windowed }
+    }
+  }
+
   test("kmv sketch result is salt-independent (execution strategy, not semantics)") {
     val a = Sketches.kmvDistinct(kmvDocs, "source", "text", 3, 64, salt = 1)
       .orderBy("source").collect()

@@ -88,4 +88,32 @@ class CheckpointsSpec extends SparkSpec {
       rddCheckpointDirs(dir) shouldBe empty
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  // Round-16 (r15 verdict item 7): the Dedup FENCES now route through
+  // Checkpoints.stable too, so the one conf also buys the non-iterative
+  // materialization fences fault tolerance on preemptible fleets.
+  // Results must be identical in both modes, and reliable mode must
+  // actually write rdd checkpoint data for the fenced frames.
+  test("dedup fences identical under local and reliable checkpoints") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w q r"),
+      (4L, "a b c d e f"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def cand() = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def spans() = Dedup.dupSpansRolling(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (candLocal, spansLocal) = (cand(), spans())
+    candLocal should not be empty
+    spansLocal.exists(_._2 > 0) shouldBe true
+    val dir = tmpDir("graft_ckpt_fence")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      cand() shouldBe candLocal
+      spans() shouldBe spansLocal
+      rddCheckpointDirs(dir) should not be empty
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

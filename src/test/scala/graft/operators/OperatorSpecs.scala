@@ -236,6 +236,24 @@ class DedupSpec extends SparkSpec {
         val cands = Dedup.minhashCandidates(df, "doc_id", "text", 16, 4)
           .as[(Long, Long)].collect().toSet
         got.map(p => (p._1, p._2)).toSet.subsetOf(cands) shouldBe true
+        // (3) COMPLETENESS on the candidate set — round-16 regression
+        // guard for the size-ratio prefilter: every candidate whose
+        // true rounded jaccard clears the threshold MUST be emitted
+        // (an over-aggressive prune would silently drop borderline
+        // size-ratio pairs). Checked at 0.5 and at the tight 0.95 the
+        // prefilter was added for.
+        for (t <- Seq(0.5, 0.95)) {
+          val gotT =
+            if (t == 0.5) got.map(p => (p._1, p._2)).toSet
+            else Dedup.lshVerifiedPairs(df, "doc_id", "text", 16, 4, t)
+              .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          val expected = cands.filter { case (a, b) =>
+            val j = toks(a).intersect(toks(b)).size.toDouble /
+              toks(a).union(toks(b)).size
+            math.floor(j * 10000 + 0.5) / 10000 >= t
+          }
+          withClue(s"trial $trial t=$t: ") { gotT shouldBe expected }
+        }
       }
     }
   }
@@ -937,6 +955,15 @@ class SimilaritySpec extends SparkSpec {
     Seq((6L, oi(3, 3), tabL.take(3))).toDF("id", "codes", "_tab")
       .select(graft.functions.PqOps.adcLookupSum(col("codes"), col("_tab"), m, k, rounded = true))
       .as[Option[Long]].collect() shouldBe Array(None)
+    // round-16 (r15 advice): the rounded flag dictates getLong vs
+    // getDouble on the raw table — a mismatched element type must be
+    // an ANALYSIS error, never silent bit reinterpretation
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      df.select(graft.functions.PqOps.adcLookupSum(
+        col("codes"), col("_tab"), m, k, rounded = false)).collect()
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      dfD.select(graft.functions.PqOps.adcLookupSum(
+        col("codes"), col("_tab"), m, k, rounded = true)).collect()
   }
 
   test("IVFPQ stored index: codes-only files, pruned probe, full probe = ADC") {

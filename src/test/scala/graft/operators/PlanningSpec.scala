@@ -97,4 +97,35 @@ class PlansHelpersSpec extends graft.SparkSpec {
     graft.functions.Plans.parquetRowCount(spark, dir) shouldBe
       spark.read.parquet(dir).count()
   }
+
+  test("parquetRowCount fails fast on a partitioned/drifted layout (round-15 advice)") {
+    val dir = tmpDir("plans_rowcount_part")
+    spark.range(100).selectExpr("id", "id % 3 AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // subdirectories mean the flat sum would silently UNDERCOUNT and
+    // mis-gate a broadcast — must be an error, not a wrong number
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.Plans.parquetRowCount(spark, dir)
+  }
+
+  test("shufflePartitions is volume-aware: floored at parallelism, capped at the session conf") {
+    import graft.functions.Plans
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val floor = math.min(cap, spark.sparkContext.defaultParallelism)
+    // tiny in-memory frame → floor (never below core parallelism: the
+    // sized stages are CPU-bound)
+    Plans.shufflePartitions(spark.range(10).toDF()) shouldBe floor
+    // a parquet scan large enough to exceed floor×bytesPerPartition
+    // under a tiny per-partition target ramps with volume, capped
+    val dir = tmpDir("plans_fanout")
+    spark.range(200000).selectExpr("id", "repeat('x', 64) AS pad")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    spark.conf.set(Plans.FanoutBytesPerPartitionKey, "1024")
+    try {
+      Plans.shufflePartitions(scan) shouldBe cap // bytes/1KB ≫ cap
+      spark.conf.set(Plans.FanoutBytesPerPartitionKey, Long.MaxValue.toString)
+      Plans.shufflePartitions(scan) shouldBe floor // one huge partition target → floor
+    } finally spark.conf.unset(Plans.FanoutBytesPerPartitionKey)
+  }
 }
