@@ -71,21 +71,28 @@ class PlanContractsSpec extends SparkSpec {
     pairPlan should not include "BroadcastNestedLoopJoin"
   }
 
-  test("the KMV sketch never sorts a group whole: top-k is salted two-stage") {
+  test("the KMV sketch never sorts a group whole: one bounded set aggregate") {
     val df = graft.operators.Sketches.kmvDistinct(
       t(spark, dir, "documents"), "source", "text", 3, 128, salt = 32)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // stage-1 window partitions on (group, salt-bucket) — the bounded
-    // per-task sort — before the group-keyed stage 2
-    plan should include("pmod")
+    // round 16: the salted two-stage windowed top-k became ONE
+    // partial-combined bounded set aggregate (KmvMinsAggregator) —
+    // no global distinct exchange, no Window, no Sort of any group,
+    // exactly one group-keyed Exchange for the sketch state
     plan should not include "CartesianProduct"
-    // the distinct-hash aggregate combines map-side before its shuffle
-    plan should include("HashAggregate")
-    // both row_number stages push the k-limit below their sorts
-    // (WindowGroupLimit), so no task ever materializes an unbounded
-    // per-group ordering
-    plan.split("WindowGroupLimit").length should be >= 3
+    plan should not include "Window"
+    plan should not include "Sort"
+    plan should include("ObjectHashAggregate")
+    plan.split("Exchange \\(").length - 1 shouldBe 1
+    // the retired windowed twin keeps the salted two-stage contract
+    // (it is the parity reference SketchesSpec pins bit-equal)
+    val twin = graft.operators.Sketches.kmvSketchWindowed(
+      t(spark, dir, "documents"), "source", "text", 3, 128, salt = 32)
+    val twinPlan = twin.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    twinPlan should include("pmod")
+    twinPlan.split("WindowGroupLimit").length should be >= 3
   }
 
   test("bucketed embedding near-dup pairs never plan a nested loop over the corpus") {
